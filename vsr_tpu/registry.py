@@ -1,0 +1,75 @@
+"""Name-based component registries.
+
+The reference wires every object from YAML by reflection over module
+namespaces (``_get_instance`` at ``/root/reference/src/main.py:167-178`` plus
+re-export registries in each ``__init__.py``). The idiomatic equivalent here
+is a small set of explicit registries keyed by category and class name, with a
+``build`` helper reproducing the ``cls(*args, **cfg.kwargs)`` call convention,
+including the "kwargs may be absent" case.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, TypeVar
+
+T = TypeVar("T")
+
+# category -> {name -> class}
+_REGISTRIES: dict[str, dict[str, type]] = {}
+
+KNOWN_CATEGORIES = (
+    "dataset",
+    "transform",
+    "net",
+    "loss",
+    "metric",
+    "optimizer",
+    "lr_scheduler",
+    "logger",
+    "monitor",
+    "trainer",
+    "predictor",
+    "loader",
+)
+
+
+def register(category: str, name: str | None = None) -> Callable[[type], type]:
+    """Class decorator: ``@register('net', 'EDSRNet')`` (name defaults to
+    ``cls.__name__``)."""
+
+    def deco(cls: type) -> type:
+        key = name or cls.__name__
+        bucket = _REGISTRIES.setdefault(category, {})
+        if key in bucket and bucket[key] is not cls:
+            raise ValueError(f"Duplicate registration {category}/{key}")
+        bucket[key] = cls
+        return cls
+
+    return deco
+
+
+def get_class(category: str, name: str) -> type:
+    bucket = _REGISTRIES.get(category, {})
+    if name not in bucket:
+        available = sorted(bucket)
+        raise KeyError(
+            f"No {category!r} named {name!r} is registered. Available: {available}"
+        )
+    return bucket[name]
+
+
+def names(category: str) -> list[str]:
+    return sorted(_REGISTRIES.get(category, {}))
+
+
+def build(category: str, spec: Mapping[str, Any], *args: Any, **extra_kwargs: Any) -> Any:
+    """Instantiate ``spec = {name, kwargs?}`` from a registry.
+
+    Mirrors the reference convention: positional ``args`` first, then the
+    config's ``kwargs`` merged with ``extra_kwargs`` (extra wins, like the
+    reference's ``config.X.kwargs.update(...)`` pattern).
+    """
+    cls = get_class(category, spec["name"])
+    kwargs = dict(spec.get("kwargs") or {})
+    kwargs.update(extra_kwargs)
+    return cls(*args, **kwargs)
