@@ -1,0 +1,144 @@
+import math
+
+import numpy as np
+import pytest
+
+from vsr_tpu.losses import CharbonnierLoss, FlowLoss, HuberLoss, L1Loss, MSELoss, SmoothL1Loss
+from vsr_tpu.metrics import PSNR, SSIM, CardiacPSNR, CardiacSSIM, _reference_gaussian_kernel
+from vsr_tpu.registry import build
+
+
+@pytest.fixture
+def pair(rng):
+    out = (rng.random((2, 16, 16, 1)) * 255).astype(np.float32)
+    tgt = (rng.random((2, 16, 16, 1)) * 255).astype(np.float32)
+    return out, tgt
+
+
+def test_l1_mse(pair):
+    out, tgt = pair
+    assert float(L1Loss()(out, tgt)) == pytest.approx(np.abs(out - tgt).mean(), rel=1e-6)
+    assert float(MSELoss()(out, tgt)) == pytest.approx(((out - tgt) ** 2).mean(), rel=1e-6)
+
+
+def test_huber_matches_definition(pair):
+    out, tgt = pair
+    delta = 10.0
+    e = np.abs(out - tgt)
+    q = np.minimum(e, delta)
+    golden = (0.5 * q**2 + delta * (e - q)).mean()
+    assert float(HuberLoss(delta)(out, tgt)) == pytest.approx(golden, rel=1e-6)
+
+
+def test_charbonnier_epsilon_not_squared(pair):
+    out, tgt = pair
+    eps = 1e-3
+    golden = np.sqrt((out - tgt) ** 2 + eps).mean()  # eps, not eps^2
+    assert float(CharbonnierLoss(eps)(out, tgt)) == pytest.approx(golden, rel=1e-6)
+
+
+def test_flow_is_mse(pair):
+    out, tgt = pair
+    assert float(FlowLoss()(out, tgt)) == pytest.approx(float(MSELoss()(out, tgt)))
+
+
+def test_smooth_l1_matches_torch(pair):
+    import torch
+    import torch.nn.functional as F
+
+    out, tgt = pair
+    golden = F.smooth_l1_loss(torch.from_numpy(out), torch.from_numpy(tgt)).item()
+    assert float(SmoothL1Loss()(out, tgt)) == pytest.approx(golden, rel=1e-5)
+
+
+def test_psnr_known_value():
+    out = np.zeros((1, 4, 4, 1), np.float32)
+    tgt = np.full((1, 4, 4, 1), 10.0, np.float32)
+    golden = 10 * math.log10(255**2 / (100 + 1e-10))
+    assert float(PSNR()(out, tgt)) == pytest.approx(golden, rel=1e-5)
+
+
+def test_psnr_per_sample(pair):
+    out, tgt = pair
+    per = PSNR(size_average=False)(out, tgt)
+    assert per.shape == (2,)
+    assert float(PSNR()(out, tgt)) == pytest.approx(float(np.mean(np.asarray(per))), rel=1e-6)
+
+
+def test_psnr_identical_images_capped_by_eps(pair):
+    out, _ = pair
+    val = float(PSNR()(out, out))
+    assert val == pytest.approx(10 * math.log10(255**2 / 1e-10), rel=1e-6)
+
+
+def _torch_reference_ssim(out, tgt, dim=2, channels=1):
+    """The reference SSIM (metrics.py:39-113) restated with torch, as a
+    golden: depthwise valid conv with the quirky Gaussian."""
+    import torch
+    import torch.nn.functional as F
+
+    kernel = torch.from_numpy(_reference_gaussian_kernel(dim).astype(np.float64))
+    kernel = kernel.view(1, 1, *kernel.shape)
+    kernel = kernel.repeat(channels, *[1] * (kernel.dim() - 1))
+    conv = F.conv2d if dim == 2 else F.conv3d
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    o, t = torch.from_numpy(out).double(), torch.from_numpy(tgt).double()
+    mu1, mu2 = conv(o, kernel, groups=channels), conv(t, kernel, groups=channels)
+    s1 = conv(o * o, kernel, groups=channels) - mu1**2
+    s2 = conv(t * t, kernel, groups=channels) - mu2**2
+    s12 = conv(o * t, kernel, groups=channels) - mu1 * mu2
+    ssim_map = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / ((mu1**2 + mu2**2 + c1) * (s1 + s2 + c2))
+    return ssim_map.mean().item()
+
+
+def test_ssim_2d_matches_torch_reference(rng):
+    out = (rng.random((2, 1, 24, 24)) * 255).astype(np.float32)
+    tgt = np.clip(out + rng.normal(0, 10, out.shape), 0, 255).astype(np.float32)
+    golden = _torch_reference_ssim(out, tgt)
+    # channels-last for ours
+    ours = float(SSIM(dim=2)(out.transpose(0, 2, 3, 1), tgt.transpose(0, 2, 3, 1)))
+    assert ours == pytest.approx(golden, abs=1e-4)
+
+
+def test_ssim_3d_matches_torch_reference(rng):
+    out = (rng.random((1, 1, 13, 16, 16)) * 255).astype(np.float32)
+    tgt = np.clip(out + rng.normal(0, 20, out.shape), 0, 255).astype(np.float32)
+    golden = _torch_reference_ssim(out, tgt, dim=3)
+    ours = float(SSIM(dim=3)(out.transpose(0, 2, 3, 4, 1), tgt.transpose(0, 2, 3, 4, 1)))
+    assert ours == pytest.approx(golden, abs=1e-4)
+
+
+def test_ssim_identity_is_one(rng):
+    img = (rng.random((1, 16, 16, 1)) * 255).astype(np.float32)
+    assert float(SSIM()(img, img)) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ssim_per_sample(rng):
+    out = (rng.random((3, 16, 16, 1)) * 255).astype(np.float32)
+    tgt = (rng.random((3, 16, 16, 1)) * 255).astype(np.float32)
+    per = SSIM(size_average=False)(out, tgt)
+    assert np.asarray(per).shape == (3,)
+
+
+def test_cardiac_metrics(tmp_path, rng):
+    import pickle
+
+    coords = {"patient001": (2, 14, 3, 15)}
+    path = tmp_path / "coordinates.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(coords, f)
+    out = (rng.random((1, 24, 24, 1)) * 255).astype(np.float32)
+    tgt = (rng.random((1, 24, 24, 1)) * 255).astype(np.float32)
+    cp = CardiacPSNR(str(path))
+    golden = PSNR()(out[:, 2:14, 3:15], tgt[:, 2:14, 3:15])
+    assert float(cp(out, tgt, "patient001")) == pytest.approx(float(golden), rel=1e-6)
+    cs = CardiacSSIM(str(path))
+    golden_s = SSIM()(out[:, 2:14, 3:15], tgt[:, 2:14, 3:15])
+    assert float(cs(out, tgt, "patient001")) == pytest.approx(float(golden_s), rel=1e-6)
+
+
+def test_registry_build():
+    psnr = build("metric", {"name": "PSNR"})
+    assert isinstance(psnr, PSNR)
+    loss = build("loss", {"name": "CharbonnierLoss", "kwargs": {"epsilon": 1e-3}})
+    assert isinstance(loss, CharbonnierLoss)
