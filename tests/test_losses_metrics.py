@@ -101,7 +101,7 @@ def test_ssim_2d_matches_torch_reference(rng):
 
 
 def test_ssim_3d_matches_torch_reference(rng):
-    out = (rng.random((1, 1, 13, 16, 16)) * 255).astype(np.float32)
+    out = (rng.random((1, 1, 11, 12, 12)) * 255).astype(np.float32)
     tgt = np.clip(out + rng.normal(0, 20, out.shape), 0, 255).astype(np.float32)
     golden = _torch_reference_ssim(out, tgt, dim=3)
     ours = float(SSIM(dim=3)(out.transpose(0, 2, 3, 4, 1), tgt.transpose(0, 2, 3, 4, 1)))

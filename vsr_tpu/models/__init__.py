@@ -1,0 +1,11 @@
+"""Model zoo. Importing this package registers every net.
+
+Registry split mirrors the reference (``src/model/nets/__init__.py``):
+SISR = {Bicubic, EDSRNet, SRFBNet, DRFSISRNet};
+MISR = {DUFNet, EDVRNet, RBPNet, TOFlowNet};
+VSR  = {DRFNet, FRVSRNet}.
+"""
+
+from vsr_tpu.models.bicubic import Bicubic  # noqa: F401
+from vsr_tpu.models.edsr import EDSRNet  # noqa: F401
+from vsr_tpu.models.common import count_params, describe_params  # noqa: F401

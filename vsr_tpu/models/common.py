@@ -1,0 +1,146 @@
+"""Shared model building blocks (flax.linen, channels-last).
+
+Initialization follows torch's Conv2d defaults (kaiming-uniform with
+a=sqrt(5), i.e. U(+-sqrt(1/fan_in)), bias U(+-1/sqrt(fan_in))) so training
+dynamics match the reference nets, which rely on torch defaults except where
+they call explicit initializers.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def _conv_fan_in(shape: Sequence[int]) -> int:
+    # Flax conv kernel shape: (*window, in_features, out_features).
+    receptive = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    return receptive * shape[-2]
+
+
+def torch_kernel_init(key, shape, dtype=jnp.float32):
+    """U(-sqrt(1/fan_in), sqrt(1/fan_in)) — torch kaiming_uniform(a=sqrt(5))."""
+    bound = math.sqrt(1.0 / _conv_fan_in(shape))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def make_torch_bias_init(fan_in: int) -> Callable:
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv(nn.Module):
+    """2D conv, NHWC, torch-default init, SAME-style explicit padding.
+
+    ``padding`` is in pixels per spatial dim (torch convention), so
+    ``kernel=3, padding=1`` preserves the spatial size.
+    """
+
+    features: int
+    kernel_size: int | tuple[int, int] = 3
+    strides: int | tuple[int, int] = 1
+    padding: int | tuple[int, int] | str = 1
+    use_bias: bool = True
+    feature_group_count: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size,) * 2
+        s = self.strides if isinstance(self.strides, tuple) else (self.strides,) * 2
+        if isinstance(self.padding, str):
+            pad: Any = self.padding
+        else:
+            p = self.padding if isinstance(self.padding, tuple) else (self.padding,) * 2
+            pad = [(p[0], p[0]), (p[1], p[1])]
+        fan_in = k[0] * k[1] * (x.shape[-1] // self.feature_group_count)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=k,
+            strides=s,
+            padding=pad,
+            use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count,
+            kernel_init=torch_kernel_init,
+            bias_init=make_torch_bias_init(fan_in),
+            dtype=self.dtype,
+        )(x)
+
+
+class ConvTranspose(nn.Module):
+    """2D transposed conv matching torch.nn.ConvTranspose2d geometry.
+
+    torch output size = (in-1)*stride - 2*padding + kernel. Implemented with
+    flax ConvTranspose (padding as ((kernel-1-p, kernel-1-p),...) equivalent
+    is handled by computing the XLA padding directly).
+    """
+
+    features: int
+    kernel_size: int = 4
+    strides: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.strides, self.padding
+        fan_in = k * k * x.shape[-1]
+        # XLA conv_transpose padding that reproduces torch geometry:
+        # pad = kernel - 1 - torch_padding on both sides.
+        xla_pad = [(k - 1 - p, k - 1 - p)] * 2
+        return nn.ConvTranspose(
+            features=self.features,
+            kernel_size=(k, k),
+            strides=(s, s),
+            padding=xla_pad,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init,
+            bias_init=make_torch_bias_init(fan_in),
+            dtype=self.dtype,
+        )(x)
+
+
+class Conv3D(nn.Module):
+    """3D conv, NDHWC, torch-default init, per-dim pixel padding."""
+
+    features: int
+    kernel_size: tuple[int, int, int] = (3, 3, 3)
+    strides: tuple[int, int, int] = (1, 1, 1)
+    padding: tuple[int, int, int] = (1, 1, 1)
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        pad = [(p, p) for p in self.padding]
+        fan_in = int(np.prod(k)) * x.shape[-1]
+        return nn.Conv(
+            features=self.features,
+            kernel_size=k,
+            strides=self.strides,
+            padding=pad,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init,
+            bias_init=make_torch_bias_init(fan_in),
+            dtype=self.dtype,
+        )(x)
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def describe_params(params) -> str:
+    n = count_params(params)
+    return f"Trainable parameters: {n / 1e6} M\nMemory usage: {(n * 4) / (1 << 20)} MB"
