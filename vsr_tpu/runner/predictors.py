@@ -1,0 +1,351 @@
+"""Predictors: test-set evaluation + CSV/PNG/GIF export.
+
+Role parity with ``/root/reference/src/runner/predictors/*``: batch-size-1
+streaming evaluation, per-sample (SISR/MISR) or per-frame (VSR) metric rows
+in ``results.csv``, per-frame PNGs, per-sequence GIFs, and Cardiac* metrics
+receiving the patient name (``acdc_sisr_predictor.py:143-146``).
+
+Deviations (documented):
+- the reference never flushes the final slice's GIF in the SISR/MISR
+  predictors (``acdc_sisr_predictor.py:72-78`` only dumps on slice change);
+  we flush the trailing sequence too;
+- nets returning tuples (FRVSR) are evaluated on their SR output
+  (``outputs[0]``).
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+from functools import partial
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from tqdm import tqdm
+
+from vsr_tpu.registry import register
+from vsr_tpu.utils.checkpoint import load_checkpoint
+from vsr_tpu.utils.normalize import denormalize
+from vsr_tpu.utils.rng import RngTree
+
+
+def _dump_video(path: Path, imgs: Sequence[np.ndarray]) -> None:
+    import imageio
+
+    with imageio.get_writer(path) as writer:
+        for img in imgs:
+            writer.append_data(img)
+
+
+def _save_png(path: Path, img: np.ndarray) -> None:
+    from PIL import Image
+
+    Image.fromarray(img).save(path)
+
+
+class BasePredictor:
+    dataset_stats = "acdc"
+
+    def __init__(
+        self,
+        test_dataloader,
+        net,
+        loss_fns: Sequence,
+        loss_weights: Sequence[float],
+        metric_fns: Sequence,
+        saved_dir: str | None = None,
+        exported: bool = False,
+        device: str | None = None,
+        **kwargs: Any,
+    ):
+        if test_dataloader.batch_size != 1:
+            raise ValueError(
+                f"The testing batch size should be 1. Got {test_dataloader.batch_size}."
+            )
+        self.test_dataloader = test_dataloader
+        self.net = net
+        self.loss_fns = list(loss_fns)
+        self.loss_weights = np.asarray([float(w) for w in loss_weights])
+        self.metric_fns = list(metric_fns)
+        self.exported = exported
+        if exported:
+            self.saved_dir = Path(saved_dir)
+        self.params = None
+        self._apply = jax.jit(lambda p, x: self.net.apply(p, x))
+        self._denormalize = partial(denormalize, dataset=self.dataset_stats)
+
+    # ------------------------------------------------------------- loading
+
+    def _ensure_initialized(self) -> None:
+        if self.params is not None:
+            return
+        batch = next(iter(self.test_dataloader))
+        inputs = self._example_inputs(batch)
+        self.params = self.net.init(
+            RngTree("predict-init").jax_key("init"),
+            jax.tree_util.tree_map(lambda a: jnp.zeros(a.shape, jnp.float32), inputs),
+        )
+
+    def load(self, path: str | Path) -> None:
+        """Restore net params only (``base_predictor.py:130-136``)."""
+        self._ensure_initialized()
+        state, _ = load_checkpoint(path)
+        from flax import serialization
+
+        self.params = serialization.from_state_dict(self.params, state["params"])
+
+    # --------------------------------------------------------------- hooks
+
+    def _example_inputs(self, batch: dict):
+        raise NotImplementedError
+
+    def _init_log(self) -> dict:
+        log = {"Loss": 0.0}
+        for fn in self.loss_fns:
+            log[fn.__class__.__name__] = 0.0
+        for fn in self.metric_fns:
+            log[fn.__class__.__name__] = 0.0
+        return log
+
+    def _metric_value(self, fn, output, target, patient: str):
+        if "Cardiac" in fn.__class__.__name__:
+            return fn(output, target, patient)
+        return fn(output, target)
+
+    def _write_csv(self, results: list) -> None:
+        self.saved_dir.mkdir(parents=True, exist_ok=True)
+        with open(self.saved_dir / "results.csv", "w", newline="") as f:
+            csv.writer(f).writerows(results)
+
+    def _csv_header(self) -> list[str]:
+        return (
+            ["name"]
+            + [fn.__class__.__name__ for fn in self.metric_fns]
+            + [fn.__class__.__name__ for fn in self.loss_fns]
+        )
+
+
+class ImagePredictor(BasePredictor):
+    """Shared flow for SISR/MISR/SRFB: one HR frame per sample; GIFs are
+    assembled when the slice id changes (+ trailing flush)."""
+
+    input_key = "lr_img"
+
+    def _example_inputs(self, batch):
+        return jnp.asarray(batch[self.input_key])
+
+    # Per-variant hooks ----------------------------------------------------
+    def _sample_losses(self, output, target) -> list:
+        return [fn(output, target) for fn in self.loss_fns]
+
+    def _eval_output(self, output):
+        """The tensor metrics/export should use (identity for plain nets)."""
+        return output
+
+    # ---------------------------------------------------------------------
+    def predict(self) -> dict:
+        self._ensure_initialized()
+        dataset = self.test_dataloader.dataset
+        if self.exported:
+            videos_dir = self.saved_dir / "videos"
+            imgs_dir = self.saved_dir / "imgs"
+            results = [self._csv_header()]
+            sr_imgs: list[np.ndarray] = []
+            tmp_sid = None
+            tmp_patient = None
+
+        log = self._init_log()
+        count = 0
+        for batch in tqdm(self.test_dataloader, total=len(self.test_dataloader), desc="testing"):
+            index = int(np.asarray(batch["index"])[0])
+            patient, sid, fid = dataset.sample_name(index)
+            inputs = jnp.asarray(batch[self.input_key])
+            target = jnp.asarray(batch["hr_img"])
+            output = self._apply(self.params, inputs)
+
+            losses = self._sample_losses(output, target)
+            loss = float(sum(w * l for w, l in zip(self.loss_weights, losses)))
+            eval_out = self._eval_output(output)
+            d_out, d_tgt = self._denormalize(eval_out), self._denormalize(target)
+            metrics = [
+                self._metric_value(fn, d_out, d_tgt, patient) for fn in self.metric_fns
+            ]
+
+            if self.exported:
+                results.append(
+                    [f"{patient}_2d_slice{sid}_frame{fid}"]
+                    + [float(m) for m in metrics]
+                    + [float(l) for l in losses]
+                )
+                if tmp_sid is not None and sid != tmp_sid:
+                    out_dir = videos_dir / tmp_patient
+                    out_dir.mkdir(parents=True, exist_ok=True)
+                    _dump_video(out_dir / f"sequence{tmp_sid}.gif", sr_imgs)
+                    sr_imgs = []
+                sr_img = np.asarray(d_out)[0, ..., 0].astype(np.uint8)
+                sr_imgs.append(sr_img)
+                tmp_sid, tmp_patient = sid, patient
+                out_dir = imgs_dir / patient
+                out_dir.mkdir(parents=True, exist_ok=True)
+                _save_png(out_dir / f"slice{sid}_frame{fid}.png", sr_img)
+
+            log["Loss"] += loss
+            for fn, l in zip(self.loss_fns, losses):
+                log[fn.__class__.__name__] += float(l)
+            for fn, m in zip(self.metric_fns, metrics):
+                log[fn.__class__.__name__] += float(m)
+            count += 1
+
+        if self.exported:
+            if sr_imgs:  # trailing flush (reference bug fixed)
+                out_dir = videos_dir / tmp_patient
+                out_dir.mkdir(parents=True, exist_ok=True)
+                _dump_video(out_dir / f"sequence{tmp_sid}.gif", sr_imgs)
+            self._write_csv(results)
+
+        for key in log:
+            log[key] /= count
+        logging.info(f"Test log: {log}.")
+        return log
+
+
+class SISRPredictor(ImagePredictor):
+    input_key = "lr_img"
+
+
+class SISRSRFBPredictor(ImagePredictor):
+    """Feedback nets return (S, N, H, W, C): losses mean over steps, metrics
+    and export on the last step (``acdc_sisr_srfb_predictor.py``)."""
+
+    input_key = "lr_img"
+
+    def _sample_losses(self, output, target):
+        return [
+            jnp.mean(jax.vmap(lambda o, fn=fn: fn(o, target))(output))
+            for fn in self.loss_fns
+        ]
+
+    def _eval_output(self, output):
+        return output[-1]
+
+
+class MISRPredictor(ImagePredictor):
+    input_key = "lr_imgs"
+
+
+class VSRPredictor(BasePredictor):
+    """Whole-sequence eval with per-frame losses/metrics (T, #fns) and
+    T-weighted log averaging (``acdc_vsr_predictor.py:119-170``)."""
+
+    def _example_inputs(self, batch):
+        return jnp.asarray(batch["lr_imgs"])
+
+    def predict(self) -> dict:
+        self._ensure_initialized()
+        dataset = self.test_dataloader.dataset
+        if self.exported:
+            videos_dir = self.saved_dir / "videos"
+            imgs_dir = self.saved_dir / "imgs"
+            results = [self._csv_header()]
+
+        log = self._init_log()
+        count = 0
+        for batch in tqdm(self.test_dataloader, total=len(self.test_dataloader), desc="testing"):
+            index = int(np.asarray(batch["index"])[0])
+            patient, sid, _ = dataset.sample_name(index)
+            inputs = jnp.asarray(batch["lr_imgs"])  # (1, T, h, w, C)
+            targets = jnp.asarray(batch["hr_imgs"])
+            T = inputs.shape[1]
+            outputs = self._apply(self.params, inputs)
+            if isinstance(outputs, tuple):
+                outputs = outputs[0]
+
+            # (T, #loss_fns) per-frame losses.
+            if self.loss_fns:
+                frame_losses = np.stack(
+                    [
+                        np.asarray(
+                            jax.vmap(lambda o, t, fn=fn: fn(o, t), in_axes=(1, 1))(
+                                outputs, targets
+                            )
+                        )
+                        for fn in self.loss_fns
+                    ],
+                    axis=1,
+                )
+            else:
+                frame_losses = np.zeros((T, 0))
+            loss = float((frame_losses.mean(axis=0) * self.loss_weights).sum())
+
+            d_out, d_tgt = self._denormalize(outputs), self._denormalize(targets)
+            if self.metric_fns:
+                frame_metrics = np.stack(
+                    [
+                        np.asarray(
+                            jnp.stack(
+                                [
+                                    self._metric_value(fn, d_out[:, t], d_tgt[:, t], patient)
+                                    for t in range(T)
+                                ]
+                            )
+                        )
+                        for fn in self.metric_fns
+                    ],
+                    axis=1,
+                )
+            else:
+                frame_metrics = np.zeros((T, 0))
+
+            if self.exported:
+                base = f"{patient}_2d_slice{sid}"
+                for t in range(T):
+                    results.append(
+                        [f"{base}_frame{t + 1:0>2d}"]
+                        + [float(m) for m in frame_metrics[t]]
+                        + [float(l) for l in frame_losses[t]]
+                    )
+                sr_imgs = [
+                    np.asarray(d_out)[0, t, ..., 0].astype(np.uint8) for t in range(T)
+                ]
+                out_dir = videos_dir / patient
+                out_dir.mkdir(parents=True, exist_ok=True)
+                _dump_video(out_dir / f"sequence{sid}.gif", sr_imgs)
+                out_dir = imgs_dir / patient
+                out_dir.mkdir(parents=True, exist_ok=True)
+                for t, sr_img in enumerate(sr_imgs):
+                    _save_png(out_dir / f"slice{sid}_frame{t + 1:0>2d}.png", sr_img)
+
+            w = T
+            log["Loss"] += loss * w
+            for fn, l in zip(self.loss_fns, frame_losses.mean(axis=0)):
+                log[fn.__class__.__name__] += float(l) * w
+            for fn, m in zip(self.metric_fns, frame_metrics.mean(axis=0)):
+                log[fn.__class__.__name__] += float(m) * w
+            count += w
+
+        if self.exported:
+            self._write_csv(results)
+
+        for key in log:
+            log[key] /= count
+        logging.info(f"Test log: {log}.")
+        return log
+
+
+def _twin(base: type, name: str, stats: str) -> type:
+    cls = type(name, (base,), {"dataset_stats": stats})
+    register("predictor", name)(cls)
+    return cls
+
+
+AcdcSISRPredictor = _twin(SISRPredictor, "AcdcSISRPredictor", "acdc")
+Dsb15SISRPredictor = _twin(SISRPredictor, "Dsb15SISRPredictor", "dsb15")
+AcdcSISRSRFBPredictor = _twin(SISRSRFBPredictor, "AcdcSISRSRFBPredictor", "acdc")
+Dsb15SISRSRFBPredictor = _twin(SISRSRFBPredictor, "Dsb15SISRSRFBPredictor", "dsb15")
+AcdcMISRPredictor = _twin(MISRPredictor, "AcdcMISRPredictor", "acdc")
+Dsb15MISRPredictor = _twin(MISRPredictor, "Dsb15MISRPredictor", "dsb15")
+AcdcVSRPredictor = _twin(VSRPredictor, "AcdcVSRPredictor", "acdc")
+Dsb15VSRPredictor = _twin(VSRPredictor, "Dsb15VSRPredictor", "dsb15")
