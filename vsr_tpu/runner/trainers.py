@@ -69,6 +69,7 @@ class BaseTrainer:
         num_epochs: int,
         random_seed: int | str = "vsr",
         device: str | None = None,
+        mesh_axes: dict | None = None,
         **kwargs: Any,
     ):
         self.train_dataloader = train_dataloader
@@ -92,6 +93,29 @@ class BaseTrainer:
                                    donate_argnames=("params", "opt_state"))
         self._eval_step = jax.jit(self._step, static_argnames=("training",))
 
+        # Optional multi-chip data parallelism: shard_map over a device mesh
+        # with pmean gradient allreduce (ICI collective on TPU).
+        self.mesh = None
+        self._dp_train_step = self._dp_eval_step = None
+        if mesh_axes:
+            from vsr_tpu.parallel.data_parallel import make_dp_step
+            from vsr_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(dict(mesh_axes))
+            self._dp_train_step = make_dp_step(
+                lambda p, o, i, t, axis_name: self._step(
+                    p, o, i, t, training=True, axis_name=axis_name
+                ),
+                self.mesh,
+            )
+            self._dp_eval_step = make_dp_step(
+                lambda p, o, i, t, axis_name: self._step(
+                    p, o, i, t, training=False, axis_name=axis_name
+                ),
+                self.mesh,
+                donate=False,
+            )
+
     # ---------------------------------------------------------------- hooks
 
     def _get_inputs_targets(self, batch: dict):
@@ -114,8 +138,14 @@ class BaseTrainer:
 
     # ----------------------------------------------------------- functional
 
-    def _step(self, params, opt_state, inputs, targets, training: bool):
-        """One fused step. Returns (params, opt_state, scalars dict, outputs)."""
+    def _step(self, params, opt_state, inputs, targets, training: bool,
+              axis_name: str | None = None):
+        """One fused step. Returns (params, opt_state, scalars dict, outputs).
+
+        With ``axis_name`` set (shard_map data parallelism) gradients and
+        scalar logs are pmean-ed across the mesh axis before the update, so
+        every device applies the same replicated update.
+        """
 
         def loss_fn(p):
             outputs = self._apply(p, inputs, training)
@@ -127,6 +157,8 @@ class BaseTrainer:
             (total, (outputs, losses)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = jax.tree_util.tree_map(
                 lambda p, u: p + u.astype(p.dtype), params, updates
@@ -140,6 +172,8 @@ class BaseTrainer:
             scalars[fn.__class__.__name__] = val
         for fn, val in zip(self.metric_fns, metrics):
             scalars[fn.__class__.__name__] = val
+        if axis_name is not None:
+            scalars = jax.lax.pmean(scalars, axis_name)
         return params, opt_state, scalars, outputs
 
     # ------------------------------------------------------------ lifecycle
@@ -172,16 +206,31 @@ class BaseTrainer:
         count = 0.0
         batch = outputs = None
         pbar = tqdm(iterator, total=len(loader), desc=mode, leave=False)
+        n_data = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
         for batch in pbar:
             inputs, targets = self._get_inputs_targets(batch)
+            batch_n = np.asarray(batch["index"]).shape[0]
+            use_dp = self.mesh is not None and batch_n % n_data == 0
             if training:
-                self.params, self.opt_state, scalars, outputs = self._train_step(
-                    self.params, self.opt_state, inputs, targets, training=True
-                )
+                step = self._dp_train_step if use_dp else self._train_step
+                if use_dp:
+                    self.params, self.opt_state, scalars, outputs = step(
+                        self.params, self.opt_state, inputs, targets
+                    )
+                else:
+                    self.params, self.opt_state, scalars, outputs = step(
+                        self.params, self.opt_state, inputs, targets, training=True
+                    )
             else:
-                _, _, scalars, outputs = self._eval_step(
-                    self.params, self.opt_state, inputs, targets, training=False
-                )
+                step = self._dp_eval_step if use_dp else self._eval_step
+                if use_dp:
+                    _, _, scalars, outputs = step(
+                        self.params, self.opt_state, inputs, targets
+                    )
+                else:
+                    _, _, scalars, outputs = step(
+                        self.params, self.opt_state, inputs, targets, training=False
+                    )
             w = self._batch_weight(batch)
             weighted = jax.tree_util.tree_map(lambda v: v * w, scalars)
             acc = weighted if acc is None else jax.tree_util.tree_map(
