@@ -48,7 +48,7 @@ def make_dp_step(
         mesh=mesh,
         in_specs=(P(), P(), P("data"), P("data")),
         out_specs=(P(), P(), P(), P("data")),
-        check_rep=False,
+        check_vma=False,
     )
     if donate:
         return jax.jit(sharded, donate_argnums=(0, 1))
