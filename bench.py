@@ -1,0 +1,136 @@
+"""End-to-end benchmark: SR volumes/sec/chip (preprocess + inference).
+
+Measures the north-star metric from BASELINE.json — cardiac-MRI volumes
+pushed through k-space LR simulation + EDSR x2 super-resolution per second on
+one chip — for this framework (JAX, on the available accelerator) against a
+faithful PyTorch re-statement of the reference pipeline (numpy-FFT
+preprocessing + torch EDSR inference, as in
+/root/reference/src/acdc_preprocess.py + src/model/nets/edsr_net.py) run in
+the same process on CPU (the reference's GPU is not available here; the
+PyTorch baseline uses all CPU cores).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Volume geometry: one ACDC-like volume = D slices x T frames of H x W.
+D, T, H, W = 10, 30, 192, 192
+FACTOR = 2
+FEATURES, BLOCKS = 64, 16
+JAX_VOLUMES = 8
+TORCH_VOLUMES = 1
+
+
+def _make_volume(seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return np.round(rng.random((D, T, H, W)) * 255).astype(np.float32)
+
+
+# --------------------------------------------------------------------- jax
+def bench_jax() -> float:
+    import jax
+
+    # Persistent compile cache: the axon remote compile takes ~2 min per
+    # shape; cache hits make repeat bench runs start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vsr_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from vsr_tpu.models import EDSRNet
+    from vsr_tpu.preprocess.kspace import kspace_downscale_jax
+
+    net = EDSRNet(in_channels=1, out_channels=1, num_resblocks=BLOCKS,
+                  num_features=FEATURES, upscale_factor=FACTOR)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, H // FACTOR, W // FACTOR, 1)))
+
+    @jax.jit
+    def pipeline(hr_frames):
+        """(N, H, W) uint-valued floats -> (N, H, W) SR output, fused
+        preprocess + inference on device."""
+        lr = kspace_downscale_jax(hr_frames, FACTOR)  # (N, h, w)
+        lr = (lr - 54.089) / (48.084 + 1e-10)
+        sr = net.apply(params, lr[..., None])
+        return jnp.clip(jnp.round(sr * 48.084 + 54.089), 0, 255)[..., 0]
+
+    vol = _make_volume(0).reshape(D * T, H, W)
+    # Warm up / compile (single shape only — compiles are expensive here).
+    np.asarray(pipeline(vol))
+
+    start = time.perf_counter()
+    for i in range(JAX_VOLUMES):
+        out = pipeline(vol)
+    np.asarray(out)  # block
+    elapsed = time.perf_counter() - start
+    return JAX_VOLUMES / elapsed
+
+
+# ------------------------------------------------------------------- torch
+def bench_torch() -> float:
+    import torch
+    import torch.nn as nn
+
+    from vsr_tpu.preprocess.kspace import kspace_downscale
+
+    class TorchEDSR(nn.Module):
+        """The reference EDSR architecture (edsr_net.py:8-67) restated for
+        the baseline measurement."""
+
+        def __init__(self):
+            super().__init__()
+            self.head = nn.Conv2d(1, FEATURES, 3, padding=1)
+            body = []
+            for _ in range(BLOCKS):
+                body.append(nn.Sequential(
+                    nn.Conv2d(FEATURES, FEATURES, 3, padding=1), nn.ReLU(),
+                    nn.Conv2d(FEATURES, FEATURES, 3, padding=1)))
+            self.body = nn.ModuleList(body)
+            self.body_conv = nn.Conv2d(FEATURES, FEATURES, 3, padding=1)
+            self.up = nn.Conv2d(FEATURES, 4 * FEATURES, 3, padding=1)
+            self.shuffle = nn.PixelShuffle(2)
+            self.tail = nn.Conv2d(FEATURES, 1, 3, padding=1)
+
+        def forward(self, x):
+            head = self.head(x)
+            b = head
+            for blk in self.body:
+                b = b + 0.1 * blk(b)
+            b = self.body_conv(b) + head
+            return self.tail(self.shuffle(self.up(b)))
+
+    net = TorchEDSR().eval()
+
+    vol = _make_volume(0).reshape(D * T, H, W)
+    with torch.no_grad():
+        start = time.perf_counter()
+        for _ in range(TORCH_VOLUMES):
+            lrs = np.stack(
+                [kspace_downscale(f[..., None], FACTOR)[..., 0] for f in vol]
+            )
+            lrs = (lrs - 54.089) / (48.084 + 1e-10)
+            t = torch.from_numpy(lrs[:, None]).float()
+            sr = net(t)
+            _ = np.clip(np.round(sr.numpy() * 48.084 + 54.089), 0, 255)
+        elapsed = time.perf_counter() - start
+    return TORCH_VOLUMES / elapsed
+
+
+def main() -> None:
+    jax_vps = bench_jax()
+    torch_vps = bench_torch()
+    print(json.dumps({
+        "metric": "sr_volumes_per_sec_per_chip",
+        "value": round(jax_vps, 4),
+        "unit": "volumes/s (D10xT30x192^2, kspace x2 + EDSR x2)",
+        "vs_baseline": round(jax_vps / torch_vps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""DRF — the project's own Deep Recurrent Feedback networks.
+
+- ``DRFSISRNet`` (``/root/reference/src/model/nets/drf_sisr_net.py``):
+  SRFBN variant with an additive global skip (``in + f`` features) and a
+  PixelShuffle output block; iterates ``num_steps`` times over one image.
+- ``DRFNet`` (``drf_net.py``): identical blocks but iterates over *frames*
+  of a video — the hidden state resets at frame 0 and carries across frames,
+  emitting one SR frame per input frame (the flagship VSR recurrence).
+
+TPU-first: both loops are ``lax.scan``; DRFNet scans over the time axis of a
+``(N, T, h, w, C)`` stack and returns ``(N, T, H, W, C)``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vsr_tpu.models.common import Conv
+from vsr_tpu.models.feedback import FBlock, InBlock, check_upscale_factor
+from vsr_tpu.ops.pixel_shuffle import pixel_shuffle
+from vsr_tpu.registry import register
+
+
+class _OutBlock(nn.Module):
+    """PixelShuffle ladder + final conv (``drf_sisr_net.py:137-148``)."""
+
+    out_channels: int
+    upscale_factor: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.upscale_factor
+        c = x.shape[-1]
+        if math.log2(f).is_integer():
+            for _ in range(int(math.log2(f))):
+                x = Conv(4 * c, 3, padding=1, dtype=self.dtype)(x)
+                x = pixel_shuffle(x, 2)
+        elif f == 3:
+            x = Conv(9 * c, 3, padding=1, dtype=self.dtype)(x)
+            x = pixel_shuffle(x, 3)
+        else:
+            raise NotImplementedError(f"upscale_factor={f}")
+        return Conv(self.out_channels, 3, padding=1, dtype=self.dtype)(x)
+
+
+class _DRFStep(nn.Module):
+    """One feedback iteration: hidden' = FBlock(in_feat, hidden); output from
+    the additive skip ``in_feat + hidden'``."""
+
+    num_features: int
+    num_groups: int
+    out_channels: int
+    upscale_factor: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, hidden, in_feat):
+        f = FBlock(self.num_features, self.num_groups, self.upscale_factor,
+                   dtype=self.dtype)(in_feat, hidden)
+        out = _OutBlock(self.out_channels, self.upscale_factor, dtype=self.dtype)(
+            in_feat + f
+        )
+        return f, out
+
+
+@register("net")
+class DRFSISRNet(nn.Module):
+    in_channels: int
+    out_channels: int
+    num_steps: int
+    num_features: int
+    num_groups: int
+    upscale_factor: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        check_upscale_factor(self.upscale_factor)
+        in_feat = InBlock(self.num_features, dtype=self.dtype)(x)
+        scan = nn.scan(
+            _DRFStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast,),
+            out_axes=0,
+            length=self.num_steps,
+        )
+        _, outputs = scan(
+            self.num_features, self.num_groups, self.out_channels,
+            self.upscale_factor, dtype=self.dtype,
+        )(in_feat, in_feat)
+        return outputs  # (num_steps, N, H, W, C)
+
+
+@register("net")
+class DRFNet(nn.Module):
+    in_channels: int
+    out_channels: int
+    num_features: int
+    num_groups: int
+    upscale_factor: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (N, T, h, w, C) -> (N, T, H, W, C)."""
+        check_upscale_factor(self.upscale_factor)
+        # Extract per-frame input features with shared weights (vmap over T
+        # by folding T into N — cheaper than scanning the InBlock).
+        n, t, h, w, c = x.shape
+        in_feats = InBlock(self.num_features, dtype=self.dtype)(
+            x.reshape(n * t, h, w, c)
+        ).reshape(n, t, h, w, self.num_features)
+        in_feats_t = jnp.moveaxis(in_feats, 1, 0)  # (T, N, h, w, F)
+
+        scan = nn.scan(
+            _DRFStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        # Hidden state resets to frame 0's features (drf_net.py:42-43), then
+        # carries across frames.
+        _, outputs = scan(
+            self.num_features, self.num_groups, self.out_channels,
+            self.upscale_factor, dtype=self.dtype,
+        )(in_feats_t[0], in_feats_t)
+        return jnp.moveaxis(outputs, 0, 1)  # (N, T, H, W, C)

@@ -1,0 +1,86 @@
+"""SRFBN — Super-Resolution Feedback Network (SISR, iterative).
+
+Parity with ``/root/reference/src/model/nets/srfb_net.py``: ``num_steps``
+feedback iterations over one LR input; the feedback block's hidden state is
+reset to the extracted features at step 0 and carried across steps; each step
+emits a bilinear-upsampled global residual output; returns all step outputs.
+
+TPU-first: the Python step loop becomes ``lax.scan`` (via ``nn.scan``) with
+parameters broadcast across steps — one compiled step body instead of an
+unrolled graph — and the constant per-step inputs (LR features, upsampled
+input) enter the scan as broadcast operands. Output is a stacked
+``(num_steps, N, H, W, C)`` array instead of a Python list.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from flax import linen as nn
+
+from vsr_tpu.models.feedback import FBlock, InBlock, PReLU, check_upscale_factor
+from vsr_tpu.models.common import Conv, ConvTranspose
+from vsr_tpu.ops.upsample import upsample_bilinear
+from vsr_tpu.registry import register
+from vsr_tpu.models.feedback import PROJECTION_PARAMS
+
+
+class _RBlock(nn.Module):
+    """Reconstruction: strided deconv + 3x3 conv (``srfb_net.py:137-151``)."""
+
+    out_channels: int
+    upscale_factor: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = PROJECTION_PARAMS[self.upscale_factor]
+        x = ConvTranspose(x.shape[-1], k, s, p, dtype=self.dtype)(x)
+        x = PReLU()(x)
+        return Conv(self.out_channels, 3, padding=1, dtype=self.dtype)(x)
+
+
+class _SRFBStep(nn.Module):
+    num_features: int
+    num_groups: int
+    out_channels: int
+    upscale_factor: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, hidden, feat, upscaled_input):
+        f = FBlock(self.num_features, self.num_groups, self.upscale_factor,
+                   dtype=self.dtype)(feat, hidden)
+        residual = _RBlock(self.out_channels, self.upscale_factor, dtype=self.dtype)(f)
+        return f, upscaled_input + residual
+
+
+@register("net")
+class SRFBNet(nn.Module):
+    in_channels: int
+    out_channels: int
+    num_steps: int
+    num_features: int
+    num_groups: int
+    upscale_factor: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        check_upscale_factor(self.upscale_factor)
+        feat = InBlock(self.num_features, dtype=self.dtype)(x)
+        upscaled = upsample_bilinear(x, scale=self.upscale_factor, align_corners=False)
+
+        scan = nn.scan(
+            _SRFBStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, nn.broadcast),
+            out_axes=0,
+            length=self.num_steps,
+        )
+        _, outputs = scan(
+            self.num_features, self.num_groups, self.out_channels,
+            self.upscale_factor, dtype=self.dtype,
+        )(feat, feat, upscaled)
+        return outputs  # (num_steps, N, H, W, C)
