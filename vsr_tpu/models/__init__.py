@@ -11,4 +11,5 @@ from vsr_tpu.models.edsr import EDSRNet  # noqa: F401
 from vsr_tpu.models.srfbn import SRFBNet  # noqa: F401
 from vsr_tpu.models.drf import DRFNet, DRFSISRNet  # noqa: F401
 from vsr_tpu.models.frvsr import FRVSRNet  # noqa: F401
+from vsr_tpu.models.toflow import TOFlowNet  # noqa: F401
 from vsr_tpu.models.common import count_params, describe_params  # noqa: F401

@@ -74,7 +74,16 @@ class BasePredictor:
         if exported:
             self.saved_dir = Path(saved_dir)
         self.params = None
-        self._apply = jax.jit(lambda p, x: self.net.apply(p, x))
+        import inspect
+
+        try:
+            self._net_train_kwarg = "train" in inspect.signature(
+                type(net).__call__
+            ).parameters
+        except (TypeError, ValueError):
+            self._net_train_kwarg = False
+        apply_kwargs = {"train": False} if self._net_train_kwarg else {}
+        self._apply = jax.jit(lambda p, x: self.net.apply(p, x, **apply_kwargs))
         self._denormalize = partial(denormalize, dataset=self.dataset_stats)
 
     # ------------------------------------------------------------- loading
@@ -84,9 +93,11 @@ class BasePredictor:
             return
         batch = next(iter(self.test_dataloader))
         inputs = self._example_inputs(batch)
+        init_kwargs = {"train": False} if self._net_train_kwarg else {}
         self.params = self.net.init(
             RngTree("predict-init").jax_key("init"),
             jax.tree_util.tree_map(lambda a: jnp.zeros(a.shape, jnp.float32), inputs),
+            **init_kwargs,
         )
 
     def load(self, path: str | Path) -> None:

@@ -85,9 +85,20 @@ class BaseTrainer:
         self.num_epochs = num_epochs
         self.rng_tree = RngTree(random_seed)
 
+        # ``self.params`` is the FULL variables dict: {"params": trainable,
+        # ["batch_stats": ...]} — nets with BatchNorm carry running stats as
+        # a non-trainable collection threaded through the step.
         self.params = None
         self.opt_state = None
         self.epoch = 1
+        import inspect
+
+        try:
+            self._net_train_kwarg = "train" in inspect.signature(
+                type(net).__call__
+            ).parameters
+        except (TypeError, ValueError):
+            self._net_train_kwarg = False
 
         self._train_step = jax.jit(self._step, static_argnames=("training",),
                                    donate_argnames=("params", "opt_state"))
@@ -121,8 +132,18 @@ class BaseTrainer:
     def _get_inputs_targets(self, batch: dict):
         raise NotImplementedError
 
-    def _apply(self, params, inputs, training: bool):
-        return self.net.apply(params, inputs)
+    def _apply(self, variables, inputs, training: bool):
+        """Apply the net; returns (outputs, new_non-trainable-state)."""
+        kwargs = {"train": training} if self._net_train_kwarg else {}
+        state_keys = [k for k in variables if k != "params"]
+        if training and state_keys:
+            outputs, new_vars = self.net.apply(
+                variables, inputs, mutable=state_keys, **kwargs
+            )
+            return outputs, dict(new_vars)
+        return self.net.apply(variables, inputs, **kwargs), {
+            k: variables[k] for k in state_keys
+        }
 
     def _compute_losses(self, outputs, targets) -> list:
         raise NotImplementedError
@@ -147,24 +168,29 @@ class BaseTrainer:
         every device applies the same replicated update.
         """
 
+        trainable = params["params"]
+        state = {k: v for k, v in params.items() if k != "params"}
+
         def loss_fn(p):
-            outputs = self._apply(p, inputs, training)
+            outputs, new_state = self._apply({"params": p, **state}, inputs, training)
             losses = self._compute_losses(outputs, targets)
             total = sum(w * l for w, l in zip(self.loss_weights, losses))
-            return total, (outputs, losses)
+            return total, (outputs, losses, new_state)
 
         if training:
-            (total, (outputs, losses)), grads = jax.value_and_grad(
+            (total, (outputs, losses, new_state)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(params)
+            )(trainable)
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(
-                lambda p, u: p + u.astype(p.dtype), params, updates
+                new_state = jax.lax.pmean(new_state, axis_name)
+            updates, opt_state = self.tx.update(grads, opt_state, trainable)
+            trainable = jax.tree_util.tree_map(
+                lambda p, u: p + u.astype(p.dtype), trainable, updates
             )
+            params = {"params": trainable, **new_state}
         else:
-            total, (outputs, losses) = loss_fn(params)
+            total, (outputs, losses, _) = loss_fn(trainable)
         metrics = self._compute_metrics(outputs, targets)
 
         scalars = {"Loss": total}
@@ -188,8 +214,9 @@ class BaseTrainer:
         if self.params is not None:
             return
         inputs = self._example_inputs()
-        self.params = self.net.init(self.rng_tree.jax_key("init"), inputs)
-        self.opt_state = self.tx.init(self.params)
+        init_kwargs = {"train": False} if self._net_train_kwarg else {}
+        self.params = self.net.init(self.rng_tree.jax_key("init"), inputs, **init_kwargs)
+        self.opt_state = self.tx.init(self.params["params"])
         if self.lr_scheduler is not None:
             self.lr_scheduler.bind(get_learning_rate(self.opt_state))
 
