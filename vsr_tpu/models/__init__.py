@@ -12,4 +12,6 @@ from vsr_tpu.models.srfbn import SRFBNet  # noqa: F401
 from vsr_tpu.models.drf import DRFNet, DRFSISRNet  # noqa: F401
 from vsr_tpu.models.frvsr import FRVSRNet  # noqa: F401
 from vsr_tpu.models.toflow import TOFlowNet  # noqa: F401
+from vsr_tpu.models.duf import DUFNet  # noqa: F401
+from vsr_tpu.models.rbpn import RBPNet  # noqa: F401
 from vsr_tpu.models.common import count_params, describe_params  # noqa: F401
