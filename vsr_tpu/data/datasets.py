@@ -103,6 +103,7 @@ class _SRDatasetMixin(BaseDataset):
         downscale_factor: int,
         transforms: Sequence | None,
         augments: Sequence | None = None,
+        native_decode: bool = False,
         **kwargs: Any,
     ):
         super().__init__(**kwargs)
@@ -111,6 +112,12 @@ class _SRDatasetMixin(BaseDataset):
         self.downscale_factor = downscale_factor
         self.transforms = compose(transforms)
         self.augments = compose(augments)
+        if native_decode:
+            from vsr_tpu.io.native import load_nifti_native
+
+            self._load = load_nifti_native
+        else:
+            self._load = load_nifti
 
 
 @register("dataset")
@@ -135,8 +142,8 @@ class AcdcSISRDataset(_SRDatasetMixin):
         return parse_sample_name(self.lr_paths[index])
 
     def __getitem__(self, index: int, rng: np.random.Generator | None = None) -> dict:
-        lr_img = load_nifti(self.lr_paths[index])  # (h, w, C)
-        hr_img = load_nifti(self.hr_paths[index])  # (H, W, C)
+        lr_img = self._load(self.lr_paths[index])  # (h, w, C)
+        hr_img = self._load(self.hr_paths[index])  # (H, W, C)
         imgs = (lr_img, hr_img)
         if self.type == "train":
             imgs = self.augments(*imgs, rng=rng)
@@ -182,8 +189,8 @@ class _SequenceDataset(_SRDatasetMixin):
     ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (lr_window, hr_window) as (T, H, W, C) stacks after
         augmentation/transforms."""
-        lr_seq = load_nifti(self.lr_paths[seq_index])  # (h, w, C, T)
-        hr_seq = load_nifti(self.hr_paths[seq_index])
+        lr_seq = self._load(self.lr_paths[seq_index])  # (h, w, C, T)
+        hr_seq = self._load(self.hr_paths[seq_index])
         lr_win = extract_window(lr_seq, t, self.num_frames, self.temporal_order)
         hr_win = extract_window(hr_seq, t, self.num_frames, self.temporal_order)
         return self._augment_and_stack(lr_win, hr_win, rng)
@@ -253,8 +260,8 @@ class AcdcVSRDataset(_SequenceDataset):
             lr, hr = self._load_window(seq_index, t, rng)
         else:
             seq_index = self.data[index]
-            lr_seq = load_nifti(self.lr_paths[seq_index])
-            hr_seq = load_nifti(self.hr_paths[seq_index])
+            lr_seq = self._load(self.lr_paths[seq_index])
+            hr_seq = self._load(self.hr_paths[seq_index])
             lr, hr = self._augment_and_stack(lr_seq, hr_seq, rng)
         return {"lr_imgs": lr, "hr_imgs": hr, "index": index}
 
