@@ -62,6 +62,36 @@ def kspace_downscale(img: np.ndarray, factor: int) -> np.ndarray:
     return lr[..., 0] if squeeze else lr
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def kspace_lowpass_matrix(size: int, factor: int) -> np.ndarray:
+    """The 1-D centered-FFT -> rect-truncate -> centered-iFFT pipeline as a
+    dense complex matrix.
+
+    The 2D operator is separable (the rect mask is an outer product and the
+    orthonormal DFT factorizes per axis), so the whole frequency-domain
+    chain becomes ``A_h @ img @ A_w.T`` — two MXU matmuls. On TPU this is
+    ~100x faster than the FFT lowering for the image sizes in this project.
+    """
+    mask_1d = np.zeros(size)
+    center = size // 2
+    ext = size // factor
+    mask_1d[center - ext // 2 : center + (ext - ext // 2)] = 1.0
+
+    eye = np.eye(size)
+    x = np.fft.ifftshift(eye, axes=0)
+    x = np.fft.fft(x, axis=0, norm="ortho")
+    x = np.fft.fftshift(x, axes=0)
+    x = mask_1d[:, None] * x
+    x = np.fft.ifftshift(x, axes=0)
+    x = np.fft.ifft(x, axis=0, norm="ortho")
+    a = np.fft.fftshift(x, axes=0)
+    a.setflags(write=False)
+    return a  # (size, size) complex128
+
+
 def kspace_downscale_jax(imgs, factor: int):
     """Fused jnp LR simulation for a batch of frames.
 
@@ -72,21 +102,16 @@ def kspace_downscale_jax(imgs, factor: int):
     Returns:
         (..., H//factor, W//factor) float32 LR frames in [0, 255].
     """
+    import jax
     import jax.numpy as jnp
 
     h, w = imgs.shape[-2], imgs.shape[-1]
+    a_h = jnp.asarray(kspace_lowpass_matrix(h, factor), dtype=jnp.complex64)
+    a_w = jnp.asarray(kspace_lowpass_matrix(w, factor), dtype=jnp.complex64)
     x = imgs.astype(jnp.complex64)
-    axes = (-2, -1)
-    k = jnp.fft.fftshift(
-        jnp.fft.fftn(jnp.fft.ifftshift(x, axes=axes), axes=axes, norm="ortho"),
-        axes=axes,
-    )
-    mask = jnp.asarray(kspace_truncation_mask(h, w, factor), dtype=jnp.float32)
-    k = k * mask
-    low = jnp.fft.fftshift(
-        jnp.fft.ifftn(jnp.fft.ifftshift(k, axes=axes), axes=axes, norm="ortho"),
-        axes=axes,
-    )
+    highest = jax.lax.Precision.HIGHEST
+    low = jnp.einsum("oh,...hw->...ow", a_h, x, precision=highest)
+    low = jnp.einsum("...hw,pw->...hp", low, a_w, precision=highest)
     low = jnp.round(jnp.abs(low))
     lr = resize_bicubic_jax(low, h // factor, w // factor)
     return jnp.clip(jnp.round(lr), 0.0, 255.0)
