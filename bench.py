@@ -38,7 +38,7 @@ def bench_jax() -> float:
 
     # Persistent compile cache: the axon remote compile takes ~2 min per
     # shape; cache hits make repeat bench runs start in seconds.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/vsr_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 

@@ -24,7 +24,7 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache: repeated jit compiles (many tiny trainers
 # across tests) hit disk instead of recompiling, cutting suite time ~10x.
-jax.config.update("jax_compilation_cache_dir", "/tmp/vsr_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/vsr_tpu_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
