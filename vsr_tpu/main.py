@@ -108,6 +108,13 @@ def run_train(config) -> None:
     )
 
     loaded_path = config.main.get("loaded_path")
+    if not loaded_path and config.main.get("auto_resume"):
+        from vsr_tpu.utils.recovery import find_latest_checkpoint
+
+        found = find_latest_checkpoint(saved_dir / "checkpoints")
+        if found:
+            loaded_path = str(found)
+            logging.info(f'Auto-resume found checkpoint "{loaded_path}".')
     if loaded_path:
         logging.info(f'Load the previous checkpoint from "{loaded_path}".')
         trainer.load(Path(loaded_path))

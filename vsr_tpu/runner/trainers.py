@@ -70,8 +70,10 @@ class BaseTrainer:
         random_seed: int | str = "vsr",
         device: str | None = None,
         mesh_axes: dict | None = None,
+        profile_dir: str | None = None,
         **kwargs: Any,
     ):
+        self.profile_dir = profile_dir
         self.train_dataloader = train_dataloader
         self.valid_dataloader = valid_dataloader
         self.net = net
@@ -271,7 +273,18 @@ class BaseTrainer:
         self._ensure_initialized()
         while self.epoch <= self.num_epochs:
             logging.info(f"Epoch {self.epoch}.")
-            train_log, train_batch, train_outputs = self._run_epoch("training", self.epoch)
+            # Device trace of the second epoch (first epoch pays compiles).
+            if self.profile_dir and self.epoch == 2:
+                from vsr_tpu.utils.profiling import trace
+
+                with trace(self.profile_dir):
+                    train_log, train_batch, train_outputs = self._run_epoch(
+                        "training", self.epoch
+                    )
+            else:
+                train_log, train_batch, train_outputs = self._run_epoch(
+                    "training", self.epoch
+                )
             logging.info(f"Train log: { {k: round(v, 5) for k, v in train_log.items()} }.")
             valid_log, valid_batch, valid_outputs = self._run_epoch("validation", self.epoch)
             logging.info(f"Valid log: { {k: round(v, 5) for k, v in valid_log.items()} }.")
