@@ -85,6 +85,7 @@ class DUFNet(nn.Module):
     size_filter: int
     upscale_factor: int
     backbone: str = "_DenseLayer16"
+    use_pallas_filter: bool = False  # fused Pallas kernel (C=1, TPU)
     dtype: Any = None
 
     @nn.compact
@@ -110,9 +111,8 @@ class DUFNet(nn.Module):
         f = Conv3D(512, (1, 1, 1), padding=(0, 0, 0), dtype=self.dtype)(f)
         f = nn.relu(f)
         f = Conv3D(k2 * r2, (1, 1, 1), padding=(0, 0, 0), dtype=self.dtype)(f)
-        # (N, D', h, w, k2*r2) -> softmax over k2, take temporal slice 0.
-        filters = f[:, 0].reshape(n, h, w, k2, r2)
-        filters = nn.softmax(filters, axis=3)
+        # (N, D', h, w, k2*r2) -> logits over (k2, r2), temporal slice 0.
+        filter_logits = f[:, 0].reshape(n, h, w, k2, r2)
 
         # Residual branch.
         res = nn.relu(feats)
@@ -122,5 +122,13 @@ class DUFNet(nn.Module):
                      dtype=self.dtype)(res)
         residual = pixel_shuffle(res[:, 0], self.upscale_factor)
 
-        out = apply_dynamic_filters(target, filters, self.upscale_factor)
+        if self.use_pallas_filter and self.in_channels == 1:
+            from vsr_tpu.ops.pallas_duf import duf_dynamic_filter_pallas
+
+            out = duf_dynamic_filter_pallas(
+                target[..., 0], filter_logits, self.size_filter, self.upscale_factor
+            )[..., None]
+        else:
+            filters = nn.softmax(filter_logits, axis=3)
+            out = apply_dynamic_filters(target, filters, self.upscale_factor)
         return out + residual

@@ -6,11 +6,15 @@ Fuses, per output row-tile, what the XLA path does in three HBM round trips
     out[y, x, dy*r+dx] = sum_k softmax_k(logits[y, x, :, dy*r+dx])
                           * x[y + ky - p, x + kx - p]
 
-The im2col uses shifted slices of the zero-padded input image held in VMEM
-(one cardiac frame is ~150 KB — far under the 16 MB budget), so there is no
-gather; the softmax over the k^2 tap axis and the per-pixel (k^2 x r^2)
-contraction happen in-register. Channels C=1 (the cardiac data); the
-general-C path stays on XLA in ``vsr_tpu.ops.dynamic_filter``.
+The im2col uses shifted slices of the zero-padded input frame held in VMEM
+(one cardiac frame is ~50 KB), so there is no gather; the softmax over the
+k^2 tap axis and the per-pixel (k^2 x r^2) contraction happen in-register.
+
+Layout: W is the lane (minor) dimension throughout — logits enter the kernel
+as (N, H, k2*r2, W) so the tiny tap/sub-pixel axes live on sublanes instead
+of being padded to 128 lanes (which would inflate VMEM 32x). Channels C=1
+(the cardiac data); the general-C path stays on XLA in
+``vsr_tpu.ops.dynamic_filter``.
 """
 
 from __future__ import annotations
@@ -28,19 +32,20 @@ from vsr_tpu.ops.pixel_shuffle import pixel_shuffle
 def _duf_kernel(x_ref, logits_ref, out_ref, *, size: int, r2: int, tile_h: int, w: int):
     j = pl.program_id(1)
     row0 = j * tile_h
-    # x_ref: (1, H + 2*pad, W + 2*pad) — the whole padded frame in VMEM.
-    # logits_ref: (1, tile_h, w, k2, r2); out_ref: (1, tile_h, w, r2).
-    logits = logits_ref[0]
-    m = jnp.max(logits, axis=2, keepdims=True)
+    k2 = size * size
+    # x_ref: (1, H+2p, W+2p); logits_ref: (1, tile_h, k2*r2, w);
+    # out_ref: (1, tile_h, r2, w).
+    logits = logits_ref[0].reshape(tile_h, k2, r2, w)
+    m = jnp.max(logits, axis=1, keepdims=True)
     e = jnp.exp(logits - m)
-    probs = e / jnp.sum(e, axis=2, keepdims=True)  # (tile_h, w, k2, r2)
+    probs = e / jnp.sum(e, axis=1, keepdims=True)  # (tile_h, k2, r2, w)
 
-    acc = jnp.zeros((tile_h, w, r2), dtype=jnp.float32)
+    acc = jnp.zeros((tile_h, r2, w), dtype=jnp.float32)
     for ky in range(size):
         for kx in range(size):
             tap = ky * size + kx
             patch = x_ref[0, pl.ds(row0 + ky, tile_h), pl.ds(kx, w)]
-            acc = acc + patch[..., None] * probs[:, :, tap, :]
+            acc = acc + patch[:, None, :] * probs[:, tap, :, :]
     out_ref[0] = acc
 
 
@@ -56,6 +61,10 @@ def duf_dynamic_filter_pallas(x, logits, size: int, upscale: int):
     assert logits.shape == (n, h, w, k2, r2), logits.shape
     pad = size // 2
     x_padded = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad, pad), (pad, pad)))
+    # (N, H, W, k2, r2) -> (N, H, k2*r2, W): W becomes the lane dim.
+    logits_l = jnp.transpose(logits.astype(jnp.float32), (0, 1, 3, 4, 2)).reshape(
+        n, h, k2 * r2, w
+    )
 
     tile_h = 8 if h % 8 == 0 else h
     grid = (n, h // tile_h)
@@ -67,13 +76,13 @@ def duf_dynamic_filter_pallas(x, logits, size: int, upscale: int):
             # Whole padded frame per batch element (same block for every j).
             pl.BlockSpec((1, h + 2 * pad, w + 2 * pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_h, w, k2, r2), lambda i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec((1, tile_h, k2 * r2, w), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_h, w, r2), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, tile_h, r2, w), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, r2), jnp.float32),
-    )(x_padded, logits.astype(jnp.float32))
-    # (N, H, W, r2) -> (N, H*r, W*r): r2 is ordered (dy, dx), the pixel
-    # shuffle convention.
+        out_shape=jax.ShapeDtypeStruct((n, h, r2, w), jnp.float32),
+    )(x_padded, logits_l)
+    # (N, H, r2, W) -> (N, H, W, r2) -> pixel shuffle to (N, H*r, W*r).
+    out = jnp.transpose(out, (0, 1, 3, 2))
     return pixel_shuffle(out, upscale)[..., 0]
