@@ -99,11 +99,16 @@ class DRFSISRNet(nn.Module):
 
 @register("net")
 class DRFNet(nn.Module):
+    """``remat=True`` rematerializes each frame's activations in the
+    backward pass (``jax.checkpoint`` on the scan body) — O(1) activation
+    memory in T, the standard trade for training on long cine sequences."""
+
     in_channels: int
     out_channels: int
     num_features: int
     num_groups: int
     upscale_factor: int
+    remat: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -118,8 +123,9 @@ class DRFNet(nn.Module):
         ).reshape(n, t, h, w, self.num_features)
         in_feats_t = jnp.moveaxis(in_feats, 1, 0)  # (T, N, h, w, F)
 
+        step_cls = nn.remat(_DRFStep) if self.remat else _DRFStep
         scan = nn.scan(
-            _DRFStep,
+            step_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0,

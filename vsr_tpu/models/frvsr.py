@@ -173,6 +173,7 @@ class FRVSRNet(nn.Module):
     upscale_factor: int
     is_prediction: bool = False
     num_resblocks: int = 10
+    remat: bool = False  # jax.checkpoint per frame: O(1) activations in T
     dtype: Any = None
 
     @nn.compact
@@ -184,7 +185,7 @@ class FRVSRNet(nn.Module):
         sr0 = jnp.zeros((n, h * self.upscale_factor, w * self.upscale_factor, c),
                         x.dtype)
         scan = nn.scan(
-            _FRVSRStep,
+            nn.remat(_FRVSRStep) if self.remat else _FRVSRStep,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0,
