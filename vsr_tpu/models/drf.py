@@ -135,6 +135,6 @@ class DRFNet(nn.Module):
         # carries across frames.
         _, outputs = scan(
             self.num_features, self.num_groups, self.out_channels,
-            self.upscale_factor, dtype=self.dtype,
+            self.upscale_factor, dtype=self.dtype, name="step",
         )(in_feats_t[0], in_feats_t)
         return jnp.moveaxis(outputs, 0, 1)  # (N, T, H, W, C)

@@ -193,7 +193,7 @@ class FRVSRNet(nn.Module):
         )
         _, (sr_imgs, warped_lrs) = scan(
             self.out_channels, self.upscale_factor, self.num_resblocks,
-            dtype=self.dtype,
+            dtype=self.dtype, name="step",
         )((lr0, sr0), frames)
         sr_imgs = jnp.moveaxis(sr_imgs, 0, 1)
         warped_lrs = jnp.moveaxis(warped_lrs, 0, 1)
