@@ -59,6 +59,12 @@ def run_train(config) -> None:
     dl_kwargs = dict(config.dataloader.get("kwargs") or {})
     train_bs = dl_kwargs.pop("train_batch_size")
     valid_bs = dl_kwargs.pop("valid_batch_size")
+    # Dataset classes may define a custom collate_fn (main.py:48-50 parity).
+    from vsr_tpu.registry import get_class
+
+    collate_fn = getattr(get_class("dataset", config.dataset.name), "collate_fn", None)
+    if collate_fn is not None:
+        dl_kwargs.setdefault("collate_fn", collate_fn)
     train_loader = build(
         "loader", {"name": config.dataloader.name, "kwargs": dl_kwargs},
         train_dataset, batch_size=train_bs,

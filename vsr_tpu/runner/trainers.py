@@ -71,9 +71,11 @@ class BaseTrainer:
         device: str | None = None,
         mesh_axes: dict | None = None,
         profile_dir: str | None = None,
+        prefetch_to_device: bool = True,
         **kwargs: Any,
     ):
         self.profile_dir = profile_dir
+        self.prefetch_to_device = prefetch_to_device
         self.train_dataloader = train_dataloader
         self.valid_dataloader = valid_dataloader
         self.net = net
@@ -154,7 +156,7 @@ class BaseTrainer:
         raise NotImplementedError
 
     def _batch_weight(self, batch: dict) -> float:
-        return float(np.asarray(batch["index"]).shape[0])
+        return float(batch["index"].shape[0])
 
     def _denorm(self, x):
         return denormalize(x, self.dataset_stats)
@@ -230,6 +232,10 @@ class BaseTrainer:
         iterator = (
             loader.epoch(self.rng_tree, epoch) if training else loader.epoch(None, epoch)
         )
+        if self.prefetch_to_device:
+            from vsr_tpu.data.prefetch import device_prefetch
+
+            iterator = device_prefetch(iterator, depth=2)
 
         acc: dict[str, jnp.ndarray] | None = None
         count = 0.0
@@ -238,7 +244,7 @@ class BaseTrainer:
         n_data = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
         for batch in pbar:
             inputs, targets = self._get_inputs_targets(batch)
-            batch_n = np.asarray(batch["index"]).shape[0]
+            batch_n = batch["index"].shape[0]
             use_dp = self.mesh is not None and batch_n % n_data == 0
             if training:
                 step = self._dp_train_step if use_dp else self._train_step
