@@ -34,6 +34,20 @@ import vsr_tpu.runner.trainers  # noqa: F401
 import vsr_tpu.runner.predictors  # noqa: F401
 
 
+def build_net(config):
+    """Build the net; YAML 'dtype' strings (e.g. 'bfloat16') become jnp
+    dtypes so mixed-precision compute is config-selectable."""
+    spec = {"name": config.net.name, "kwargs": dict(config.net.get("kwargs") or {})}
+    dtype = spec["kwargs"].get("dtype")
+    if isinstance(dtype, str):
+        import jax.numpy as jnp
+
+        named = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                 "float16": jnp.float16}
+        spec["kwargs"]["dtype"] = named[dtype]
+    return build("net", spec)
+
+
 def build_losses(config):
     loss_fns, loss_weights = [], []
     for spec in config.losses:
@@ -76,7 +90,7 @@ def run_train(config) -> None:
     )
 
     logging.info("Create the network architecture.")
-    net = build("net", config.net)
+    net = build_net(config)
 
     logging.info("Create the loss functions and the metric functions.")
     loss_fns, loss_weights = build_losses(config)
@@ -143,7 +157,7 @@ def run_test(config) -> None:
     )
 
     logging.info("Create the network architecture.")
-    net = build("net", config.net)
+    net = build_net(config)
 
     loss_fns, loss_weights = build_losses(config)
     metric_fns = build_metrics(config)
