@@ -38,10 +38,15 @@ def _sample_taps(
     padding: int,
     dilation: int,
 ) -> jnp.ndarray:
-    """Offset-driven bilinear im2col.
+    """Offset-driven bilinear im2col, vectorized over all kernel taps.
 
     x: (N, H, W, C); offsets: (N, Ho, Wo, dg, k2, 2).
     Returns (N, Ho, Wo, k2, C) sampled taps (zero outside).
+
+    All k2 taps and all 4 bilinear corners share one fused gather each
+    (4 gathers total) — both faster and a far smaller HLO than per-tap
+    gathers (15 DCNs x 9 taps x 4 corners of scalar gathers blow up the
+    compile).
     """
     n, h, w, c = x.shape
     kh, kw = kernel
@@ -49,25 +54,47 @@ def _sample_taps(
     assert k2 == kh * kw and n_ == n
     cg = c // dg
 
-    # Per-group images flattened into the batch dim for one gather per tap.
+    # Per-group images flattened into the batch dim: (dg*N, H*W, cg).
     xg = x.reshape(n, h, w, dg, cg)
-    xg = jnp.moveaxis(xg, 3, 0).reshape(dg * n, h, w, cg)
+    xg = jnp.moveaxis(xg, 3, 0).reshape(dg * n, h * w, cg)
 
-    base_y = (jnp.arange(ho, dtype=x.dtype) * stride - padding).reshape(1, ho, 1, 1)
-    base_x = (jnp.arange(wo, dtype=x.dtype) * stride - padding).reshape(1, 1, wo, 1)
+    base_y = (jnp.arange(ho, dtype=x.dtype) * stride - padding).reshape(1, ho, 1, 1, 1)
+    base_x = (jnp.arange(wo, dtype=x.dtype) * stride - padding).reshape(1, 1, wo, 1, 1)
+    # Kernel tap offsets laid out as (k2,) in (ky, kx) row-major order.
+    tap_y = jnp.repeat(jnp.arange(kh, dtype=x.dtype) * dilation, kw).reshape(1, 1, 1, 1, k2)
+    tap_x = jnp.tile(jnp.arange(kw, dtype=x.dtype) * dilation, kh).reshape(1, 1, 1, 1, k2)
 
-    taps = []
-    for ky in range(kh):
-        for kx in range(kw):
-            t = ky * kw + kx
-            gy = base_y + ky * dilation + offsets[..., t, 0]  # (N, Ho, Wo, dg)
-            gx = base_x + kx * dilation + offsets[..., t, 1]
-            gy = jnp.moveaxis(gy, 3, 0).reshape(dg * n, ho, wo)
-            gx = jnp.moveaxis(gx, 3, 0).reshape(dg * n, ho, wo)
-            s = grid_sample_bilinear(xg, gy, gx, padding_mode="zeros")
-            s = jnp.moveaxis(s.reshape(dg, n, ho, wo, cg), 0, 3)  # (N,Ho,Wo,dg,cg)
-            taps.append(s.reshape(n, ho, wo, c))
-    return jnp.stack(taps, axis=3)  # (N, Ho, Wo, k2, C)
+    gy = base_y + tap_y + offsets[..., 0]  # (N, Ho, Wo, dg, k2)
+    gx = base_x + tap_x + offsets[..., 1]
+    gy = jnp.moveaxis(gy, 3, 0).reshape(dg * n, ho * wo * k2)
+    gx = jnp.moveaxis(gx, 3, 0).reshape(dg * n, ho * wo * k2)
+
+    y0 = jnp.floor(gy)
+    x0 = jnp.floor(gx)
+    wy = (gy - y0)[..., None]
+    wx = (gx - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        idx = (yc * w + xc)[..., None]  # (dg*N, Ho*Wo*k2, 1)
+        val = jnp.take_along_axis(xg, idx, axis=1)  # (dg*N, Ho*Wo*k2, cg)
+        inb = ((yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1))
+        return val * inb[..., None].astype(x.dtype)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    out = top * (1 - wy) + bot * wy  # (dg*N, Ho*Wo*k2, cg)
+
+    out = out.reshape(dg, n, ho, wo, k2, cg)
+    out = jnp.moveaxis(out, 0, 4)  # (N, Ho, Wo, k2, dg, cg)
+    return out.reshape(n, ho, wo, k2, c)
 
 
 def deform_conv2d(
