@@ -92,6 +92,42 @@ def test_dp_trainer_matches_single_device(data_root, tmp_path):
     np.testing.assert_allclose(_flat(t_dp.params), _flat(t_single.params), atol=2e-6)
 
 
+def test_dp_vsr_trainer_with_flagship(data_root, tmp_path):
+    """DP path through the VSR trainer with the recurrent flagship net."""
+    from vsr_tpu.callbacks.monitor import Monitor
+    from vsr_tpu.data.datasets import AcdcVSRDataset
+    from vsr_tpu.data.loader import Dataloader
+    from vsr_tpu.losses import L1Loss
+    from vsr_tpu.metrics import PSNR
+    from vsr_tpu.models import DRFNet
+    from vsr_tpu.optim import Adam
+    from vsr_tpu.runner.trainers import AcdcVSRTrainer
+
+    transforms = [{"name": "ToTensor"}]
+    train_ds = AcdcVSRDataset(
+        data_dir=data_root / "videos", type="train", downscale_factor=2,
+        transforms=transforms, num_frames=3,
+    )
+    valid_ds = AcdcVSRDataset(
+        data_dir=data_root / "videos", type="valid", downscale_factor=2,
+        transforms=transforms, num_frames=3,
+    )
+    trainer = AcdcVSRTrainer(
+        train_dataloader=Dataloader(train_ds, batch_size=8, shuffle=True, drop_last=True),
+        valid_dataloader=Dataloader(valid_ds, batch_size=1),
+        net=DRFNet(in_channels=1, out_channels=1, num_features=4, num_groups=1,
+                   upscale_factor=2),
+        loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[PSNR()],
+        optimizer=Adam(lr=1e-3), lr_scheduler=None, logger=None,
+        monitor=Monitor(checkpoints_dir=tmp_path / "vsr_dp", mode="min",
+                        target="Loss", saved_freq=1, early_stop=0),
+        num_epochs=1,
+        mesh_axes={"data": 8},
+    )
+    trainer.train()
+    assert (tmp_path / "vsr_dp" / "model_1.ckpt").exists()
+
+
 def test_dp_scalars_match_single(data_root, tmp_path):
     t_dp = _make_trainer(data_root, tmp_path / "dp2", mesh_axes={"data": 8})
     t_dp._ensure_initialized()
