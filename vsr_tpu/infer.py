@@ -1,0 +1,151 @@
+"""Fused batch-inference CLI: raw volumes -> k-space LR -> SR, on device.
+
+The serving path of BASELINE.json config #4: walk a directory of raw
+4D NIfTI volumes (or converted DSB15 series), run the whole
+degrade-normalize-SR-denormalize chain as ONE jit-compiled device program
+per slice-stack, and write SR sequences as NIfTI (+ optional GIFs).
+
+Usage:
+  python -m vsr_tpu.infer <input_dir> <output_dir> \
+      --checkpoint results/.../model_best.ckpt \
+      --net EDSRNet --net-kwargs '{"in_channels":1,...}' \
+      --factor 2 [--dataset acdc] [--gif] [--bf16]
+
+With ``--net Bicubic`` no checkpoint is needed (baseline serving).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+import vsr_tpu.models  # noqa: F401 — registers nets
+from vsr_tpu.io.nifti import load_nifti, save_nifti
+from vsr_tpu.preprocess.intensity import center_crop_multiple, clip_outliers_minmax
+from vsr_tpu.registry import build
+from vsr_tpu.utils.normalize import DATASET_STATS
+
+
+def make_pipeline(net, params, factor: int, dataset: str):
+    """One jitted device program: HR float frames (N, H, W) ->
+    (lr_frames, sr_frames) uint8-valued float32."""
+    import jax
+    import jax.numpy as jnp
+
+    from vsr_tpu.preprocess.kspace import kspace_downscale_jax
+
+    mean, std = DATASET_STATS[dataset]
+
+    @jax.jit
+    def pipeline(hr_frames):
+        lr = kspace_downscale_jax(hr_frames, factor)
+        z = (lr - mean) / (std + 1e-10)
+        sr = net.apply(params, z[..., None])
+        if isinstance(sr, tuple):
+            sr = sr[0]
+        if sr.ndim == 5:  # sequence nets
+            sr = sr[:, -1]
+        sr = sr.astype(jnp.float32)[..., 0]
+        sr = jnp.clip(jnp.round(sr * std + mean), 0, 255)
+        return lr, sr
+
+    return pipeline
+
+
+def run(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir", f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    net_kwargs = json.loads(args.net_kwargs) if args.net_kwargs else {}
+    if args.bf16:
+        net_kwargs["dtype"] = jnp.bfloat16
+    net = build("net", {"name": args.net, "kwargs": net_kwargs})
+
+    paths = sorted(Path(args.input_dir).glob("**/*.nii*"))
+    if not paths:
+        raise SystemExit(f"No NIfTI volumes under {args.input_dir}")
+
+    params = None
+    pipelines: dict = {}
+    n_frames = 0
+    start = time.perf_counter()
+    for path in paths:
+        data = clip_outliers_minmax(load_nifti(path))
+        if data.ndim == 3:
+            data = data[..., None]  # (H, W, D) -> single-frame
+        h0, hn, w0, wn = center_crop_multiple(data.shape[:2])
+        data = data[h0:hn, w0:wn]  # (H, W, D, T)
+        h, w, d, t = data.shape
+        frames = np.moveaxis(data.reshape(h, w, d * t), -1, 0)  # (D*T, H, W)
+
+        if params is None:
+            example = jnp.zeros((1, h // args.factor, w // args.factor, 1))
+            params = net.init(jax.random.PRNGKey(0), example)
+            if args.checkpoint:
+                from flax import serialization
+
+                from vsr_tpu.utils.checkpoint import load_checkpoint
+
+                state, _ = load_checkpoint(args.checkpoint)
+                params = serialization.from_state_dict(params, state["params"])
+
+        key = (h, w)
+        if key not in pipelines:
+            pipelines[key] = make_pipeline(net, params, args.factor, args.dataset)
+        lr, sr = pipelines[key](jax.device_put(frames))
+        sr_np = np.asarray(sr).astype(np.float32)
+        n_frames += frames.shape[0]
+
+        rel = path.relative_to(args.input_dir)
+        out_base = Path(args.output_dir) / rel.parent / rel.name.split(".")[0]
+        sr_seq = np.moveaxis(sr_np, 0, -1).reshape(h, w, d, t)
+        save_nifti(sr_seq.astype(np.float32), Path(str(out_base) + "_sr.nii.gz"))
+        if args.gif:
+            import imageio
+
+            for di in range(d):
+                gif_path = Path(str(out_base) + f"_slice{di + 1:0>2d}.gif")
+                with imageio.get_writer(gif_path) as writer:
+                    for ti in range(t):
+                        writer.append_data(sr_seq[:, :, di, ti].astype(np.uint8))
+        logging.info(f"{path.name}: {frames.shape[0]} frames -> {out_base}_sr.nii.gz")
+
+    elapsed = time.perf_counter() - start
+    stats = {"volumes": len(paths), "frames": n_frames,
+             "seconds": round(elapsed, 3),
+             "frames_per_sec": round(n_frames / elapsed, 2)}
+    logging.info(f"Inference done: {stats}")
+    return stats
+
+
+def main() -> None:
+    logging.basicConfig(
+        format="%(asctime)s | %(levelname)s | %(message)s",
+        level=logging.INFO,
+        datefmt="%Y-%m-%d %H:%M:%S",
+    )
+    parser = argparse.ArgumentParser(description="Fused SR inference over a volume tree.")
+    parser.add_argument("input_dir", type=Path)
+    parser.add_argument("output_dir", type=Path)
+    parser.add_argument("--net", default="EDSRNet")
+    parser.add_argument("--net-kwargs", default="")
+    parser.add_argument("--checkpoint", default="")
+    parser.add_argument("--factor", type=int, default=2)
+    parser.add_argument("--dataset", choices=["acdc", "dsb15"], default="acdc")
+    parser.add_argument("--gif", action="store_true")
+    parser.add_argument("--bf16", action="store_true")
+    run(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()
