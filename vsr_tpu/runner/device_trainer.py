@@ -24,8 +24,8 @@ mode is deterministic-by-key rather than bit-identical to the host loader.
 from __future__ import annotations
 
 import logging
-from functools import partial
-from typing import Any, Sequence
+
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
