@@ -127,6 +127,22 @@ class VSRLogger(BaseLogger):
         return _to_uint8_grid(pairs)
 
 
+class VolumeLogger(BaseLogger):
+    """3D volumes (N, H, W, D, C) batch / (N, D, H, W, C) outputs: show the
+    middle depth slice."""
+
+    def _make_grid(self, batch, outputs):
+        targets = np.asarray(batch["hr_vol"])  # (N, H, W, D, C)
+        outs = np.asarray(outputs)  # (N, D, H, W, C)
+        d = targets.shape[3] // 2
+        pairs = [
+            img
+            for t, o in zip(targets, outs)
+            for img in (t[:, :, d], o[d])
+        ]
+        return _to_uint8_grid(pairs)
+
+
 # Registry names mirror the reference's 8 task loggers.
 for _name, _cls in [
     ("AcdcSISRLogger", SISRLogger),
@@ -137,5 +153,7 @@ for _name, _cls in [
     ("Dsb15MISRLogger", MISRLogger),
     ("AcdcVSRLogger", VSRLogger),
     ("Dsb15VSRLogger", VSRLogger),
+    ("Acdc3DSRLogger", VolumeLogger),
+    ("Dsb153DSRLogger", VolumeLogger),
 ]:
     register("logger", _name)(_cls)

@@ -266,6 +266,66 @@ class AcdcVSRDataset(_SequenceDataset):
         return {"lr_imgs": lr, "hr_imgs": hr, "index": index}
 
 
+@register("dataset")
+class AcdcVolumeDataset(_SRDatasetMixin):
+    """3D volumetric SR: one sample per (patient, frame) — all depth slices
+    of that frame stacked into an (H, W, D, C) volume.
+
+    Beyond the reference's scope (its zoo is 2D/2D+t); this feeds the
+    framework's native ``Volume3DSRNet`` (BASELINE config #2). Uses the
+    ``videos`` tree: each patient's per-slice sequences provide the depth
+    axis. The (H, W, D, C) layout matches the 4D transform convention, so
+    ``RandomCropPatch`` (in-plane-scaled, depth unscaled) applies directly.
+    """
+
+    def __init__(self, **kwargs: Any):
+        super().__init__(**kwargs)
+        lr_root = self.data_dir / self.type / "LR" / f"X{self.downscale_factor}"
+        hr_root = self.data_dir / self.type / "HR"
+        # patient -> sorted per-slice sequence paths.
+        self.patients: list[str] = sorted(
+            p.name for p in hr_root.iterdir() if p.is_dir()
+        ) if hr_root.is_dir() else []
+        self.lr_seqs = {
+            p: sorted((lr_root / p).glob("*2d+1d*.nii.gz")) for p in self.patients
+        }
+        self.hr_seqs = {
+            p: sorted((hr_root / p).glob("*2d+1d*.nii.gz")) for p in self.patients
+        }
+        self.data: list[tuple[str, int]] = []
+        for p in self.patients:
+            if not self.lr_seqs[p]:
+                continue
+            T = _nifti_shape(self.lr_seqs[p][0])[-1]
+            self.data.extend((p, t) for t in range(T))
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def sample_name(self, index: int):
+        patient, t = self.data[index]
+        return patient, "", f"{t + 1:0>2d}"
+
+    def _stack_volume(self, paths, t: int) -> np.ndarray:
+        slices = [self._load(p)[..., t] for p in paths]  # each (H, W, C)
+        return np.stack(slices, axis=2)  # (H, W, D, C)
+
+    def __getitem__(self, index: int, rng: np.random.Generator | None = None) -> dict:
+        patient, t = self.data[index]
+        lr_vol = self._stack_volume(self.lr_seqs[patient], t)
+        hr_vol = self._stack_volume(self.hr_seqs[patient], t)
+        imgs = (lr_vol, hr_vol)
+        if self.type == "train":
+            imgs = self.augments(*imgs, rng=rng)
+        lr_vol, hr_vol = self.transforms(*imgs)
+        return {"lr_vol": lr_vol, "hr_vol": hr_vol, "index": index}
+
+
+@register("dataset")
+class Dsb15VolumeDataset(AcdcVolumeDataset):
+    pass
+
+
 # DSB15 variants — identical behavior, distinct registry names (the reference
 # files are byte-identical twins of the ACDC ones).
 @register("dataset")

@@ -213,7 +213,14 @@ class RandomCropPatch(BaseTransform):
         half = len(imgs) // 2
         lr_imgs, hr_imgs = imgs[:half], imgs[half:]
         for lr_img, hr_img in zip(lr_imgs, hr_imgs):
-            if not all(j // i == self.ratio for i, j in zip(lr_img.shape[:-1], hr_img.shape[:-1])):
+            # In-plane (H, W) ratio check only. The reference checks every
+            # spatial dim incl. depth (transforms.py:410) while its crop
+            # leaves depth coordinates unscaled (:419-423) — contradictory
+            # for equal-depth volumes; we check the dims the crop scales.
+            if not all(
+                j // i == self.ratio
+                for i, j in zip(lr_img.shape[:2], hr_img.shape[:2])
+            ):
                 raise ValueError(
                     f"The ratio between the HR images and the LR images should be {self.ratio}."
                 )

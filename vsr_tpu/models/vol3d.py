@@ -1,0 +1,78 @@
+"""Volumetric (3D) super-resolution net — conv3d + in-plane sub-pixel.
+
+BASELINE.json config #2: "3D volume x2 SR on cropped cardiac ACDC volumes
+(conv3d + sub-pixel upsample)". The reference has no volumetric net (its
+zoo is 2D/2D+t); this is the framework's native 3D member: an EDSR-style
+residual trunk of 3x3x3 convs over (N, D, H, W, C) volumes with an
+in-plane-only pixel shuffle tail (cardiac stacks are anisotropic — slice
+spacing is ~10x in-plane spacing, so only H/W are upscaled, matching the
+k-space degradation which is in-plane too).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+from flax import linen as nn
+
+from vsr_tpu.models.common import Conv3D
+from vsr_tpu.registry import register
+
+
+def _pixel_shuffle_2d_in_3d(x, r: int):
+    """(N, D, H, W, C*r^2) -> (N, D, H*r, W*r, C)."""
+    n, d, h, w, c = x.shape
+    c_out = c // (r * r)
+    x = x.reshape(n, d, h, w, c_out, r, r)
+    x = x.transpose(0, 1, 2, 5, 3, 6, 4)  # (n, d, h, r, w, r, c)
+    return x.reshape(n, d, h * r, w * r, c_out)
+
+
+class _ResBlock3D(nn.Module):
+    features: int
+    res_scale: float
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv3D(self.features, (3, 3, 3), padding=(1, 1, 1), dtype=self.dtype)(x)
+        y = nn.relu(y)
+        y = Conv3D(self.features, (3, 3, 3), padding=(1, 1, 1), dtype=self.dtype)(y)
+        return x + y * self.res_scale
+
+
+@register("net")
+class Volume3DSRNet(nn.Module):
+    in_channels: int
+    out_channels: int
+    num_resblocks: int = 8
+    num_features: int = 32
+    upscale_factor: int = 2
+    res_scale: float = 0.1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (N, D, h, w, C) -> (N, D, h*r, w*r, C)."""
+        f = self.upscale_factor
+        head = Conv3D(self.num_features, (3, 3, 3), padding=(1, 1, 1),
+                      dtype=self.dtype)(x)
+        body = head
+        for _ in range(self.num_resblocks):
+            body = _ResBlock3D(self.num_features, self.res_scale, dtype=self.dtype)(body)
+        body = Conv3D(self.num_features, (3, 3, 3), padding=(1, 1, 1),
+                      dtype=self.dtype)(body) + head
+        if math.log2(f).is_integer():
+            for _ in range(int(math.log2(f))):
+                body = Conv3D(4 * self.num_features, (3, 3, 3), padding=(1, 1, 1),
+                              dtype=self.dtype)(body)
+                body = _pixel_shuffle_2d_in_3d(body, 2)
+        elif f == 3:
+            body = Conv3D(9 * self.num_features, (3, 3, 3), padding=(1, 1, 1),
+                          dtype=self.dtype)(body)
+            body = _pixel_shuffle_2d_in_3d(body, 3)
+        else:
+            raise NotImplementedError(f"upscale_factor={f}")
+        return Conv3D(self.out_channels, (3, 3, 3), padding=(1, 1, 1),
+                      dtype=self.dtype)(body)

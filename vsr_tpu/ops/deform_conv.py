@@ -16,7 +16,13 @@ computation decomposes into:
   hand-code — no custom_vjp needed for correctness.
 
 Both variants are provided: v1 (offset only, ``deform_conv_cuda.cpp:151``)
-and v2 (modulated: offset + mask, ``:486``). Layout is channels-last;
+and v2 (modulated: offset + mask, ``:486``). A hand-written Pallas kernel was
+evaluated and rejected: Mosaic's dynamic-gather primitive requires matching
+extents along the gather axis (verified on hardware), so the arbitrary 2D
+bilinear gather cannot be expressed in-kernel without per-element loops —
+the fused XLA gather below is the efficient TPU formulation.
+
+Layout is channels-last;
 offsets are ``(N, Ho, Wo, dg, k*k, 2)`` with ``[..., 0]=dy, [..., 1]=dx``
 (the reference's channel-packed layout unpacked into named axes), and
 channels within a deformable group share offsets.

@@ -445,6 +445,24 @@ class FRVSRTrainer(VSRTrainer):
         return [jnp.mean(jax.vmap(fn, in_axes=(1, 1))(o, t)) for fn in self.metric_fns]
 
 
+class VolumeTrainer(BaseTrainer):
+    """3D volumetric SR: (H, W, D, C) transform-layout batches transposed to
+    the net's (N, D, H, W, C); metrics on denormalized volumes (SSIM dim=3
+    applies directly)."""
+
+    def _get_inputs_targets(self, batch):
+        lr = jnp.moveaxis(jnp.asarray(batch["lr_vol"]), 3, 1)
+        hr = jnp.moveaxis(jnp.asarray(batch["hr_vol"]), 3, 1)
+        return lr, hr
+
+    def _compute_losses(self, outputs, targets):
+        return [fn(outputs, targets) for fn in self.loss_fns]
+
+    def _compute_metrics(self, outputs, targets):
+        o, t = self._denorm(outputs), self._denorm(targets)
+        return [fn(o, t) for fn in self.metric_fns]
+
+
 def _make_dataset_twin(base: type, name: str, stats: str) -> type:
     cls = type(name, (base,), {"dataset_stats": stats})
     register("trainer", name)(cls)
@@ -461,3 +479,5 @@ AcdcVSRTrainer = _make_dataset_twin(VSRTrainer, "AcdcVSRTrainer", "acdc")
 Dsb15VSRTrainer = _make_dataset_twin(VSRTrainer, "Dsb15VSRTrainer", "dsb15")
 AcdcFRVSRTrainer = _make_dataset_twin(FRVSRTrainer, "AcdcFRVSRTrainer", "acdc")
 Dsb15FRVSRTrainer = _make_dataset_twin(FRVSRTrainer, "Dsb15FRVSRTrainer", "dsb15")
+Acdc3DSRTrainer = _make_dataset_twin(VolumeTrainer, "Acdc3DSRTrainer", "acdc")
+Dsb153DSRTrainer = _make_dataset_twin(VolumeTrainer, "Dsb153DSRTrainer", "dsb15")
