@@ -1,0 +1,88 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.synth import make_processed_tree
+from vsr_tpu.data.datasets import AcdcVolumeVSRDataset
+from vsr_tpu.models import Volume4DSRNet
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vol4d")
+    return make_processed_tree(root, types=("train", "valid"), patients_per_type=2,
+                               slices=3, frames=6, hr_size=24)
+
+
+def test_vol4d_net_shapes():
+    net = Volume4DSRNet(in_channels=1, out_channels=1, num_features=4,
+                        num_resblocks=1, upscale_factor=2)
+    x = jnp.zeros((1, 3, 2, 8, 8, 1))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    assert out.shape == (1, 3, 2, 16, 16, 1)
+
+
+def test_vol4d_recurrence_carries_state(rng):
+    net = Volume4DSRNet(in_channels=1, out_channels=1, num_features=4,
+                        num_resblocks=1, upscale_factor=2)
+    f0 = rng.random((1, 1, 2, 8, 8, 1)).astype(np.float32)
+    f1 = rng.random((1, 1, 2, 8, 8, 1)).astype(np.float32)
+    seq = jnp.asarray(np.concatenate([f0, f1, f0], axis=1))
+    params = net.init(jax.random.PRNGKey(0), seq)
+    out = np.asarray(net.apply(params, seq))
+    assert not np.allclose(out[0, 0], out[0, 2], atol=1e-6)
+
+
+def test_vol4d_dataset_windows(data_root):
+    ds = AcdcVolumeVSRDataset(data_dir=data_root / "videos", type="train",
+                              downscale_factor=2, transforms=[{"name": "ToTensor"}],
+                              num_frames=3)
+    assert len(ds) == 2 * 6
+    s = ds.__getitem__(0)
+    assert s["lr_vols"].shape == (3, 12, 12, 3, 1)
+    assert s["hr_vols"].shape == (3, 24, 24, 3, 1)
+    valid = AcdcVolumeVSRDataset(data_dir=data_root / "videos", type="valid",
+                                 downscale_factor=2, transforms=[{"name": "ToTensor"}],
+                                 num_frames=3)
+    assert len(valid) == 2  # whole sequences per patient
+    s = valid.__getitem__(0)
+    assert s["lr_vols"].shape == (6, 12, 12, 3, 1)
+
+
+def test_vol4d_trainer(data_root, tmp_path):
+    from vsr_tpu.callbacks.monitor import Monitor
+    from vsr_tpu.data.loader import Dataloader
+    from vsr_tpu.losses import L1Loss
+    from vsr_tpu.metrics import PSNR
+    from vsr_tpu.optim import Adam
+    from vsr_tpu.runner.trainers import Acdc4DSRTrainer
+
+    transforms = [
+        {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
+        {"name": "ToTensor"},
+    ]
+    augments = [
+        {"name": "RandomHorizontalFlip"},
+        {"name": "RandomCropPatch", "kwargs": {"size": [8, 8, 3], "ratio": 2}},
+    ]
+    train_ds = AcdcVolumeVSRDataset(data_dir=data_root / "videos", type="train",
+                                    downscale_factor=2, transforms=transforms,
+                                    augments=augments, num_frames=3)
+    valid_ds = AcdcVolumeVSRDataset(data_dir=data_root / "videos", type="valid",
+                                    downscale_factor=2, transforms=transforms,
+                                    num_frames=3)
+    trainer = Acdc4DSRTrainer(
+        train_dataloader=Dataloader(train_ds, batch_size=2, shuffle=True),
+        valid_dataloader=Dataloader(valid_ds, batch_size=1),
+        net=Volume4DSRNet(in_channels=1, out_channels=1, num_features=4,
+                          num_resblocks=1, upscale_factor=2),
+        loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[PSNR()],
+        optimizer=Adam(lr=1e-3), lr_scheduler=None, logger=None,
+        monitor=Monitor(checkpoints_dir=tmp_path / "ckpt", mode="min",
+                        target="Loss", saved_freq=1, early_stop=0),
+        num_epochs=1,
+    )
+    trainer.train()
+    assert (tmp_path / "ckpt" / "model_1.ckpt").exists()

@@ -326,6 +326,55 @@ class Dsb15VolumeDataset(AcdcVolumeDataset):
     pass
 
 
+@register("dataset")
+class AcdcVolumeVSRDataset(AcdcVolumeDataset):
+    """4D spatio-temporal SR: windows of ``num_frames`` volumetric frames
+    (circular wrap, like the 2D VSR datasets); valid/test yields the whole
+    sequence. Sample = {'lr_vols': (T, h, w, D, C), 'hr_vols': (T, H, W, D,
+    C)} in transform layout (trainers transpose for the nets)."""
+
+    def __init__(self, num_frames: int = 5, temporal_order: str = "last",
+                 **kwargs: Any):
+        super().__init__(**kwargs)
+        if temporal_order not in ("last", "middle"):
+            raise ValueError(
+                f"The temporal order should be 'last' or 'middle'. Got {temporal_order}."
+            )
+        self.num_frames = num_frames
+        self.temporal_order = temporal_order
+        if self.type != "train":
+            # Whole sequences: one sample per patient.
+            self.data = [(p, 0) for p in self.patients if self.lr_seqs[p]]
+
+    def _load_4d(self, seqs) -> np.ndarray:
+        """Stack per-slice (H, W, 1, T) sequences -> (H, W, D, T)."""
+        slices = [self._load(p)[:, :, 0, :] for p in seqs]  # (H, W, T)
+        return np.stack(slices, axis=2)
+
+    def __getitem__(self, index: int, rng: np.random.Generator | None = None) -> dict:
+        patient, t = self.data[index]
+        lr_4d = self._load_4d(self.lr_seqs[patient])
+        hr_4d = self._load_4d(self.hr_seqs[patient])
+        if self.type == "train":
+            lr_4d = extract_window(lr_4d, t, self.num_frames, self.temporal_order)
+            hr_4d = extract_window(hr_4d, t, self.num_frames, self.temporal_order)
+        n = lr_4d.shape[-1]
+        imgs = tuple(lr_4d[..., i][..., None] for i in range(n)) + tuple(
+            hr_4d[..., i][..., None] for i in range(n)
+        )  # 2n arrays of (H, W, D, 1)
+        if self.type == "train":
+            imgs = self.augments(*imgs, rng=rng)
+        imgs = self.transforms(*imgs)
+        lr = np.stack(imgs[: len(imgs) // 2], axis=0)  # (T, h, w, D, C)
+        hr = np.stack(imgs[len(imgs) // 2 :], axis=0)
+        return {"lr_vols": lr, "hr_vols": hr, "index": index}
+
+
+@register("dataset")
+class Dsb15VolumeVSRDataset(AcdcVolumeVSRDataset):
+    pass
+
+
 # DSB15 variants — identical behavior, distinct registry names (the reference
 # files are byte-identical twins of the ACDC ones).
 @register("dataset")

@@ -481,3 +481,29 @@ AcdcFRVSRTrainer = _make_dataset_twin(FRVSRTrainer, "AcdcFRVSRTrainer", "acdc")
 Dsb15FRVSRTrainer = _make_dataset_twin(FRVSRTrainer, "Dsb15FRVSRTrainer", "dsb15")
 Acdc3DSRTrainer = _make_dataset_twin(VolumeTrainer, "Acdc3DSRTrainer", "acdc")
 Dsb153DSRTrainer = _make_dataset_twin(VolumeTrainer, "Dsb153DSRTrainer", "dsb15")
+
+
+class Volume4DTrainer(BaseTrainer):
+    """4D spatio-temporal SR: (N, T, H, W, D, C) batches transposed to the
+    net's (N, T, D, H, W, C); per-frame metrics averaged over T; log weights
+    batch*T like the VSR trainers."""
+
+    def _get_inputs_targets(self, batch):
+        lr = jnp.moveaxis(jnp.asarray(batch["lr_vols"]), 4, 2)
+        hr = jnp.moveaxis(jnp.asarray(batch["hr_vols"]), 4, 2)
+        return lr, hr
+
+    def _batch_weight(self, batch):
+        lr = batch["lr_vols"]
+        return float(lr.shape[0] * lr.shape[1])
+
+    def _compute_losses(self, outputs, targets):
+        return [fn(outputs, targets) for fn in self.loss_fns]
+
+    def _compute_metrics(self, outputs, targets):
+        o, t = self._denorm(outputs), self._denorm(targets)
+        return [jnp.mean(jax.vmap(fn, in_axes=(1, 1))(o, t)) for fn in self.metric_fns]
+
+
+Acdc4DSRTrainer = _make_dataset_twin(Volume4DTrainer, "Acdc4DSRTrainer", "acdc")
+Dsb154DSRTrainer = _make_dataset_twin(Volume4DTrainer, "Dsb154DSRTrainer", "dsb15")
