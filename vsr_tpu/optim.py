@@ -94,19 +94,30 @@ def RMSprop(learning_rate: float = 1e-2, lr: float | None = None,
     return optax.inject_hyperparams(make)(learning_rate=lr)
 
 
+def _unwrap_hyperparams_state(opt_state):
+    """Find the inject_hyperparams state (possibly inside optax.MultiSteps)."""
+    while not hasattr(opt_state, "hyperparams"):
+        if hasattr(opt_state, "inner_opt_state"):
+            opt_state = opt_state.inner_opt_state
+        else:
+            raise ValueError("Optimizer state carries no injected hyperparams")
+    return opt_state
+
+
 def set_learning_rate(opt_state, lr: float):
     """Mutate the injected learning-rate hyperparameter in an opt state."""
     import jax.numpy as jnp
 
-    current = opt_state.hyperparams["learning_rate"]
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+    inner = _unwrap_hyperparams_state(opt_state)
+    current = inner.hyperparams["learning_rate"]
+    inner.hyperparams["learning_rate"] = jnp.asarray(
         lr, dtype=getattr(current, "dtype", jnp.float32)
     )
     return opt_state
 
 
 def get_learning_rate(opt_state) -> float:
-    return float(opt_state.hyperparams["learning_rate"])
+    return float(_unwrap_hyperparams_state(opt_state).hyperparams["learning_rate"])
 
 
 class Scheduler:

@@ -72,10 +72,17 @@ class BaseTrainer:
         mesh_axes: dict | None = None,
         profile_dir: str | None = None,
         prefetch_to_device: bool = True,
+        grad_accumulation: int = 1,
         **kwargs: Any,
     ):
         self.profile_dir = profile_dir
         self.prefetch_to_device = prefetch_to_device
+        if grad_accumulation > 1:
+            # Accumulate grads over k micro-batches before applying the
+            # update (large effective batch without the memory).
+            import optax
+
+            optimizer = optax.MultiSteps(optimizer, every_k_schedule=grad_accumulation)
         self.train_dataloader = train_dataloader
         self.valid_dataloader = valid_dataloader
         self.net = net
