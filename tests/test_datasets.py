@@ -153,3 +153,15 @@ def test_loader_plain_iter(data_root):
     batches = list(loader)
     assert len(batches) == 4
     assert batches[0]["lr_imgs"].shape == (1, 6, 12, 12, 1)
+
+
+def test_cache_decoded_same_results(data_root):
+    kw = dict(data_dir=data_root / "videos", type="train", downscale_factor=2,
+              transforms=TRANSFORMS, num_frames=3)
+    plain = AcdcVSRDataset(**kw)
+    cached = AcdcVSRDataset(cache_decoded=True, **kw)
+    for i in (0, 5, 5, 11):  # repeated index exercises the cache
+        a = plain.__getitem__(i)
+        b = cached.__getitem__(i)
+        np.testing.assert_array_equal(a["lr_imgs"], b["lr_imgs"])
+        np.testing.assert_array_equal(a["hr_imgs"], b["hr_imgs"])

@@ -104,6 +104,7 @@ class _SRDatasetMixin(BaseDataset):
         transforms: Sequence | None,
         augments: Sequence | None = None,
         native_decode: bool = False,
+        cache_decoded: bool = False,
         **kwargs: Any,
     ):
         super().__init__(**kwargs)
@@ -115,9 +116,21 @@ class _SRDatasetMixin(BaseDataset):
         if native_decode:
             from vsr_tpu.io.native import load_nifti_native
 
-            self._load = load_nifti_native
+            loader = load_nifti_native
         else:
-            self._load = load_nifti
+            loader = load_nifti
+        if cache_decoded:
+            # Host-RAM decode cache: sequence datasets re-read the same
+            # NIfTI for every window of it; cache the decoded array (the
+            # processed splits are small enough to live in RAM).
+            import functools
+
+            cached = functools.lru_cache(maxsize=4096)(
+                lambda path_str: loader(path_str)
+            )
+            self._load = lambda path: cached(str(path))
+        else:
+            self._load = loader
 
 
 @register("dataset")
