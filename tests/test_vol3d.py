@@ -74,7 +74,7 @@ def test_volume_trainer(data_root, tmp_path):
         net=Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=1,
                           num_features=4, upscale_factor=2),
         loss_fns=[L1Loss()], loss_weights=[1.0],
-        metric_fns=[PSNR(), SSIM(dim=3)],
+        metric_fns=[PSNR()],
         optimizer=Adam(lr=1e-3), lr_scheduler=None, logger=None,
         monitor=Monitor(checkpoints_dir=tmp_path / "ckpt", mode="min",
                         target="Loss", saved_freq=1, early_stop=0),
@@ -82,3 +82,30 @@ def test_volume_trainer(data_root, tmp_path):
     )
     trainer.train()
     assert (tmp_path / "ckpt" / "model_1.ckpt").exists()
+
+
+def test_volume_predictor(data_root, tmp_path):
+    from vsr_tpu.data.loader import Dataloader
+    from vsr_tpu.losses import L1Loss
+    from vsr_tpu.metrics import PSNR, SSIM
+    from vsr_tpu.runner.predictors import Acdc3DSRPredictor
+
+    transforms = [
+        {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
+        {"name": "ToTensor"},
+    ]
+    ds = AcdcVolumeDataset(data_dir=data_root / "videos", type="valid",
+                           downscale_factor=2, transforms=transforms)
+    p = Acdc3DSRPredictor(
+        test_dataloader=Dataloader(ds, batch_size=1),
+        net=Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=1,
+                          num_features=4, upscale_factor=2),
+        loss_fns=[L1Loss()], loss_weights=[1.0],
+        metric_fns=[PSNR()],  # SSIM dim=3 needs depth >= 11 (valid window)
+        saved_dir=str(tmp_path / "vol_pred"), exported=True,
+    )
+    log = p.predict()
+    assert np.isfinite(log["PSNR"])
+    assert (tmp_path / "vol_pred" / "results.csv").exists()
+    vols = list((tmp_path / "vol_pred" / "volumes").glob("**/*_sr.nii.gz"))
+    assert len(vols) == len(ds)

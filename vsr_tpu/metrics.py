@@ -108,6 +108,13 @@ class SSIM(Metric):
         )
 
     def __call__(self, output, target):
+        spatial = output.shape[1:-1]
+        if any(s < 11 for s in spatial):
+            raise ValueError(
+                f"SSIM needs every spatial dim >= 11 (valid 11-tap window); "
+                f"got spatial shape {spatial}. For thin volumes use dim=2 "
+                f"SSIM per slice instead."
+            )
         mu1 = self._filter(output)
         mu2 = self._filter(target)
         sigma1_sq = self._filter(output * output) - mu1 * mu1

@@ -346,6 +346,66 @@ class VSRPredictor(BasePredictor):
         return log
 
 
+class VolumePredictor(BasePredictor):
+    """3D volumetric SR eval: one volume per sample; exports the SR volume
+    as NIfTI plus mid-slice PNGs. Metrics on the whole denormalized volume
+    (SSIM dim=3 works directly on (N, D, H, W, C))."""
+
+    def _example_inputs(self, batch):
+        return jnp.moveaxis(jnp.asarray(batch["lr_vol"]), 3, 1)
+
+    def predict(self) -> dict:
+        self._ensure_initialized()
+        dataset = self.test_dataloader.dataset
+        if self.exported:
+            results = [self._csv_header()]
+            vols_dir = self.saved_dir / "volumes"
+
+        log = self._init_log()
+        count = 0
+        for batch in tqdm(self.test_dataloader, total=len(self.test_dataloader), desc="testing"):
+            index = int(np.asarray(batch["index"])[0])
+            patient, _, fid = dataset.sample_name(index)
+            inputs = jnp.moveaxis(jnp.asarray(batch["lr_vol"]), 3, 1)
+            targets = jnp.moveaxis(jnp.asarray(batch["hr_vol"]), 3, 1)
+            output = self._apply(self.params, inputs)
+
+            losses = [fn(output, targets) for fn in self.loss_fns]
+            loss = float(sum(w * l for w, l in zip(self.loss_weights, losses)))
+            d_out, d_tgt = self._denormalize(output), self._denormalize(targets)
+            metrics = [self._metric_value(fn, d_out, d_tgt, patient) for fn in self.metric_fns]
+
+            if self.exported:
+                results.append(
+                    [f"{patient}_frame{fid}"]
+                    + [float(m) for m in metrics]
+                    + [float(l) for l in losses]
+                )
+                from vsr_tpu.io.nifti import save_nifti
+
+                vol = np.asarray(d_out)[0, ..., 0]  # (D, H, W)
+                out_dir = vols_dir / patient
+                out_dir.mkdir(parents=True, exist_ok=True)
+                save_nifti(np.moveaxis(vol, 0, -1).astype(np.float32),
+                           out_dir / f"frame{fid}_sr.nii.gz")
+                _save_png(out_dir / f"frame{fid}_mid.png",
+                          vol[vol.shape[0] // 2].astype(np.uint8))
+
+            log["Loss"] += loss
+            for fn, l in zip(self.loss_fns, losses):
+                log[fn.__class__.__name__] += float(l)
+            for fn, m in zip(self.metric_fns, metrics):
+                log[fn.__class__.__name__] += float(m)
+            count += 1
+
+        if self.exported:
+            self._write_csv(results)
+        for key in log:
+            log[key] /= count
+        logging.info(f"Test log: {log}.")
+        return log
+
+
 def _twin(base: type, name: str, stats: str) -> type:
     cls = type(name, (base,), {"dataset_stats": stats})
     register("predictor", name)(cls)
@@ -360,3 +420,5 @@ AcdcMISRPredictor = _twin(MISRPredictor, "AcdcMISRPredictor", "acdc")
 Dsb15MISRPredictor = _twin(MISRPredictor, "Dsb15MISRPredictor", "dsb15")
 AcdcVSRPredictor = _twin(VSRPredictor, "AcdcVSRPredictor", "acdc")
 Dsb15VSRPredictor = _twin(VSRPredictor, "Dsb15VSRPredictor", "dsb15")
+Acdc3DSRPredictor = _twin(VolumePredictor, "Acdc3DSRPredictor", "acdc")
+Dsb153DSRPredictor = _twin(VolumePredictor, "Dsb153DSRPredictor", "dsb15")
