@@ -59,7 +59,6 @@ class Dataloader:
         drop_last: bool = False,
         prefetch: int = 2,
         collate_fn=None,
-        grad_accumulation_steps: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -68,7 +67,6 @@ class Dataloader:
         self.drop_last = bool(drop_last)
         self.prefetch = max(int(prefetch), 1)
         self.collate_fn = collate_fn or default_collate
-        self.grad_accumulation_steps = grad_accumulation_steps
 
     def __len__(self) -> int:
         n = len(self.dataset)
