@@ -18,11 +18,16 @@ from typing import Any
 
 from flax import linen as nn
 
-from vsr_tpu.models.feedback import FBlock, InBlock, PReLU, check_upscale_factor
 from vsr_tpu.models.common import Conv, ConvTranspose
+from vsr_tpu.models.feedback import (
+    FBlock,
+    InBlock,
+    PROJECTION_PARAMS,
+    PReLU,
+    check_upscale_factor,
+)
 from vsr_tpu.ops.upsample import upsample_bilinear
 from vsr_tpu.registry import register
-from vsr_tpu.models.feedback import PROJECTION_PARAMS
 
 
 class _RBlock(nn.Module):

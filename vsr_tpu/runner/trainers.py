@@ -29,7 +29,6 @@ Documented divergences from the reference:
 from __future__ import annotations
 
 import logging
-from functools import partial
 from pathlib import Path
 from typing import Any, Sequence
 
