@@ -13,7 +13,9 @@ TPU-first redesign of the step itself:
   denormalized metrics) is ONE jitted function with donated params/opt-state
   buffers — no per-step host round trip;
 - scalar logs accumulate on device and are fetched once per epoch, so the
-  Python loop just enqueues XLA computations (the dispatch-ahead pattern);
+  Python loop just enqueues XLA computations (the dispatch-ahead pattern;
+  this is also why the progress bar shows no per-step running means — a
+  live postfix would force a device sync every step);
 - randomness comes from the explicit RngTree; nothing reads global RNG state
   (replaces the pre-sampled epoch seed list of ``base_trainer.py:49-54``).
 
