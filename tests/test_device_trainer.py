@@ -84,3 +84,37 @@ def test_device_epoch_vsr_windows(data_root):
     )
     log = trainer.train_epoch()
     assert np.isfinite(log["Loss"])
+
+
+def test_device_epoch_sequence_window_mode(data_root):
+    """Whole sequences in HBM; windows gathered on device with wrap."""
+    import jax
+
+    from vsr_tpu.models import DRFNet
+
+    # Build (S, T, h, w, C) sequence buffers directly from the synth tree.
+    from vsr_tpu.data.datasets import AcdcVSRDataset
+
+    ds = AcdcVSRDataset(data_dir=data_root / "videos", type="valid",
+                        downscale_factor=2, transforms=[{"name": "ToTensor"}],
+                        num_frames=3)
+    lrs, hrs = [], []
+    for i in range(len(ds)):
+        s = ds.__getitem__(i)
+        lrs.append(s["lr_imgs"])
+        hrs.append(s["hr_imgs"])
+    lr = np.stack(lrs)  # (S, T_full, h, w, C)
+    hr = np.stack(hrs)
+
+    trainer = DeviceEpochTrainer(
+        net=DRFNet(in_channels=1, out_channels=1, num_features=4, num_groups=1,
+                   upscale_factor=2),
+        loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[],
+        optimizer=Adam(lr=1e-3),
+        lr_data=lr, hr_data=hr, batch_size=2, patch=8, ratio=2,
+        steps_per_epoch=3, window=3,
+    )
+    log = trainer.train_epoch()
+    assert np.isfinite(log["Loss"])
+    leaves = jax.tree_util.tree_leaves(trainer.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

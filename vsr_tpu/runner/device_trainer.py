@@ -78,7 +78,14 @@ class DeviceEpochTrainer:
         steps_per_epoch: int | None = None,
         dataset_stats: str = "acdc",
         random_seed: int | str = "vsr",
+        window: int | None = None,
     ):
+        # ``window``: when set and the buffers are whole sequences
+        # (M, T_full, h, w, C), each sample is a ``window``-frame temporal
+        # slice with circular wrap, gathered on device — storing sequences
+        # once instead of duplicating frames into every window (T_full/
+        # window x less HBM than pre-windowed buffers).
+        self.window = window
         self.net = net
         self.loss_fns = list(loss_fns)
         self.loss_weights = [float(w) for w in loss_weights]
@@ -107,15 +114,24 @@ class DeviceEpochTrainer:
         spatial = (self.patch, self.patch)
         shape = self.lr_buf.shape
         if self.lr_buf.ndim == 5:  # (M, T, h, w, C)
-            return jnp.zeros((self.batch_size, shape[1], *spatial, shape[-1]))
+            t = self.window or shape[1]
+            return jnp.zeros((self.batch_size, t, *spatial, shape[-1]))
         return jnp.zeros((self.batch_size, *spatial, shape[-1]))
 
     def _sample_batch(self, key):
         """Random paired crops + flips, fully vectorized on device."""
-        k_idx, k_y, k_x, k_hf, k_vf = jax.random.split(key, 5)
+        k_idx, k_t, k_y, k_x, k_hf, k_vf = jax.random.split(key, 6)
         idx = jax.random.randint(k_idx, (self.batch_size,), 0, self.m)
         lr = self.lr_buf[idx]
         hr = self.hr_buf[idx]
+        if self.window is not None and lr.ndim == 5:
+            # Circular temporal windows gathered on device.
+            t_full = lr.shape[1]
+            t0 = jax.random.randint(k_t, (self.batch_size,), 0, t_full)
+            offsets = jnp.arange(self.window)
+            tidx = (t0[:, None] + offsets[None, :]) % t_full  # (B, window)
+            lr = jnp.take_along_axis(lr, tidx[:, :, None, None, None], axis=1)
+            hr = jnp.take_along_axis(hr, tidx[:, :, None, None, None], axis=1)
 
         h, w = lr.shape[-3], lr.shape[-2]
         p = self.patch
