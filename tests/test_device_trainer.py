@@ -86,16 +86,19 @@ def test_device_epoch_vsr_windows(data_root):
     assert np.isfinite(log["Loss"])
 
 
-def test_device_epoch_sequence_window_mode(data_root):
+def test_device_epoch_sequence_window_mode(tmp_path):
     """Whole sequences in HBM; windows gathered on device with wrap."""
     import jax
 
     from vsr_tpu.models import DRFNet
 
-    # Build (S, T, h, w, C) sequence buffers directly from the synth tree.
+    # Build (S, T, h, w, C) sequence buffers directly from a synth tree.
     from vsr_tpu.data.datasets import AcdcVSRDataset
 
-    ds = AcdcVSRDataset(data_dir=data_root / "videos", type="valid",
+    root = make_processed_tree(tmp_path / "seqs", types=("valid",),
+                               patients_per_type=2, slices=2, frames=6,
+                               hr_size=24)
+    ds = AcdcVSRDataset(data_dir=root / "videos", type="valid",
                         downscale_factor=2, transforms=[{"name": "ToTensor"}],
                         num_frames=3)
     lrs, hrs = [], []
