@@ -28,3 +28,60 @@ def test_infer_bicubic_end_to_end(tmp_path, rng):
     assert sr.min() >= 0 and sr.max() <= 255
     gifs = list((out / "patientA").glob("*.gif"))
     assert len(gifs) == 2
+
+
+def test_infer_with_trained_checkpoint(tmp_path, rng):
+    """Checkpoint interop: trainer-saved ckpt loads into the serving CLI."""
+    from tests.synth import make_processed_tree
+    from vsr_tpu.callbacks.monitor import Monitor
+    from vsr_tpu.data.datasets import AcdcSISRDataset
+    from vsr_tpu.data.loader import Dataloader
+    from vsr_tpu.losses import L1Loss
+    from vsr_tpu.metrics import PSNR
+    from vsr_tpu.models import EDSRNet
+    from vsr_tpu.optim import Adam
+    from vsr_tpu.runner.trainers import AcdcSISRTrainer
+
+    root = make_processed_tree(tmp_path / "tree", types=("train", "valid"),
+                               patients_per_type=1, slices=1, frames=4,
+                               hr_size=24)
+    transforms = [
+        {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
+        {"name": "ToTensor"},
+    ]
+    net_kwargs = dict(in_channels=1, out_channels=1, num_resblocks=1,
+                      num_features=4, upscale_factor=2)
+    trainer = AcdcSISRTrainer(
+        train_dataloader=Dataloader(
+            AcdcSISRDataset(data_dir=root / "imgs", type="train",
+                            downscale_factor=2, transforms=transforms,
+                            augments=[{"name": "RandomCropPatch",
+                                       "kwargs": {"size": [8, 8], "ratio": 2}}]),
+            batch_size=2, shuffle=True),
+        valid_dataloader=Dataloader(
+            AcdcSISRDataset(data_dir=root / "imgs", type="valid",
+                            downscale_factor=2, transforms=transforms),
+            batch_size=1),
+        net=EDSRNet(**net_kwargs),
+        loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[PSNR()],
+        optimizer=Adam(lr=1e-3), lr_scheduler=None, logger=None,
+        monitor=Monitor(checkpoints_dir=tmp_path / "ckpt", mode="min",
+                        target="Loss", saved_freq=1, early_stop=0),
+        num_epochs=1,
+    )
+    trainer.train()
+
+    src = tmp_path / "raw" / "p"
+    src.mkdir(parents=True)
+    vol = np.round(rng.random((24, 24, 1, 2)) * 255).astype(np.float32)
+    save_nifti(vol, src / "p_4d.nii.gz")
+    import json
+
+    stats = run(_args(
+        input_dir=tmp_path / "raw", output_dir=tmp_path / "sr",
+        net="EDSRNet", net_kwargs=json.dumps(net_kwargs),
+        checkpoint=str(tmp_path / "ckpt" / "model_best.ckpt"), gif=False,
+    ))
+    assert stats["frames"] == 2
+    sr = load_nifti(tmp_path / "sr" / "p" / "p_4d_sr.nii.gz")
+    assert sr.shape == (24, 24, 1, 2)
