@@ -142,3 +142,13 @@ def test_registry_build():
     assert isinstance(psnr, PSNR)
     loss = build("loss", {"name": "CharbonnierLoss", "kwargs": {"epsilon": 1e-3}})
     assert isinstance(loss, CharbonnierLoss)
+
+
+def test_slice_ssim_matches_mean_of_2d(rng):
+    from vsr_tpu.metrics import SliceSSIM
+
+    out = (rng.random((1, 4, 16, 16, 1)) * 255).astype(np.float32)
+    tgt = np.clip(out + rng.normal(0, 10, out.shape), 0, 255).astype(np.float32)
+    ours = float(SliceSSIM()(out, tgt))
+    golden = np.mean([float(SSIM()(out[:, d], tgt[:, d])) for d in range(4)])
+    assert ours == pytest.approx(golden, abs=1e-5)

@@ -86,3 +86,34 @@ def test_vol4d_trainer(data_root, tmp_path):
     )
     trainer.train()
     assert (tmp_path / "ckpt" / "model_1.ckpt").exists()
+
+
+def test_vol4d_predictor(data_root, tmp_path):
+    from vsr_tpu.data.loader import Dataloader
+    from vsr_tpu.losses import L1Loss
+    from vsr_tpu.metrics import PSNR, SliceSSIM
+    from vsr_tpu.runner.predictors import Acdc4DSRPredictor
+
+    transforms = [
+        {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
+        {"name": "ToTensor"},
+    ]
+    ds = AcdcVolumeVSRDataset(data_dir=data_root / "videos", type="valid",
+                              downscale_factor=2, transforms=transforms,
+                              num_frames=3)
+    p = Acdc4DSRPredictor(
+        test_dataloader=Dataloader(ds, batch_size=1),
+        net=Volume4DSRNet(in_channels=1, out_channels=1, num_features=4,
+                          num_resblocks=1, upscale_factor=2),
+        loss_fns=[L1Loss()], loss_weights=[1.0],
+        metric_fns=[PSNR(), SliceSSIM()],
+        saved_dir=str(tmp_path / "v4"), exported=True,
+    )
+    log = p.predict()
+    assert np.isfinite(log["PSNR"]) and np.isfinite(log["SliceSSIM"])
+    rows = (tmp_path / "v4" / "results.csv").read_text().strip().splitlines()
+    assert len(rows) == 1 + 2 * 6  # 2 patients x 6 frames
+    from vsr_tpu.io.nifti import load_nifti
+
+    vol = load_nifti(tmp_path / "v4" / "volumes" / "patient001" / "sequence_sr.nii.gz")
+    assert vol.shape == (24, 24, 3, 6)

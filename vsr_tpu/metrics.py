@@ -129,6 +129,26 @@ class SSIM(Metric):
         return jnp.mean(ssim_map, axis=reduced)
 
 
+@register("metric")
+class SliceSSIM(Metric):
+    """2D SSIM averaged over the depth axis of (N, D, H, W, C) volumes.
+
+    The volumetric SSIM (dim=3) needs depth >= 11 for its valid 11-tap
+    window; cardiac stacks are ~10 slices, so volumetric tasks score SSIM
+    in-plane per slice and average — matching how the 2D tasks score frames.
+    """
+
+    def __init__(self, channels: int = 1, size_average: bool = True,
+                 value_range: float = 255):
+        self.ssim = SSIM(dim=2, channels=channels, size_average=size_average,
+                         value_range=value_range)
+
+    def __call__(self, output, target):
+        # vmap over depth: (N, D, H, W, C) -> per-slice (N, H, W, C).
+        per_slice = jax.vmap(self.ssim, in_axes=(1, 1))(output, target)
+        return jnp.mean(per_slice)
+
+
 class _CardiacMixin:
     """Crop output/target to the per-patient heart bbox before scoring.
 

@@ -422,3 +422,85 @@ AcdcVSRPredictor = _twin(VSRPredictor, "AcdcVSRPredictor", "acdc")
 Dsb15VSRPredictor = _twin(VSRPredictor, "Dsb15VSRPredictor", "dsb15")
 Acdc3DSRPredictor = _twin(VolumePredictor, "Acdc3DSRPredictor", "acdc")
 Dsb153DSRPredictor = _twin(VolumePredictor, "Dsb153DSRPredictor", "dsb15")
+
+
+class Volume4DPredictor(BasePredictor):
+    """4D spatio-temporal eval: whole volumetric sequences, per-frame
+    losses/metrics averaged over T (T-weighted log), SR sequence exported as
+    one 4D NIfTI per patient."""
+
+    def _example_inputs(self, batch):
+        return jnp.moveaxis(jnp.asarray(batch["lr_vols"]), 4, 2)
+
+    def predict(self) -> dict:
+        self._ensure_initialized()
+        dataset = self.test_dataloader.dataset
+        if self.exported:
+            results = [self._csv_header()]
+            vols_dir = self.saved_dir / "volumes"
+
+        log = self._init_log()
+        count = 0
+        for batch in tqdm(self.test_dataloader, total=len(self.test_dataloader), desc="testing"):
+            index = int(np.asarray(batch["index"])[0])
+            patient, _, _ = dataset.sample_name(index)
+            inputs = jnp.moveaxis(jnp.asarray(batch["lr_vols"]), 4, 2)
+            targets = jnp.moveaxis(jnp.asarray(batch["hr_vols"]), 4, 2)
+            T = inputs.shape[1]
+            outputs = self._apply(self.params, inputs)
+
+            frame_losses = np.stack(
+                [
+                    np.asarray(jax.vmap(lambda o, t, fn=fn: fn(o, t), in_axes=(1, 1))(
+                        outputs, targets))
+                    for fn in self.loss_fns
+                ],
+                axis=1,
+            ) if self.loss_fns else np.zeros((T, 0))
+            loss = float((frame_losses.mean(axis=0) * self.loss_weights).sum())
+
+            d_out, d_tgt = self._denormalize(outputs), self._denormalize(targets)
+            frame_metrics = np.stack(
+                [
+                    np.asarray(jnp.stack([
+                        self._metric_value(fn, d_out[:, t], d_tgt[:, t], patient)
+                        for t in range(T)
+                    ]))
+                    for fn in self.metric_fns
+                ],
+                axis=1,
+            ) if self.metric_fns else np.zeros((T, 0))
+
+            if self.exported:
+                for t in range(T):
+                    results.append(
+                        [f"{patient}_frame{t + 1:0>2d}"]
+                        + [float(m) for m in frame_metrics[t]]
+                        + [float(l) for l in frame_losses[t]]
+                    )
+                from vsr_tpu.io.nifti import save_nifti
+
+                # (1, T, D, H, W, 1) -> (H, W, D, T).
+                vol4d = np.asarray(d_out)[0, ..., 0].transpose(2, 3, 1, 0)
+                out_dir = vols_dir / patient
+                out_dir.mkdir(parents=True, exist_ok=True)
+                save_nifti(vol4d.astype(np.float32), out_dir / "sequence_sr.nii.gz")
+
+            w = T
+            log["Loss"] += loss * w
+            for fn, l in zip(self.loss_fns, frame_losses.mean(axis=0)):
+                log[fn.__class__.__name__] += float(l) * w
+            for fn, m in zip(self.metric_fns, frame_metrics.mean(axis=0)):
+                log[fn.__class__.__name__] += float(m) * w
+            count += w
+
+        if self.exported:
+            self._write_csv(results)
+        for key in log:
+            log[key] /= count
+        logging.info(f"Test log: {log}.")
+        return log
+
+
+Acdc4DSRPredictor = _twin(Volume4DPredictor, "Acdc4DSRPredictor", "acdc")
+Dsb154DSRPredictor = _twin(Volume4DPredictor, "Dsb154DSRPredictor", "dsb15")
