@@ -48,8 +48,39 @@ def register(category: str, name: str | None = None) -> Callable[[type], type]:
     return deco
 
 
+_populated = False
+
+
+def _ensure_populated() -> None:
+    """Import every registering module once (lazy, so ``import vsr_tpu``
+    stays light but the first registry lookup finds everything)."""
+    global _populated
+    if _populated:
+        return
+    _populated = True
+    import importlib
+
+    for mod in (
+        "vsr_tpu.data.datasets",
+        "vsr_tpu.data.transforms",
+        "vsr_tpu.data.loader",
+        "vsr_tpu.losses",
+        "vsr_tpu.metrics",
+        "vsr_tpu.models",
+        "vsr_tpu.optim",
+        "vsr_tpu.callbacks.logger",
+        "vsr_tpu.callbacks.monitor",
+        "vsr_tpu.runner.trainers",
+        "vsr_tpu.runner.predictors",
+    ):
+        importlib.import_module(mod)
+
+
 def get_class(category: str, name: str) -> type:
     bucket = _REGISTRIES.get(category, {})
+    if name not in bucket:
+        _ensure_populated()
+        bucket = _REGISTRIES.get(category, {})
     if name not in bucket:
         available = sorted(bucket)
         raise KeyError(
@@ -59,6 +90,7 @@ def get_class(category: str, name: str) -> type:
 
 
 def names(category: str) -> list[str]:
+    _ensure_populated()
     return sorted(_REGISTRIES.get(category, {}))
 
 
