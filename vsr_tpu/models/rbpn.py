@@ -68,14 +68,20 @@ class _DeconvP(nn.Module):
 
 
 class _ResnetBlock(nn.Module):
+    """conv-act-conv + skip, then act again. The reference's ResnetBlock
+    (``rbp_net.py:212-257``) instantiates ONE nn.PReLU and applies it at both
+    activation sites, so the two sites share a single alpha — mirrored here
+    by reusing the same submodule instance."""
+
     features: int
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        y = _PReLU()(Conv(self.features, 3, padding=1, dtype=self.dtype)(x))
+        act = _PReLU()
+        y = act(Conv(self.features, 3, padding=1, dtype=self.dtype)(x))
         y = Conv(self.features, 3, padding=1, dtype=self.dtype)(y)
-        return _PReLU()(y + x)
+        return act(y + x)
 
 
 class _UpBlock(nn.Module):
