@@ -6,8 +6,14 @@ one chip — for this framework (JAX, on the available accelerator) against a
 faithful PyTorch re-statement of the reference pipeline (numpy-FFT
 preprocessing + torch EDSR inference, as in
 /root/reference/src/acdc_preprocess.py + src/model/nets/edsr_net.py) run in
-the same process on CPU (the reference's GPU is not available here; the
-PyTorch baseline uses all CPU cores).
+the same process on CPU (the reference's GPU is not available here).
+
+Measured baseline configuration, stated exactly: torch runs with its default
+intra-op threading, which on this 1-core host (os.cpu_count()==1,
+torch.get_num_threads()==1) is single-threaded; the numpy float64 FFT
+preprocessing is single-threaded by construction. Re-measured 2026-08-16:
+~17.8 s preprocessing + ~14.0 s inference per 30 frames => ~0.0031-0.0037
+volumes/s depending on run-to-run variance.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

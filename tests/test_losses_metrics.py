@@ -152,3 +152,45 @@ def test_slice_ssim_matches_mean_of_2d(rng):
     ours = float(SliceSSIM()(out, tgt))
     golden = np.mean([float(SSIM()(out[:, d], tgt[:, d])) for d in range(4)])
     assert ours == pytest.approx(golden, abs=1e-5)
+
+
+def test_torch_builtin_loss_family_matches_torch(rng):
+    """Every torch.nn *Loss name a reference config could use resolves and
+    matches torch's value (reference accepts any, /root/reference/src/main.py:60-65)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tn
+
+    o = rng.random((4, 6, 6, 1)).astype(np.float32)
+    t = rng.random((4, 6, 6, 1)).astype(np.float32)
+    logits = rng.standard_normal((4, 6, 6, 1)).astype(np.float32)
+    sign = np.where(rng.random((4, 6, 6, 1)) > 0.5, 1.0, -1.0).astype(np.float32)
+    to = lambda a: torch.from_numpy(a)
+
+    cases = [
+        ("BCELoss", {}, (o, t), tn.BCELoss(), (to(o), to(t))),
+        ("BCEWithLogitsLoss", {}, (logits, t), tn.BCEWithLogitsLoss(), (to(logits), to(t))),
+        ("KLDivLoss", {}, (np.log(o + 0.1), t), tn.KLDivLoss(), (to(np.log(o + 0.1)), to(t))),
+        ("PoissonNLLLoss", {}, (logits, t), tn.PoissonNLLLoss(), (to(logits), to(t))),
+        ("SoftMarginLoss", {}, (logits, sign), tn.SoftMarginLoss(), (to(logits), to(sign))),
+        ("HingeEmbeddingLoss", {}, (logits, sign), tn.HingeEmbeddingLoss(), (to(logits), to(sign))),
+    ]
+    for name, kwargs, args, tfn, targs in cases:
+        ours = float(build("loss", {"name": name, "kwargs": kwargs})(*args))
+        with torch.no_grad():
+            golden = float(tfn(*targs))
+        np.testing.assert_allclose(ours, golden, rtol=1e-5, atol=1e-6, err_msg=name)
+
+    # Classification pair (channels-last logits, integer target).
+    cls_logits = rng.standard_normal((8, 5)).astype(np.float32)
+    labels = rng.integers(0, 5, (8,))
+    ours = float(build("loss", {"name": "CrossEntropyLoss", "kwargs": {}})(
+        cls_logits, labels))
+    with torch.no_grad():
+        golden = float(tn.CrossEntropyLoss()(to(cls_logits), torch.from_numpy(labels)))
+    np.testing.assert_allclose(ours, golden, rtol=1e-5, err_msg="CrossEntropyLoss")
+
+    logp = np.log(np.exp(cls_logits) / np.exp(cls_logits).sum(-1, keepdims=True))
+    ours = float(build("loss", {"name": "NLLLoss", "kwargs": {}})(logp, labels))
+    with torch.no_grad():
+        golden = float(tn.NLLLoss()(to(logp), torch.from_numpy(labels)))
+    np.testing.assert_allclose(ours, golden, rtol=1e-5, err_msg="NLLLoss")

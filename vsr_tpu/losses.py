@@ -1,15 +1,27 @@
 """Loss functions as pure-jnp callables.
 
 Parity with ``/root/reference/src/model/losses.py`` plus the torch.nn
-built-ins the reference resolves by name (``main.py:60-65``): configs naming
-``L1Loss`` / ``MSELoss`` / ``SmoothL1Loss`` keep working here.
+built-ins the reference resolves by name (``main.py:60-65`` accepts ANY
+``*Loss`` in ``dir(torch.nn)``): every elementwise (output, target) loss of
+that family is registered here under its torch name, so any reference config
+resolves. Losses whose signature is not (output, target) — CosineEmbedding,
+TripletMargin, MarginRanking, CTC, GaussianNLL — are not part of the
+(output, target) trainer contract (``base_trainer.py:119``) and no reference
+config can have used them; they are intentionally absent.
 
-Reference quirk preserved: ``CharbonnierLoss`` adds epsilon (not epsilon^2)
-under the sqrt (``losses.py:33``).
+Reference quirks preserved: ``CharbonnierLoss`` adds epsilon (not epsilon^2)
+under the sqrt (``losses.py:33``), and ``HuberLoss`` resolves to the
+project's own delta-split flavor (``losses.py:5-20``) — under torch 1.1
+there was no ``nn.HuberLoss``, so the reference's torch.nn-first lookup
+always fell through to the custom one.
+
+All reductions are 'mean' (the torch default and the only reduction the
+reference configs use).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from vsr_tpu.registry import register
@@ -76,3 +88,97 @@ class CharbonnierLoss(Loss):
 @register("loss")
 class FlowLoss(MSELoss):
     """Alias of MSE used as the FRVSR flow-warp loss (losses.py:37-44)."""
+
+
+@register("loss")
+class BCELoss(Loss):
+    """torch.nn.BCELoss: mean binary cross-entropy on probabilities, with
+    torch's log clamping at -100."""
+
+    def __call__(self, output, target):
+        log_o = jnp.maximum(jnp.log(output), -100.0)
+        log_1o = jnp.maximum(jnp.log1p(-output), -100.0)
+        return -jnp.mean(target * log_o + (1.0 - target) * log_1o)
+
+
+@register("loss")
+class BCEWithLogitsLoss(Loss):
+    """torch.nn.BCEWithLogitsLoss (numerically stable logits form)."""
+
+    def __call__(self, output, target):
+        return jnp.mean(
+            jnp.maximum(output, 0.0) - output * target
+            + jnp.log1p(jnp.exp(-jnp.abs(output)))
+        )
+
+
+@register("loss")
+class KLDivLoss(Loss):
+    """torch.nn.KLDivLoss(reduction='mean'): pointwise target*(log target -
+    output) averaged over ALL elements (output is log-probabilities); zero
+    contribution where target == 0, as in torch."""
+
+    def __call__(self, output, target):
+        point = target * (jnp.log(jnp.where(target > 0, target, 1.0)) - output)
+        return jnp.mean(jnp.where(target > 0, point, 0.0))
+
+
+@register("loss")
+class PoissonNLLLoss(Loss):
+    """torch.nn.PoissonNLLLoss defaults (log_input=True, full=False)."""
+
+    def __init__(self, log_input: bool = True, eps: float = 1e-8):
+        self.log_input = bool(log_input)
+        self.eps = float(eps)
+
+    def __call__(self, output, target):
+        if self.log_input:
+            return jnp.mean(jnp.exp(output) - target * output)
+        return jnp.mean(output - target * jnp.log(output + self.eps))
+
+
+@register("loss")
+class SoftMarginLoss(Loss):
+    """torch.nn.SoftMarginLoss: mean(log(1 + exp(-target*output)))."""
+
+    def __call__(self, output, target):
+        z = -target * output
+        # log1p(exp(z)) stably: max(z, 0) + log1p(exp(-|z|)).
+        return jnp.mean(jnp.maximum(z, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(z))))
+
+
+@register("loss")
+class NLLLoss(Loss):
+    """torch.nn.NLLLoss on log-probabilities. Channels-last convention:
+    output (..., C) log-probs, target (...) integer class indices."""
+
+    def __call__(self, output, target):
+        picked = jnp.take_along_axis(
+            output, target[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+        return -jnp.mean(picked)
+
+
+@register("loss")
+class CrossEntropyLoss(Loss):
+    """torch.nn.CrossEntropyLoss on logits (channels-last, integer target)."""
+
+    def __call__(self, output, target):
+        logz = jax.nn.logsumexp(output, axis=-1)
+        picked = jnp.take_along_axis(
+            output, target[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+        return jnp.mean(logz - picked)
+
+
+@register("loss")
+class HingeEmbeddingLoss(Loss):
+    """torch.nn.HingeEmbeddingLoss: x where y==1, max(0, margin-x) where
+    y==-1, mean."""
+
+    def __init__(self, margin: float = 1.0):
+        self.margin = float(margin)
+
+    def __call__(self, output, target):
+        neg = jnp.maximum(0.0, self.margin - output)
+        return jnp.mean(jnp.where(target > 0, output, neg))
