@@ -118,11 +118,14 @@ class VSRLogger(BaseLogger):
     (``acdc_vsr_logger.py:22-25``)."""
 
     def _make_grid(self, batch, outputs):
-        targets = np.asarray(batch["hr_imgs"])[:, -1]
+        hr = np.asarray(batch["hr_imgs"])
+        targets = hr[:, -1]
         outs = np.asarray(outputs)
         if isinstance(outputs, tuple):
             outs = np.asarray(outputs[0])
-        outs = outs[:, -1]
+        # Validation outputs may be T-bucket padded (trainers.py VSRTrainer);
+        # index the LAST REAL frame, matching the target.
+        outs = outs[:, hr.shape[1] - 1]
         pairs = [img for t, o in zip(targets, outs) for img in (t, o)]
         return _to_uint8_grid(pairs)
 
@@ -143,7 +146,24 @@ class VolumeLogger(BaseLogger):
         return _to_uint8_grid(pairs)
 
 
-# Registry names mirror the reference's 8 task loggers.
+class Volume4DLogger(BaseLogger):
+    """4D sequences — batch (N, T, H, W, D, C) / outputs (N, Tb, D, H, W, C)
+    (outputs may be T-bucket padded): show the mid-depth slice of the last
+    real frame."""
+
+    def _make_grid(self, batch, outputs):
+        hr = np.asarray(batch["hr_vols"])
+        outs = np.asarray(outputs)
+        t = hr.shape[1] - 1
+        d = hr.shape[4] // 2
+        targets = hr[:, t, :, :, d]
+        outs = outs[:, t, d]
+        pairs = [img for tg, o in zip(targets, outs) for img in (tg, o)]
+        return _to_uint8_grid(pairs)
+
+
+# Registry names mirror the reference's 8 task loggers (+ the volumetric
+# additions).
 for _name, _cls in [
     ("AcdcSISRLogger", SISRLogger),
     ("Dsb15SISRLogger", SISRLogger),
@@ -155,5 +175,7 @@ for _name, _cls in [
     ("Dsb15VSRLogger", VSRLogger),
     ("Acdc3DSRLogger", VolumeLogger),
     ("Dsb153DSRLogger", VolumeLogger),
+    ("Acdc4DSRLogger", Volume4DLogger),
+    ("Dsb154DSRLogger", Volume4DLogger),
 ]:
     register("logger", _name)(_cls)

@@ -27,6 +27,7 @@ import numpy as np
 from tqdm import tqdm
 
 from vsr_tpu.registry import register
+from vsr_tpu.utils.bucketing import bucket_length, pad_time_edge
 from vsr_tpu.utils.checkpoint import load_checkpoint
 from vsr_tpu.utils.normalize import denormalize
 from vsr_tpu.utils.rng import RngTree
@@ -59,8 +60,12 @@ class BasePredictor:
         saved_dir: str | None = None,
         exported: bool = False,
         device: str | None = None,
+        t_bucket: int = 16,
         **kwargs: Any,
     ):
+        # Sequence predictors pad variable-T inputs to t_bucket multiples
+        # (causal nets only — see vsr_tpu/utils/bucketing.py); <=1 disables.
+        self.t_bucket = int(t_bucket)
         if test_dataloader.batch_size != 1:
             raise ValueError(
                 f"The testing batch size should be 1. Got {test_dataloader.batch_size}."
@@ -249,17 +254,74 @@ class MISRPredictor(ImagePredictor):
 
 class VSRPredictor(BasePredictor):
     """Whole-sequence eval with per-frame losses/metrics (T, #fns) and
-    T-weighted log averaging (``acdc_vsr_predictor.py:119-170``)."""
+    T-weighted log averaging (``acdc_vsr_predictor.py:119-170``).
+
+    Variable-T sequences are end-padded to multiples of ``t_bucket`` frames
+    (the VSR nets are causal scans, so the real frames' outputs are exactly
+    the unpadded computation; see ``vsr_tpu/utils/bucketing.py``) — the
+    whole test set compiles O(#buckets) programs instead of one per distinct
+    T. All per-frame losses and non-Cardiac metrics are computed in ONE
+    jitted call per sequence (Cardiac* metrics crop to a per-patient bbox —
+    a dynamic shape — and stay on the host path)."""
 
     def _example_inputs(self, batch):
         return jnp.asarray(batch["lr_imgs"])
 
+    def _sequence_arrays(self, batch):
+        return np.asarray(batch["lr_imgs"]), np.asarray(batch["hr_imgs"])
+
+    def _ensure_frame_eval(self) -> None:
+        if getattr(self, "_frame_eval", None) is not None:
+            return
+        std_fns = [fn for fn in self.metric_fns
+                   if "Cardiac" not in fn.__class__.__name__]
+        self._std_cols = [i for i, fn in enumerate(self.metric_fns)
+                          if "Cardiac" not in fn.__class__.__name__]
+        self._cardiac_cols = [i for i in range(len(self.metric_fns))
+                              if i not in self._std_cols]
+
+        def frame_eval(outputs, targets):
+            tb = outputs.shape[1]
+            if self.loss_fns:
+                per_losses = jax.vmap(
+                    lambda o, t: jnp.stack([fn(o, t) for fn in self.loss_fns]),
+                    in_axes=(1, 1),
+                )(outputs, targets)  # (Tb, nL)
+            else:
+                per_losses = jnp.zeros((tb, 0))
+            d_out = self._denormalize(outputs)
+            d_tgt = self._denormalize(targets)
+            if std_fns:
+                per_std = jnp.stack(
+                    [jax.vmap(fn, in_axes=(1, 1))(d_out, d_tgt) for fn in std_fns],
+                    axis=1,
+                )  # (Tb, nStd)
+            else:
+                per_std = jnp.zeros((tb, 0))
+            return per_losses, per_std, d_out, d_tgt
+
+        self._frame_eval = jax.jit(frame_eval)
+
+    def _row_name(self, patient: str, sid, t: int) -> str:
+        return f"{patient}_2d_slice{sid}_frame{t + 1:0>2d}"
+
+    def _export_sequence(self, d_out: np.ndarray, patient: str, sid) -> None:
+        """d_out: denormalized (1, T, H, W, C) SR frames (real frames only)."""
+        sr_imgs = [d_out[0, t, ..., 0].astype(np.uint8)
+                   for t in range(d_out.shape[1])]
+        out_dir = self.saved_dir / "videos" / patient
+        out_dir.mkdir(parents=True, exist_ok=True)
+        _dump_video(out_dir / f"sequence{sid}.gif", sr_imgs)
+        out_dir = self.saved_dir / "imgs" / patient
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for t, sr_img in enumerate(sr_imgs):
+            _save_png(out_dir / f"slice{sid}_frame{t + 1:0>2d}.png", sr_img)
+
     def predict(self) -> dict:
         self._ensure_initialized()
+        self._ensure_frame_eval()
         dataset = self.test_dataloader.dataset
         if self.exported:
-            videos_dir = self.saved_dir / "videos"
-            imgs_dir = self.saved_dir / "imgs"
             results = [self._csv_header()]
 
         log = self._init_log()
@@ -267,67 +329,40 @@ class VSRPredictor(BasePredictor):
         for batch in tqdm(self.test_dataloader, total=len(self.test_dataloader), desc="testing"):
             index = int(np.asarray(batch["index"])[0])
             patient, sid, _ = dataset.sample_name(index)
-            inputs = jnp.asarray(batch["lr_imgs"])  # (1, T, h, w, C)
-            targets = jnp.asarray(batch["hr_imgs"])
-            T = inputs.shape[1]
+            lr, hr = self._sequence_arrays(batch)  # (1, T, ...)
+            T = lr.shape[1]
+            tb = bucket_length(T, self.t_bucket)
+            inputs = jnp.asarray(pad_time_edge(lr, tb))
+            targets = jnp.asarray(pad_time_edge(hr, tb))
             outputs = self._apply(self.params, inputs)
             if isinstance(outputs, tuple):
                 outputs = outputs[0]
 
-            # (T, #loss_fns) per-frame losses.
-            if self.loss_fns:
-                frame_losses = np.stack(
-                    [
-                        np.asarray(
-                            jax.vmap(lambda o, t, fn=fn: fn(o, t), in_axes=(1, 1))(
-                                outputs, targets
-                            )
-                        )
-                        for fn in self.loss_fns
-                    ],
-                    axis=1,
-                )
-            else:
-                frame_losses = np.zeros((T, 0))
-            loss = float((frame_losses.mean(axis=0) * self.loss_weights).sum())
+            per_losses, per_std, d_out, d_tgt = self._frame_eval(outputs, targets)
+            frame_losses = np.asarray(per_losses)[:T]  # (T, nL)
+            loss = float((frame_losses.mean(axis=0) * self.loss_weights).sum()) \
+                if self.loss_fns else 0.0
 
-            d_out, d_tgt = self._denormalize(outputs), self._denormalize(targets)
-            if self.metric_fns:
-                frame_metrics = np.stack(
-                    [
-                        np.asarray(
-                            jnp.stack(
-                                [
-                                    self._metric_value(fn, d_out[:, t], d_tgt[:, t], patient)
-                                    for t in range(T)
-                                ]
-                            )
-                        )
-                        for fn in self.metric_fns
-                    ],
-                    axis=1,
-                )
-            else:
-                frame_metrics = np.zeros((T, 0))
+            frame_metrics = np.zeros((T, len(self.metric_fns)))
+            if self._std_cols:
+                frame_metrics[:, self._std_cols] = np.asarray(per_std)[:T]
+            d_out = np.asarray(d_out)[:, :T]
+            d_tgt = np.asarray(d_tgt)[:, :T]
+            for col in self._cardiac_cols:
+                fn = self.metric_fns[col]
+                frame_metrics[:, col] = [
+                    float(self._metric_value(fn, d_out[:, t], d_tgt[:, t], patient))
+                    for t in range(T)
+                ]
 
             if self.exported:
-                base = f"{patient}_2d_slice{sid}"
                 for t in range(T):
                     results.append(
-                        [f"{base}_frame{t + 1:0>2d}"]
+                        [self._row_name(patient, sid, t)]
                         + [float(m) for m in frame_metrics[t]]
                         + [float(l) for l in frame_losses[t]]
                     )
-                sr_imgs = [
-                    np.asarray(d_out)[0, t, ..., 0].astype(np.uint8) for t in range(T)
-                ]
-                out_dir = videos_dir / patient
-                out_dir.mkdir(parents=True, exist_ok=True)
-                _dump_video(out_dir / f"sequence{sid}.gif", sr_imgs)
-                out_dir = imgs_dir / patient
-                out_dir.mkdir(parents=True, exist_ok=True)
-                for t, sr_img in enumerate(sr_imgs):
-                    _save_png(out_dir / f"slice{sid}_frame{t + 1:0>2d}.png", sr_img)
+                self._export_sequence(d_out, patient, sid)
 
             w = T
             log["Loss"] += loss * w
@@ -424,82 +459,30 @@ Acdc3DSRPredictor = _twin(VolumePredictor, "Acdc3DSRPredictor", "acdc")
 Dsb153DSRPredictor = _twin(VolumePredictor, "Dsb153DSRPredictor", "dsb15")
 
 
-class Volume4DPredictor(BasePredictor):
+class Volume4DPredictor(VSRPredictor):
     """4D spatio-temporal eval: whole volumetric sequences, per-frame
     losses/metrics averaged over T (T-weighted log), SR sequence exported as
-    one 4D NIfTI per patient."""
+    one 4D NIfTI per patient. Inherits the VSR predictor's T-bucketing and
+    single-jit frame evaluation (Volume4DSRNet is a causal scan)."""
 
     def _example_inputs(self, batch):
         return jnp.moveaxis(jnp.asarray(batch["lr_vols"]), 4, 2)
 
-    def predict(self) -> dict:
-        self._ensure_initialized()
-        dataset = self.test_dataloader.dataset
-        if self.exported:
-            results = [self._csv_header()]
-            vols_dir = self.saved_dir / "volumes"
+    def _sequence_arrays(self, batch):
+        return (np.moveaxis(np.asarray(batch["lr_vols"]), 4, 2),
+                np.moveaxis(np.asarray(batch["hr_vols"]), 4, 2))
 
-        log = self._init_log()
-        count = 0
-        for batch in tqdm(self.test_dataloader, total=len(self.test_dataloader), desc="testing"):
-            index = int(np.asarray(batch["index"])[0])
-            patient, _, _ = dataset.sample_name(index)
-            inputs = jnp.moveaxis(jnp.asarray(batch["lr_vols"]), 4, 2)
-            targets = jnp.moveaxis(jnp.asarray(batch["hr_vols"]), 4, 2)
-            T = inputs.shape[1]
-            outputs = self._apply(self.params, inputs)
+    def _row_name(self, patient, sid, t):
+        return f"{patient}_frame{t + 1:0>2d}"
 
-            frame_losses = np.stack(
-                [
-                    np.asarray(jax.vmap(lambda o, t, fn=fn: fn(o, t), in_axes=(1, 1))(
-                        outputs, targets))
-                    for fn in self.loss_fns
-                ],
-                axis=1,
-            ) if self.loss_fns else np.zeros((T, 0))
-            loss = float((frame_losses.mean(axis=0) * self.loss_weights).sum())
+    def _export_sequence(self, d_out, patient, sid):
+        from vsr_tpu.io.nifti import save_nifti
 
-            d_out, d_tgt = self._denormalize(outputs), self._denormalize(targets)
-            frame_metrics = np.stack(
-                [
-                    np.asarray(jnp.stack([
-                        self._metric_value(fn, d_out[:, t], d_tgt[:, t], patient)
-                        for t in range(T)
-                    ]))
-                    for fn in self.metric_fns
-                ],
-                axis=1,
-            ) if self.metric_fns else np.zeros((T, 0))
-
-            if self.exported:
-                for t in range(T):
-                    results.append(
-                        [f"{patient}_frame{t + 1:0>2d}"]
-                        + [float(m) for m in frame_metrics[t]]
-                        + [float(l) for l in frame_losses[t]]
-                    )
-                from vsr_tpu.io.nifti import save_nifti
-
-                # (1, T, D, H, W, 1) -> (H, W, D, T).
-                vol4d = np.asarray(d_out)[0, ..., 0].transpose(2, 3, 1, 0)
-                out_dir = vols_dir / patient
-                out_dir.mkdir(parents=True, exist_ok=True)
-                save_nifti(vol4d.astype(np.float32), out_dir / "sequence_sr.nii.gz")
-
-            w = T
-            log["Loss"] += loss * w
-            for fn, l in zip(self.loss_fns, frame_losses.mean(axis=0)):
-                log[fn.__class__.__name__] += float(l) * w
-            for fn, m in zip(self.metric_fns, frame_metrics.mean(axis=0)):
-                log[fn.__class__.__name__] += float(m) * w
-            count += w
-
-        if self.exported:
-            self._write_csv(results)
-        for key in log:
-            log[key] /= count
-        logging.info(f"Test log: {log}.")
-        return log
+        # (1, T, D, H, W, 1) -> (H, W, D, T).
+        vol4d = d_out[0, ..., 0].transpose(2, 3, 1, 0)
+        out_dir = self.saved_dir / "volumes" / patient
+        out_dir.mkdir(parents=True, exist_ok=True)
+        save_nifti(vol4d.astype(np.float32), out_dir / "sequence_sr.nii.gz")
 
 
 Acdc4DSRPredictor = _twin(Volume4DPredictor, "Acdc4DSRPredictor", "acdc")

@@ -41,6 +41,7 @@ from tqdm import tqdm
 
 from vsr_tpu.optim import Scheduler, get_learning_rate, set_learning_rate
 from vsr_tpu.registry import register
+from vsr_tpu.utils.bucketing import bucket_length, pad_time_edge, time_mask
 from vsr_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from vsr_tpu.utils.normalize import denormalize
 from vsr_tpu.utils.rng import RngTree
@@ -74,8 +75,14 @@ class BaseTrainer:
         profile_dir: str | None = None,
         prefetch_to_device: bool = True,
         grad_accumulation: int = 1,
+        t_bucket: int = 16,
         **kwargs: Any,
     ):
+        # Variable-T validation sequences are padded up to multiples of
+        # ``t_bucket`` frames with masked losses/metrics (causal sequence
+        # trainers only; see vsr_tpu/utils/bucketing.py). <=1 disables.
+        self.t_bucket = int(t_bucket)
+        self._epoch_training = True
         self.profile_dir = profile_dir
         self.prefetch_to_device = prefetch_to_device
         if grad_accumulation > 1:
@@ -236,6 +243,7 @@ class BaseTrainer:
 
     def _run_epoch(self, mode: str, epoch: int):
         training = mode == "training"
+        self._epoch_training = training
         loader = self.train_dataloader if training else self.valid_dataloader
         iterator = (
             loader.epoch(self.rng_tree, epoch) if training else loader.epoch(None, epoch)
@@ -406,51 +414,80 @@ class MISRTrainer(BaseTrainer):
 
 class VSRTrainer(BaseTrainer):
     """lr_imgs -> hr_imgs sequences; losses/metrics are means over frames and
-    log weights are batch*T (``acdc_vsr_trainer.py:54-57,74-107``)."""
+    log weights are batch*T (``acdc_vsr_trainer.py:54-57,74-107``).
+
+    Validation sequences have variable T; they are end-padded to ``t_bucket``
+    multiples (the VSR nets are causal scans, so real-frame outputs are
+    unchanged) with a frame mask excluding padding from the means — compile
+    count is O(#buckets) instead of O(#distinct T). Targets are therefore the
+    pair ``(hr_stack, frame_mask)``; training windows carry an all-ones mask.
+    """
+
+    def _seq_inputs_targets(self, lr: np.ndarray, tgt: np.ndarray):
+        t = lr.shape[1]
+        tb = t if self._epoch_training else bucket_length(t, self.t_bucket)
+        # The mask carries a batch axis (rows identical) so the DP shard_map
+        # batch-sharding specs apply uniformly to every target leaf.
+        mask = jnp.asarray(np.tile(time_mask(t, tb), (lr.shape[0], 1)))
+        return (jnp.asarray(pad_time_edge(lr, tb)),
+                jnp.asarray(pad_time_edge(tgt, tb)), mask)
 
     def _get_inputs_targets(self, batch):
-        return jnp.asarray(batch["lr_imgs"]), jnp.asarray(batch["hr_imgs"])
+        lr, hr, mask = self._seq_inputs_targets(
+            np.asarray(batch["lr_imgs"]), np.asarray(batch["hr_imgs"]))
+        return lr, (hr, mask)
 
     def _batch_weight(self, batch):
         lr = batch["lr_imgs"]
         return float(lr.shape[0] * lr.shape[1])
 
+    def _masked_frame_mean(self, fn, outputs, targets, mask):
+        """mean over REAL frames of the per-frame scalar fn. ``mask`` is
+        (N, Tb) with identical rows; frame weights come from row 0."""
+        per_frame = jax.vmap(fn, in_axes=(1, 1))(outputs, targets)  # (Tb,)
+        m = mask[0]
+        return jnp.sum(per_frame * m) / jnp.sum(m)
+
     def _compute_losses(self, outputs, targets):
-        # Frames are equally sized; the mean over per-frame elementwise-mean
-        # losses equals the loss over the stacked tensor.
-        return [fn(outputs, targets) for fn in self.loss_fns]
+        hr, mask = targets
+        return [self._masked_frame_mean(fn, outputs, hr, mask)
+                for fn in self.loss_fns]
 
     def _compute_metrics(self, outputs, targets):
-        o, t = self._denorm(outputs), self._denorm(targets)
-        # Per-frame metric then mean over frames (vmap over T axis).
-        return [jnp.mean(jax.vmap(fn, in_axes=(1, 1))(o, t)) for fn in self.metric_fns]
+        hr, mask = targets
+        o, t = self._denorm(outputs), self._denorm(hr)
+        return [self._masked_frame_mean(fn, o, t, mask)
+                for fn in self.metric_fns]
 
 
 class FRVSRTrainer(VSRTrainer):
     """FRVSR returns (sr_imgs, lr_warped): losses are
     [flow_loss(warped LR vs LR), sr_loss(SR vs HR)]; metrics on SR only
-    (``acdc_frvsr_trainer.py:75-88``)."""
+    (``acdc_frvsr_trainer.py:75-88``). Targets carry (lr, hr, mask) with the
+    same masked-bucket validation scheme as VSRTrainer."""
 
     def _get_inputs_targets(self, batch):
-        lr = jnp.asarray(batch["lr_imgs"])
-        return lr, (lr, jnp.asarray(batch["hr_imgs"]))
+        lr, hr, mask = self._seq_inputs_targets(
+            np.asarray(batch["lr_imgs"]), np.asarray(batch["hr_imgs"]))
+        return lr, (lr, hr, mask)
 
     def _compute_losses(self, outputs, targets):
         sr_imgs, lr_warped = outputs
-        lr_imgs, hr_imgs = targets
+        lr_imgs, hr_imgs, mask = targets
         losses = []
         for fn in self.loss_fns:
             if fn.__class__.__name__ == "FlowLoss":
-                losses.append(fn(lr_warped, lr_imgs))
+                losses.append(self._masked_frame_mean(fn, lr_warped, lr_imgs, mask))
             else:
-                losses.append(fn(sr_imgs, hr_imgs))
+                losses.append(self._masked_frame_mean(fn, sr_imgs, hr_imgs, mask))
         return losses
 
     def _compute_metrics(self, outputs, targets):
         sr_imgs, _ = outputs
-        _, hr_imgs = targets
+        _, hr_imgs, mask = targets
         o, t = self._denorm(sr_imgs), self._denorm(hr_imgs)
-        return [jnp.mean(jax.vmap(fn, in_axes=(1, 1))(o, t)) for fn in self.metric_fns]
+        return [self._masked_frame_mean(fn, o, t, mask)
+                for fn in self.metric_fns]
 
 
 class VolumeTrainer(BaseTrainer):
@@ -491,26 +528,21 @@ Acdc3DSRTrainer = _make_dataset_twin(VolumeTrainer, "Acdc3DSRTrainer", "acdc")
 Dsb153DSRTrainer = _make_dataset_twin(VolumeTrainer, "Dsb153DSRTrainer", "dsb15")
 
 
-class Volume4DTrainer(BaseTrainer):
+class Volume4DTrainer(VSRTrainer):
     """4D spatio-temporal SR: (N, T, H, W, D, C) batches transposed to the
     net's (N, T, D, H, W, C); per-frame metrics averaged over T; log weights
-    batch*T like the VSR trainers."""
+    batch*T like the VSR trainers. Volume4DSRNet is a causal scan, so the
+    same masked T-bucketing applies to variable-length validation sequences."""
 
     def _get_inputs_targets(self, batch):
-        lr = jnp.moveaxis(jnp.asarray(batch["lr_vols"]), 4, 2)
-        hr = jnp.moveaxis(jnp.asarray(batch["hr_vols"]), 4, 2)
-        return lr, hr
+        lr = np.moveaxis(np.asarray(batch["lr_vols"]), 4, 2)
+        hr = np.moveaxis(np.asarray(batch["hr_vols"]), 4, 2)
+        lr, hr, mask = self._seq_inputs_targets(lr, hr)
+        return lr, (hr, mask)
 
     def _batch_weight(self, batch):
         lr = batch["lr_vols"]
         return float(lr.shape[0] * lr.shape[1])
-
-    def _compute_losses(self, outputs, targets):
-        return [fn(outputs, targets) for fn in self.loss_fns]
-
-    def _compute_metrics(self, outputs, targets):
-        o, t = self._denorm(outputs), self._denorm(targets)
-        return [jnp.mean(jax.vmap(fn, in_axes=(1, 1))(o, t)) for fn in self.metric_fns]
 
 
 Acdc4DSRTrainer = _make_dataset_twin(Volume4DTrainer, "Acdc4DSRTrainer", "acdc")
