@@ -1,0 +1,150 @@
+"""Config-driven device-epoch trainers: CLI run, resume, and checkpoint
+interop with the host-loop trainers (VERDICT round-1 item #6; reference
+trainer contract ``base_trainer.py:46-97``)."""
+
+import numpy as np
+import yaml
+
+from tests.synth import make_processed_tree
+from vsr_tpu.config import load_config
+from vsr_tpu.main import run_train
+
+
+def _write_yaml(path, data):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(data, f)
+
+
+def _device_cfg(root, saved_dir, num_epochs=1, loaded_path=None,
+                trainer_name="AcdcSISRDeviceTrainer"):
+    cfg = {
+        "main": {"random_seed": "vsr", "saved_dir": str(saved_dir)},
+        "dataset": {
+            "name": "AcdcSISRDataset",
+            "kwargs": {
+                "data_dir": str(root / "imgs"),
+                "downscale_factor": 2,
+                "transforms": [
+                    {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
+                    {"name": "ToTensor"},
+                ],
+                "augments": [
+                    {"name": "RandomHorizontalFlip"},
+                    {"name": "RandomCropPatch", "kwargs": {"size": [8, 8], "ratio": 2}},
+                ],
+            },
+        },
+        "dataloader": {
+            "name": "Dataloader",
+            "kwargs": {"train_batch_size": 2, "valid_batch_size": 1,
+                       "shuffle": True, "num_workers": 0},
+        },
+        "net": {
+            "name": "EDSRNet",
+            "kwargs": {"in_channels": 1, "out_channels": 1, "num_resblocks": 1,
+                       "num_features": 4, "upscale_factor": 2},
+        },
+        "losses": [{"name": "L1Loss", "weight": 1.0}],
+        "metrics": [{"name": "PSNR"}],
+        "optimizer": {"name": "Adam", "kwargs": {"lr": 1e-3, "weight_decay": 0}},
+        "logger": {"name": "AcdcSISRLogger", "kwargs": {}},
+        "monitor": {"name": "Monitor",
+                    "kwargs": {"mode": "min", "target": "Loss",
+                               "saved_freq": 1, "early_stop": 0}},
+        "trainer": {"name": trainer_name,
+                    "kwargs": {"num_epochs": num_epochs, "patch": 8,
+                               "ratio": 2, "steps_per_epoch": 4}},
+    }
+    if trainer_name == "AcdcSISRTrainer":
+        cfg["trainer"]["kwargs"] = {"num_epochs": num_epochs}
+    if loaded_path:
+        cfg["main"]["loaded_path"] = str(loaded_path)
+    return cfg
+
+
+def test_device_trainer_via_cli_and_resume(tmp_path):
+    root = make_processed_tree(tmp_path / "data", types=("train", "valid"),
+                               patients_per_type=1, slices=1, frames=4,
+                               hr_size=16)
+    saved = tmp_path / "results"
+    cfg = _device_cfg(root, saved)
+    path = tmp_path / "device.yaml"
+    _write_yaml(path, cfg)
+    run_train(load_config(path))
+    ckpt = saved / "checkpoints" / "model_1.ckpt"
+    assert ckpt.exists()
+    assert (saved / "log" / "metrics.jsonl").exists()  # logger parity
+
+    # Resume through the CLI path (epoch continues at 2).
+    cfg2 = _device_cfg(root, saved, num_epochs=2, loaded_path=ckpt)
+    path2 = tmp_path / "device_resume.yaml"
+    _write_yaml(path2, cfg2)
+    run_train(load_config(path2))
+    assert (saved / "checkpoints" / "model_2.ckpt").exists()
+
+
+def test_device_host_checkpoint_interop(tmp_path):
+    """A device-trainer checkpoint loads into the host-loop trainer and
+    vice versa (same params/opt_state/monitor structures)."""
+    root = make_processed_tree(tmp_path / "data", types=("train", "valid"),
+                               patients_per_type=1, slices=1, frames=4,
+                               hr_size=16)
+    # Device -> host.
+    dev_saved = tmp_path / "dev"
+    _write_yaml(tmp_path / "a.yaml", _device_cfg(root, dev_saved))
+    run_train(load_config(tmp_path / "a.yaml"))
+    ckpt = dev_saved / "checkpoints" / "model_1.ckpt"
+    host_saved = tmp_path / "host"
+    _write_yaml(tmp_path / "b.yaml",
+                _device_cfg(root, host_saved, num_epochs=2, loaded_path=ckpt,
+                            trainer_name="AcdcSISRTrainer"))
+    run_train(load_config(tmp_path / "b.yaml"))
+    assert (host_saved / "checkpoints" / "model_2.ckpt").exists()
+
+    # Host -> device.
+    dev2_saved = tmp_path / "dev2"
+    _write_yaml(tmp_path / "c.yaml",
+                _device_cfg(root, dev2_saved, num_epochs=3,
+                            loaded_path=host_saved / "checkpoints" / "model_2.ckpt"))
+    run_train(load_config(tmp_path / "c.yaml"))
+    assert (dev2_saved / "checkpoints" / "model_3.ckpt").exists()
+
+
+def test_device_vsr_trainer_trains(tmp_path):
+    """The VSR device twin (windows + masked targets) runs and learns."""
+    root = make_processed_tree(tmp_path / "data", types=("train", "valid"),
+                               patients_per_type=1, slices=1, frames=6,
+                               hr_size=16)
+    from vsr_tpu.callbacks.monitor import Monitor
+    from vsr_tpu.data.datasets import AcdcVSRDataset
+    from vsr_tpu.data.loader import Dataloader
+    from vsr_tpu.losses import L1Loss
+    from vsr_tpu.metrics import PSNR
+    from vsr_tpu.models import DRFNet
+    from vsr_tpu.optim import Adam
+    from vsr_tpu.runner.device_trainer import AcdcVSRDeviceTrainer
+
+    transforms = [
+        {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
+        {"name": "ToTensor"},
+    ]
+    train_ds = AcdcVSRDataset(data_dir=root / "videos", type="train",
+                              downscale_factor=2, transforms=transforms,
+                              num_frames=3)
+    valid_ds = AcdcVSRDataset(data_dir=root / "videos", type="valid",
+                              downscale_factor=2, transforms=transforms,
+                              num_frames=3)
+    trainer = AcdcVSRDeviceTrainer(
+        train_dataloader=Dataloader(train_ds, batch_size=2, shuffle=True),
+        valid_dataloader=Dataloader(valid_ds, batch_size=1),
+        net=DRFNet(in_channels=1, out_channels=1, num_features=4, num_groups=1,
+                   upscale_factor=2),
+        loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[PSNR()],
+        optimizer=Adam(lr=1e-3), lr_scheduler=None, logger=None,
+        monitor=Monitor(checkpoints_dir=tmp_path / "ckpt", mode="min",
+                        target="Loss", saved_freq=1, early_stop=0),
+        num_epochs=2, patch=8, ratio=2, steps_per_epoch=6,
+    )
+    trainer.train()
+    assert (tmp_path / "ckpt" / "model_2.ckpt").exists()

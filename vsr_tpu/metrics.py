@@ -157,8 +157,17 @@ class _CardiacMixin:
     """
 
     def __init__(self, coordinates_path: str):
-        with open(coordinates_path, "rb") as f:
-            self.coordinates = pickle.load(f)
+        # Lazy load: constructing metrics from a config must not require the
+        # preprocessing artifacts to exist yet (they are read on first use).
+        self.coordinates_path = coordinates_path
+        self._coordinates = None
+
+    @property
+    def coordinates(self) -> dict:
+        if self._coordinates is None:
+            with open(self.coordinates_path, "rb") as f:
+                self._coordinates = pickle.load(f)
+        return self._coordinates
 
     def _crop(self, output, target, name: str):
         h0, hn, w0, wn = self.coordinates[name]

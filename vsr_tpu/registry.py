@@ -71,6 +71,7 @@ def _ensure_populated() -> None:
         "vsr_tpu.callbacks.logger",
         "vsr_tpu.callbacks.monitor",
         "vsr_tpu.runner.trainers",
+        "vsr_tpu.runner.device_trainer",
         "vsr_tpu.runner.predictors",
     ):
         importlib.import_module(mod)

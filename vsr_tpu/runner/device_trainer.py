@@ -215,3 +215,178 @@ class DeviceEpochTrainer:
         log = {k: float(v) for k, v in scalars.items()}
         logging.info(f"Device epoch {self.epoch}: { {k: round(v, 5) for k, v in log.items()} }")
         return log
+
+
+def stack_dataset_raw(dataset, limit: int | None = None):
+    """Stack a dataset with its augments and normalization BYPASSED.
+
+    Device trainers re-apply augmentation (paired crop + flips) and
+    normalization on device from explicit PRNG keys, so buffers must hold the
+    raw [0, 255] frames. The dataset's transforms are swapped for a bare
+    ToTensor and its augments for identity during stacking, then restored.
+    """
+    from vsr_tpu.data.transforms import compose
+
+    old_t, old_a = dataset.transforms, dataset.augments
+    dataset.transforms = compose(None)  # ToTensor only
+    dataset.augments = lambda *imgs, rng=None: imgs
+    try:
+        return stack_dataset(dataset, limit)
+    finally:
+        dataset.transforms, dataset.augments = old_t, old_a
+
+
+class DeviceTrainerMixin:
+    """Config-driven device-epoch training with full BaseTrainer parity.
+
+    Mixed into the task trainers, this replaces ONLY the training epoch with
+    the single-program device epoch (the whole train split HBM-resident, one
+    ``lax.scan`` of fused sample->augment->step per epoch). Validation,
+    checkpointing, Monitor best/early-stop, logger, lr scheduling, and
+    RNG-in-checkpoint resume are all inherited from BaseTrainer — the
+    reference trainer contract (``base_trainer.py:46-97``) holds unchanged,
+    and checkpoints interoperate with the host-loop trainers (same params /
+    opt_state / monitor structures).
+
+    Config kwargs (trainer.kwargs): ``patch`` (LR crop size), ``ratio``
+    (upscale factor for the paired HR crop), optional ``steps_per_epoch``
+    (default: dataset_size // batch_size), optional ``buffer_limit`` (cap on
+    HBM-resident samples). The dataset config's ``augments`` list is ignored
+    in the training epoch: the device path always applies the standard
+    HFlip + VFlip + RandomCropPatch pipeline from explicit PRNG keys;
+    normalization uses the canonical dataset stats (utils/normalize.py),
+    which are the values every reference config carries.
+    """
+
+    def __init__(self, *args, patch: int, ratio: int,
+                 steps_per_epoch: int | None = None,
+                 buffer_limit: int | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.patch = int(patch)
+        self.ratio = int(ratio)
+        self._steps_cfg = steps_per_epoch
+        self.buffer_limit = buffer_limit
+        self.lr_buf = None
+        self._device_epoch = None
+
+    # ------------------------------------------------------------- buffers
+    def _ensure_buffers(self) -> None:
+        if self.lr_buf is not None:
+            return
+        lr, hr = stack_dataset_raw(self.train_dataloader.dataset,
+                                   limit=self.buffer_limit)
+        self.lr_buf = jax.device_put(jnp.asarray(lr, jnp.float32))
+        self.hr_buf = jax.device_put(jnp.asarray(hr, jnp.float32))
+        self.m = lr.shape[0]
+        self.batch_size = self.train_dataloader.batch_size
+        self.steps_per_epoch = self._steps_cfg or max(1, self.m // self.batch_size)
+        self._device_epoch = jax.jit(
+            self._device_epoch_fn, donate_argnames=("params", "opt_state"))
+
+    def _example_inputs(self):
+        self._ensure_buffers()
+        shape = self.lr_buf.shape
+        spatial = (self.patch, self.patch)
+        if self.lr_buf.ndim == 5:  # (M, T, h, w, C) windows
+            return jnp.zeros((self.batch_size, shape[1], *spatial, shape[-1]))
+        return jnp.zeros((self.batch_size, *spatial, shape[-1]))
+
+    # ------------------------------------------------------------- sampling
+    def _pack_device_targets(self, hr):
+        """Hook matching the task trainer's target structure."""
+        return hr
+
+    def _sample_batch(self, key):
+        """Random paired crops + flips from the HBM buffers (all on device)."""
+        from vsr_tpu.utils.normalize import DATASET_STATS
+
+        k_idx, k_y, k_x, k_hf, k_vf = jax.random.split(key, 5)
+        idx = jax.random.randint(k_idx, (self.batch_size,), 0, self.m)
+        lr = self.lr_buf[idx]
+        hr = self.hr_buf[idx]
+
+        h, w = lr.shape[-3], lr.shape[-2]
+        p = self.patch
+        y0 = jax.random.randint(k_y, (self.batch_size,), 0, h - p + 1)
+        x0 = jax.random.randint(k_x, (self.batch_size,), 0, w - p + 1)
+
+        def crop(img, y, x, size):
+            if img.ndim == 4:  # (T, h, w, C)
+                return jax.lax.dynamic_slice(
+                    img, (0, y, x, 0), (img.shape[0], size, size, img.shape[-1]))
+            return jax.lax.dynamic_slice(img, (y, x, 0), (size, size, img.shape[-1]))
+
+        lr_c = jax.vmap(lambda im, y, x: crop(im, y, x, p))(lr, y0, x0)
+        hr_c = jax.vmap(lambda im, y, x: crop(im, y, x, p * self.ratio))(
+            hr, y0 * self.ratio, x0 * self.ratio)
+
+        hf = jax.random.bernoulli(k_hf, 0.5, (self.batch_size,))
+        vf = jax.random.bernoulli(k_vf, 0.5, (self.batch_size,))
+
+        def flip(img, do_h, do_v):
+            img = jnp.where(do_h, jnp.flip(img, axis=-2), img)
+            img = jnp.where(do_v, jnp.flip(img, axis=-3), img)
+            return img
+
+        lr_c = jax.vmap(flip)(lr_c, hf, vf)
+        hr_c = jax.vmap(flip)(hr_c, hf, vf)
+
+        mean, std = DATASET_STATS[self.dataset_stats]
+        norm = lambda x: (x - mean) / (std + 1e-10)
+        return norm(lr_c), norm(hr_c)
+
+    # --------------------------------------------------------------- epoch
+    def _device_epoch_fn(self, params, opt_state, key):
+        def body(carry, step_key):
+            params, opt_state = carry
+            inputs, hr = self._sample_batch(step_key)
+            targets = self._pack_device_targets(hr)
+            params, opt_state, scalars, _ = self._step(
+                params, opt_state, inputs, targets, training=True)
+            return (params, opt_state), scalars
+
+        keys = jax.random.split(key, self.steps_per_epoch)
+        (params, opt_state), scalars = jax.lax.scan(body, (params, opt_state), keys)
+        return params, opt_state, jax.tree_util.tree_map(jnp.mean, scalars)
+
+    def _run_epoch(self, mode: str, epoch: int):
+        if mode != "training":
+            return super()._run_epoch(mode, epoch)
+        self._epoch_training = True
+        self._ensure_buffers()
+        key = self.rng_tree.jax_key("device-epoch", epoch)
+        self.params, self.opt_state, scalars = self._device_epoch(
+            self.params, self.opt_state, key)
+        log = {k: float(v) for k, v in scalars.items()}
+        return log, None, None
+
+
+def _register_device_trainers() -> None:
+    """Device-epoch twins of the patch-training task trainers."""
+    from vsr_tpu.registry import register
+    from vsr_tpu.runner.trainers import MISRTrainer, SISRTrainer, VSRTrainer
+
+    class _DeviceVSRBase(DeviceTrainerMixin, VSRTrainer):
+        def _pack_device_targets(self, hr):
+            # (hr, frame mask) — all frames real in fixed training windows.
+            return hr, jnp.ones((hr.shape[0], hr.shape[1]), hr.dtype)
+
+    for name, base, stats in [
+        ("AcdcSISRDeviceTrainer", SISRTrainer, "acdc"),
+        ("Dsb15SISRDeviceTrainer", SISRTrainer, "dsb15"),
+        ("AcdcMISRDeviceTrainer", MISRTrainer, "acdc"),
+        ("Dsb15MISRDeviceTrainer", MISRTrainer, "dsb15"),
+    ]:
+        cls = type(name, (DeviceTrainerMixin, base), {"dataset_stats": stats})
+        register("trainer", name)(cls)
+        globals()[name] = cls
+    for name, stats in [
+        ("AcdcVSRDeviceTrainer", "acdc"),
+        ("Dsb15VSRDeviceTrainer", "dsb15"),
+    ]:
+        cls = type(name, (_DeviceVSRBase,), {"dataset_stats": stats})
+        register("trainer", name)(cls)
+        globals()[name] = cls
+
+
+_register_device_trainers()
