@@ -123,28 +123,48 @@ class BaseTrainer:
                                    donate_argnames=("params", "opt_state"))
         self._eval_step = jax.jit(self._step, static_argnames=("training",))
 
-        # Optional multi-chip data parallelism: shard_map over a device mesh
-        # with pmean gradient allreduce (ICI collective on TPU).
+        # Optional multi-chip parallelism over a device mesh:
+        # - pure data parallel ({'data': n}): shard_map with explicit pmean
+        #   gradient allreduce (ICI collective on TPU);
+        # - data x spatial ({'data': n, 'spatial': m}): GSPMD — the step is
+        #   jitted with the batch sharded over 'data' and the H axis of every
+        #   frame/volume sharded over 'spatial' (per-task specs from
+        #   _partition_specs); XLA inserts the conv halo exchanges and global
+        #   reductions, so the math matches the unsharded step.
         self.mesh = None
         self._dp_train_step = self._dp_eval_step = None
         if mesh_axes:
-            from vsr_tpu.parallel.data_parallel import make_dp_step
             from vsr_tpu.parallel.mesh import make_mesh
 
             self.mesh = make_mesh(dict(mesh_axes))
-            self._dp_train_step = make_dp_step(
-                lambda p, o, i, t, axis_name: self._step(
-                    p, o, i, t, training=True, axis_name=axis_name
-                ),
-                self.mesh,
-            )
-            self._dp_eval_step = make_dp_step(
-                lambda p, o, i, t, axis_name: self._step(
-                    p, o, i, t, training=False, axis_name=axis_name
-                ),
-                self.mesh,
-                donate=False,
-            )
+            if "spatial" in self.mesh.shape:
+                from vsr_tpu.parallel.gspmd import make_gspmd_step
+
+                in_spec, tgt_spec = self._partition_specs()
+                self._dp_train_step = make_gspmd_step(
+                    lambda p, o, i, t: self._step(p, o, i, t, training=True),
+                    self.mesh, in_spec, tgt_spec,
+                )
+                self._dp_eval_step = make_gspmd_step(
+                    lambda p, o, i, t: self._step(p, o, i, t, training=False),
+                    self.mesh, in_spec, tgt_spec, donate=False,
+                )
+            else:
+                from vsr_tpu.parallel.data_parallel import make_dp_step
+
+                self._dp_train_step = make_dp_step(
+                    lambda p, o, i, t, axis_name: self._step(
+                        p, o, i, t, training=True, axis_name=axis_name
+                    ),
+                    self.mesh,
+                )
+                self._dp_eval_step = make_dp_step(
+                    lambda p, o, i, t, axis_name: self._step(
+                        p, o, i, t, training=False, axis_name=axis_name
+                    ),
+                    self.mesh,
+                    donate=False,
+                )
 
     # ---------------------------------------------------------------- hooks
 
@@ -172,6 +192,14 @@ class BaseTrainer:
 
     def _batch_weight(self, batch: dict) -> float:
         return float(batch["index"].shape[0])
+
+    def _partition_specs(self):
+        """(input_spec, target_spec) PartitionSpec trees for a data x spatial
+        mesh: batch over 'data', the H axis over 'spatial' (overridden per
+        task layout). Used only when mesh_axes includes 'spatial'."""
+        from jax.sharding import PartitionSpec as P
+
+        return P("data"), P("data")
 
     def _denorm(self, x):
         return denormalize(x, self.dataset_stats)
@@ -375,6 +403,12 @@ class SISRTrainer(BaseTrainer):
     def _get_inputs_targets(self, batch):
         return jnp.asarray(batch["lr_img"]), jnp.asarray(batch["hr_img"])
 
+    def _partition_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        # (N, H, W, C) both sides.
+        return P("data", "spatial"), P("data", "spatial")
+
     def _compute_losses(self, outputs, targets):
         return [fn(outputs, targets) for fn in self.loss_fns]
 
@@ -403,6 +437,12 @@ class MISRTrainer(BaseTrainer):
 
     def _get_inputs_targets(self, batch):
         return jnp.asarray(batch["lr_imgs"]), jnp.asarray(batch["hr_img"])
+
+    def _partition_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        # inputs (N, T, h, w, C); target center frame (N, H, W, C).
+        return P("data", None, "spatial"), P("data", "spatial")
 
     def _compute_losses(self, outputs, targets):
         return [fn(outputs, targets) for fn in self.loss_fns]
@@ -441,6 +481,13 @@ class VSRTrainer(BaseTrainer):
         lr = batch["lr_imgs"]
         return float(lr.shape[0] * lr.shape[1])
 
+    def _partition_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        # inputs/targets (N, T, h/H, w/W, C); frame mask (N, Tb).
+        seq = P("data", None, "spatial")
+        return seq, (seq, P("data"))
+
     def _masked_frame_mean(self, fn, outputs, targets, mask):
         """mean over REAL frames of the per-frame scalar fn. ``mask`` is
         (N, Tb) with identical rows; frame weights come from row 0."""
@@ -471,6 +518,12 @@ class FRVSRTrainer(VSRTrainer):
             np.asarray(batch["lr_imgs"]), np.asarray(batch["hr_imgs"]))
         return lr, (lr, hr, mask)
 
+    def _partition_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        seq = P("data", None, "spatial")
+        return seq, (seq, seq, P("data"))
+
     def _compute_losses(self, outputs, targets):
         sr_imgs, lr_warped = outputs
         lr_imgs, hr_imgs, mask = targets
@@ -499,6 +552,13 @@ class VolumeTrainer(BaseTrainer):
         lr = jnp.moveaxis(jnp.asarray(batch["lr_vol"]), 3, 1)
         hr = jnp.moveaxis(jnp.asarray(batch["hr_vol"]), 3, 1)
         return lr, hr
+
+    def _partition_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        # (N, D, H, W, C): shard H over 'spatial'.
+        vol = P("data", None, "spatial")
+        return vol, vol
 
     def _compute_losses(self, outputs, targets):
         return [fn(outputs, targets) for fn in self.loss_fns]
@@ -539,6 +599,13 @@ class Volume4DTrainer(VSRTrainer):
         hr = np.moveaxis(np.asarray(batch["hr_vols"]), 4, 2)
         lr, hr, mask = self._seq_inputs_targets(lr, hr)
         return lr, (hr, mask)
+
+    def _partition_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        # (N, T, D, H, W, C): shard H over 'spatial'.
+        seq = P("data", None, None, "spatial")
+        return seq, (seq, P("data"))
 
     def _batch_weight(self, batch):
         lr = batch["lr_vols"]
