@@ -1,12 +1,10 @@
 """End-to-end benchmark: SR volumes/sec/chip (preprocess + inference).
 
-Measures the north-star metric from BASELINE.json — cardiac-MRI volumes
-pushed through k-space LR simulation + EDSR x2 super-resolution per second on
-one chip — for this framework (JAX, on the available accelerator) against a
-faithful PyTorch re-statement of the reference pipeline (numpy-FFT
-preprocessing + torch EDSR inference, as in
-/root/reference/src/acdc_preprocess.py + src/model/nets/edsr_net.py) run in
-the same process on CPU (the reference's GPU is not available here).
+Primary metric (the ONE stdout JSON line, same series as round 1): cardiac-
+MRI volumes through k-space x2 LR simulation + EDSR-16/64 x2 SR per second
+on one chip, vs a faithful torch re-statement of the reference pipeline
+(numpy-FFT preprocessing + torch EDSR) in the same process on CPU (the
+reference's GPU is not available here).
 
 Measured baseline configuration, stated exactly: torch runs with its default
 intra-op threading, which on this 1-core host (os.cpu_count()==1,
@@ -15,12 +13,18 @@ preprocessing is single-threaded by construction. Re-measured 2026-08-16:
 ~17.8 s preprocessing + ~14.0 s inference per 30 frames => ~0.0031-0.0037
 volumes/s depending on run-to-run variance.
 
+Secondary figures (stderr + bench_details.json): the FLAGSHIP DRFNet
+end-to-end serving rate, the int8-weight serving variant, the device-trainer
+training step rate, and an MFU estimate from XLA's own cost analysis
+(compiled.cost_analysis() FLOPs / elapsed / chip peak).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -30,7 +34,8 @@ D, T, H, W = 10, 30, 192, 192
 FACTOR = 2
 FEATURES, BLOCKS = 64, 16
 JAX_VOLUMES = 8
-TORCH_VOLUMES = 1
+# Assumed chip peak for the MFU estimate (bf16); override via env PEAK_TFLOPS.
+PEAK_TFLOPS = 197.0
 
 
 def _make_volume(seed: int) -> np.ndarray:
@@ -38,66 +43,168 @@ def _make_volume(seed: int) -> np.ndarray:
     return np.round(rng.random((D, T, H, W)) * 255).astype(np.float32)
 
 
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _flops_of(jitted, *args) -> float:
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
 # --------------------------------------------------------------------- jax
-def bench_jax() -> float:
+def _timed_pipeline(pipeline, buffers, n_volumes: int):
+    import jax
+
+    jax.block_until_ready(pipeline(buffers[0]))  # warm/compile
+    start = time.perf_counter()
+    outs = [pipeline(v) for v in buffers]
+    jax.block_until_ready(outs)
+    return n_volumes / (time.perf_counter() - start)
+
+
+def bench_jax() -> dict:
     import jax
 
     # Persistent compile cache: the axon remote compile takes ~2 min per
     # shape; cache hits make repeat bench runs start in seconds.
-    jax.config.update("jax_compilation_cache_dir", f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}")
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import os
+
     import jax.numpy as jnp
 
-    from vsr_tpu.models import EDSRNet
+    from vsr_tpu.models import DRFNet, EDSRNet
     from vsr_tpu.preprocess.kspace import kspace_downscale_jax
+    from vsr_tpu.quantize import make_quantized_apply, quantize_params
 
-    # bf16 compute (fp32 params): 1.7x conv throughput on the MXU; the
-    # denormalize round-trip keeps outputs within the uint8 rounding
-    # contract.
-    net = EDSRNet(in_channels=1, out_channels=1, num_resblocks=BLOCKS,
-                  num_features=FEATURES, upscale_factor=FACTOR,
-                  dtype=jnp.bfloat16)
-    params = net.init(jax.random.PRNGKey(0),
-                      jnp.zeros((1, H // FACTOR, W // FACTOR, 1)))
+    peak = float(os.environ.get("PEAK_TFLOPS", PEAK_TFLOPS))
+    results: dict = {}
 
-    @jax.jit
-    def pipeline(hr_frames):
-        """(N, H, W) uint-valued floats -> (N, H, W) uint8 SR frames, fused
-        preprocess + inference on device."""
-        lr = kspace_downscale_jax(hr_frames, FACTOR)  # (N, h, w)
-        lr = (lr - 54.089) / (48.084 + 1e-10)
-        sr = net.apply(params, lr[..., None]).astype(jnp.float32)
-        out = jnp.clip(jnp.round(sr * 48.084 + 54.089), 0, 255)[..., 0]
-        return out.astype(jnp.uint8)
+    mean, std = 54.089, 48.084
+
+    def make_pipeline(apply_fn):
+        @jax.jit
+        def pipeline(hr_frames):
+            lr = kspace_downscale_jax(hr_frames, FACTOR)
+            z = (lr - mean) / (std + 1e-10)
+            sr = apply_fn(z[..., None]).astype(jnp.float32)
+            if sr.ndim == 5:
+                n, t = sr.shape[:2]
+                sr = sr.reshape(n * t, *sr.shape[2:])
+            out = jnp.clip(jnp.round(sr * std + mean), 0, 255)[..., 0]
+            return out.astype(jnp.uint8)
+
+        return pipeline
 
     # Distinct volumes staged in HBM up front. The axon dev tunnel moves
-    # host<->device data at ~10-75 MB/s (a development artifact, three
-    # orders of magnitude below real TPU host links), so the timed section
-    # measures the on-device pipeline — upload/readback are excluded and
-    # reported separately by unit annotation. The torch baseline likewise
-    # has no device transfers (CPU end to end).
-    # Two volumes per device call (600 frames) — the larger batch lifts MXU
-    # utilization ~12% over single-volume calls.
+    # host<->device data at ~10-75 MB/s (a development artifact, orders of
+    # magnitude below real TPU host links), so the timed sections measure the
+    # on-device pipeline; the torch baseline likewise has no transfers.
+    # Two volumes per call (600 frames) lifts MXU utilization ~12%.
     assert JAX_VOLUMES % 2 == 0
     pairs = [
-        jax.device_put(
-            np.concatenate(
-                [_make_volume(2 * i).reshape(D * T, H, W),
-                 _make_volume(2 * i + 1).reshape(D * T, H, W)]
-            )
-        )
+        jax.device_put(np.concatenate(
+            [_make_volume(2 * i).reshape(D * T, H, W),
+             _make_volume(2 * i + 1).reshape(D * T, H, W)]))
         for i in range(JAX_VOLUMES // 2)
     ]
     jax.block_until_ready(pairs)
-    # Warm up / compile (single shape only — compiles are expensive here).
-    jax.block_until_ready(pipeline(pairs[0]))
 
-    start = time.perf_counter()
-    outs = [pipeline(v) for v in pairs]
-    jax.block_until_ready(outs)
-    elapsed = time.perf_counter() - start
-    assert outs[0].shape == (2 * D * T, H, W)
-    return JAX_VOLUMES / elapsed
+    # ---- EDSR-16/64 bf16 (the primary series) ----------------------------
+    edsr = EDSRNet(in_channels=1, out_channels=1, num_resblocks=BLOCKS,
+                   num_features=FEATURES, upscale_factor=FACTOR,
+                   dtype=jnp.bfloat16)
+    eparams = edsr.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, H // FACTOR, W // FACTOR, 1)))
+    pipe = make_pipeline(lambda z: edsr.apply(eparams, z))
+    vps = _timed_pipeline(pipe, pairs, JAX_VOLUMES)
+    flops = _flops_of(pipe, pairs[0])  # per 2-volume call
+    tflops = flops * (JAX_VOLUMES / 2) * vps / JAX_VOLUMES / 1e12
+    results["edsr_bf16"] = {
+        "volumes_per_sec": round(vps, 3),
+        "tflops": round(tflops, 1),
+        "mfu_at_peak%d" % int(peak): round(tflops / peak, 3),
+    }
+    _log(f"EDSR bf16: {vps:.2f} vol/s, {tflops:.1f} TFLOP/s "
+         f"(~{100 * tflops / peak:.0f}% of {peak:.0f} TFLOPS peak)")
+
+    # ---- EDSR int8 weights ------------------------------------------------
+    qparams, scales = quantize_params(eparams)
+    qpipe = make_pipeline(
+        make_quantized_apply(edsr, qparams, scales, compute_dtype=jnp.bfloat16))
+    vps_q = _timed_pipeline(qpipe, pairs, JAX_VOLUMES)
+    results["edsr_int8w"] = {"volumes_per_sec": round(vps_q, 3)}
+    _log(f"EDSR int8-weights: {vps_q:.2f} vol/s")
+
+    # ---- Flagship DRFNet serving ------------------------------------------
+    # Whole sequences: each volume = D slice-sequences of T frames.
+    drf = DRFNet(in_channels=1, out_channels=1, num_features=FEATURES,
+                 num_groups=6, upscale_factor=FACTOR, dtype=jnp.bfloat16)
+    dparams = drf.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 2, H // FACTOR, W // FACTOR, 1)))
+
+    @jax.jit
+    def drf_pipeline(hr_frames):
+        lr = kspace_downscale_jax(hr_frames, FACTOR)  # (D*T, h, w)
+        z = (lr - mean) / (std + 1e-10)
+        z = z.reshape(D, T, H // FACTOR, W // FACTOR, 1)
+        sr = drf.apply(dparams, z).astype(jnp.float32)
+        out = jnp.clip(jnp.round(sr * std + mean), 0, 255)[..., 0]
+        return out.astype(jnp.uint8)
+
+    singles = [jax.device_put(_make_volume(i).reshape(D * T, H, W))
+               for i in range(4)]
+    jax.block_until_ready(singles)
+    vps_drf = _timed_pipeline(drf_pipeline, singles, 4)
+    dflops = _flops_of(drf_pipeline, singles[0])
+    dtflops = dflops * vps_drf / 1e12
+    results["drf_flagship_bf16"] = {
+        "volumes_per_sec": round(vps_drf, 3),
+        "tflops": round(dtflops, 1),
+        "mfu_at_peak%d" % int(peak): round(dtflops / peak, 3),
+    }
+    _log(f"DRFNet flagship: {vps_drf:.2f} vol/s, {dtflops:.1f} TFLOP/s "
+         f"(~{100 * dtflops / peak:.0f}% of peak)")
+
+    # ---- Training step rate (device-epoch trainer, EDSR-16/64) -----------
+    import optax
+
+    from vsr_tpu.runner.device_trainer import DeviceEpochTrainer
+
+    rng = np.random.default_rng(0)
+    hrbuf = np.round(rng.random((256, 64, 64, 1)) * 255).astype(np.float32)
+    lrbuf = hrbuf[:, ::2, ::2]
+    trainer = DeviceEpochTrainer(
+        net=EDSRNet(in_channels=1, out_channels=1, num_resblocks=BLOCKS,
+                    num_features=FEATURES, upscale_factor=FACTOR,
+                    dtype=jnp.bfloat16),
+        loss_fns=[__import__("vsr_tpu.losses", fromlist=["L1Loss"]).L1Loss()],
+        loss_weights=[1.0], metric_fns=[], optimizer=optax.adam(1e-4),
+        lr_data=lrbuf, hr_data=hrbuf, batch_size=16, patch=32, ratio=2,
+        steps_per_epoch=200,
+    )
+    trainer.train_epoch()  # warm/compile
+    t0 = time.perf_counter()
+    n_epochs = 5
+    for _ in range(n_epochs):
+        trainer.train_epoch()
+    dt = time.perf_counter() - t0
+    steps_s = n_epochs * 200 / dt
+    results["train_edsr_device"] = {
+        "steps_per_sec": round(steps_s, 1),
+        "samples_per_sec": round(steps_s * 16, 1),
+    }
+    _log(f"EDSR device training: {steps_s:.0f} steps/s "
+         f"({steps_s * 16:.0f} samples/s, batch 16 of 32->64 patches)")
+
+    return results
 
 
 # ------------------------------------------------------------------- torch
@@ -135,7 +242,7 @@ def bench_torch() -> float:
 
     net = TorchEDSR().eval()
 
-    # The reference path needs ~8 minutes per volume here (0.5 s/frame of
+    # The reference path needs ~5-8 minutes per volume here (~0.6 s/frame of
     # float64 FFT preprocessing + single-thread CPU EDSR); measure one
     # 30-frame slice and scale by frames -- throughput is linear in frames.
     frames = _make_volume(0).reshape(D * T, H, W)[:T]
@@ -154,18 +261,24 @@ def bench_torch() -> float:
 
 
 def main() -> None:
-    jax_vps = bench_jax()
+    results = bench_jax()
     try:
         torch_vps = bench_torch()
     except Exception:
         # Keep the primary metric measurable even if the baseline
-        # environment breaks; 0.00374 vol/s was the measured torch-CPU
+        # environment breaks; 0.0037 vol/s was the measured torch-CPU
         # baseline (BENCH.md).
-        torch_vps = 0.00374
+        torch_vps = 0.0037
+    results["torch_cpu_baseline"] = {"volumes_per_sec": round(torch_vps, 5)}
+    with open("bench_details.json", "w") as f:
+        json.dump(results, f, indent=1)
+    jax_vps = results["edsr_bf16"]["volumes_per_sec"]
     print(json.dumps({
         "metric": "sr_volumes_per_sec_per_chip",
         "value": round(jax_vps, 4),
-        "unit": "volumes/s (D10xT30x192^2, kspace x2 + EDSR x2, HBM-resident; dev-tunnel transfers excluded)",
+        "unit": ("volumes/s (D10xT30x192^2, kspace x2 + EDSR x2 bf16, "
+                 "HBM-resident; dev-tunnel transfers excluded; see "
+                 "bench_details.json for flagship/int8/training figures)"),
         "vs_baseline": round(jax_vps / torch_vps, 2),
     }))
 

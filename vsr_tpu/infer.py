@@ -31,9 +31,14 @@ from vsr_tpu.registry import build
 from vsr_tpu.utils.normalize import DATASET_STATS
 
 
-def make_pipeline(net, params, factor: int, dataset: str):
+def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False):
     """One jitted device program: HR float frames (N, H, W) ->
-    (lr_frames, sr_frames) uint8-valued float32."""
+    (lr_frames, sr_frames) uint8-valued float32.
+
+    ``int8=True``: kernels are held in HBM as int8 with per-channel scales
+    and dequantized inside the program (vsr_tpu/quantize.py) — 4x smaller
+    weight footprint/traffic; accuracy gated at <0.05 dB PSNR delta in
+    tests/test_quantize.py."""
     import jax
     import jax.numpy as jnp
 
@@ -41,11 +46,19 @@ def make_pipeline(net, params, factor: int, dataset: str):
 
     mean, std = DATASET_STATS[dataset]
 
+    if int8:
+        from vsr_tpu.quantize import make_quantized_apply, quantize_params
+
+        qparams, scales = quantize_params(params)
+        net_apply = make_quantized_apply(net, qparams, scales)
+    else:
+        net_apply = lambda z: net.apply(params, z)
+
     @jax.jit
     def pipeline(hr_frames):
         lr = kspace_downscale_jax(hr_frames, factor)
         z = (lr - mean) / (std + 1e-10)
-        sr = net.apply(params, z[..., None])
+        sr = net_apply(z[..., None])
         if isinstance(sr, tuple):
             sr = sr[0]
         if sr.ndim == 5:  # sequence nets
@@ -101,7 +114,9 @@ def run(args) -> dict:
 
         key = (h, w)
         if key not in pipelines:
-            pipelines[key] = make_pipeline(net, params, args.factor, args.dataset)
+            pipelines[key] = make_pipeline(net, params, args.factor,
+                                           args.dataset,
+                                           int8=getattr(args, "int8", False))
         lr, sr = pipelines[key](jax.device_put(frames))
         sr_np = np.asarray(sr).astype(np.float32)
         n_frames += frames.shape[0]
@@ -144,6 +159,8 @@ def main() -> None:
     parser.add_argument("--dataset", choices=["acdc", "dsb15"], default="acdc")
     parser.add_argument("--gif", action="store_true")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 weight quantization for serving")
     run(parser.parse_args())
 
 

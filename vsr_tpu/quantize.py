@@ -1,0 +1,94 @@
+"""int8 weight quantization for the serving path.
+
+Kernels are quantized to int8 with per-output-channel symmetric scales
+(kernel leaves: flax ``kernel`` / DCN ``weight``; biases, norm parameters and
+PReLU alphas stay fp32 — they are tiny and precision-critical). At inference
+the int8 weights live in HBM (4x smaller than fp32, 2x smaller than bf16)
+and are dequantized inside the jitted program right before each conv, so the
+weight traffic from HBM is int8 while the MXU computes in ``compute_dtype``
+(bf16 by default).
+
+This has no reference counterpart (the reference serves fp32 torch); it is
+the TPU-native serving lever from the round-1 plan. Accuracy is gated in
+tests: SR PSNR delta vs the unquantized net < 0.05 dB.
+
+Usage:
+    qparams, scales = quantize_params(params)
+    apply_fn = make_quantized_apply(net, qparams, scales)
+    sr = jax.jit(apply_fn)(x)
+
+or end-to-end via ``python -m vsr_tpu.infer ... --int8``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_KERNEL_NAMES = ("kernel", "weight")
+
+
+def _is_kernel(path, leaf) -> bool:
+    name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+    return name in _KERNEL_NAMES and np.ndim(leaf) >= 2
+
+
+def quantize_params(params) -> tuple[Any, Any]:
+    """Split a params tree into (qparams, scales).
+
+    Kernel leaves become int8 with a broadcastable per-output-channel scale
+    (last axis); all other leaves pass through with a scalar 1.0 scale so the
+    two trees share the params structure exactly.
+    """
+
+    def q_leaf(path, leaf):
+        leaf = np.asarray(leaf)
+        if not _is_kernel(path, leaf):
+            return leaf
+        amax = np.max(np.abs(leaf), axis=tuple(range(leaf.ndim - 1)),
+                      keepdims=True)
+        scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        q = np.clip(np.round(leaf / scale), -127, 127).astype(np.int8)
+        return q
+
+    def s_leaf(path, leaf):
+        leaf = np.asarray(leaf)
+        if not _is_kernel(path, leaf):
+            return np.float32(1.0)
+        amax = np.max(np.abs(leaf), axis=tuple(range(leaf.ndim - 1)),
+                      keepdims=True)
+        return np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+
+    qparams = jax.tree_util.tree_map_with_path(q_leaf, params)
+    scales = jax.tree_util.tree_map_with_path(s_leaf, params)
+    return qparams, scales
+
+
+def dequantize_params(qparams, scales, dtype=jnp.float32):
+    """Rebuild a dense params tree (inside jit: int8 weights stay in HBM and
+    the dequant multiply fuses into the consumer)."""
+
+    def leaf(q, s):
+        if q.dtype == jnp.int8:
+            return (q.astype(dtype) * jnp.asarray(s, dtype)).astype(dtype)
+        return q
+
+    return jax.tree_util.tree_map(leaf, qparams, scales)
+
+
+def make_quantized_apply(net, qparams, scales, compute_dtype=jnp.float32,
+                         **apply_kwargs):
+    """Returns ``apply(x)`` closing over the int8 tree; jit it once."""
+
+    def apply(x, **kw):
+        params = dequantize_params(qparams, scales, compute_dtype)
+        return net.apply(params, x, **apply_kwargs, **kw)
+
+    return apply
+
+
+def quantized_nbytes(qparams) -> int:
+    return sum(np.asarray(l).nbytes for l in jax.tree_util.tree_leaves(qparams))
