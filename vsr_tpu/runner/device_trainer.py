@@ -275,13 +275,57 @@ class DeviceTrainerMixin:
             return
         lr, hr = stack_dataset_raw(self.train_dataloader.dataset,
                                    limit=self.buffer_limit)
-        self.lr_buf = jax.device_put(jnp.asarray(lr, jnp.float32))
-        self.hr_buf = jax.device_put(jnp.asarray(hr, jnp.float32))
-        self.m = lr.shape[0]
         self.batch_size = self.train_dataloader.batch_size
-        self.steps_per_epoch = self._steps_cfg or max(1, self.m // self.batch_size)
-        self._device_epoch = jax.jit(
-            self._device_epoch_fn, donate_argnames=("params", "opt_state"))
+        n_data = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+        if self.mesh is not None and self.mesh.shape.get("spatial", 1) != 1:
+            raise ValueError(
+                "device trainers support data-parallel meshes only "
+                "(mesh_axes={'data': n}); spatial sharding is a host-loop "
+                "trainer feature")
+        if n_data > 1:
+            # Multi-chip: the sample buffers are SHARDED over the data axis
+            # (each chip holds M/n samples — HBM capacity scales with the
+            # mesh), every chip samples from its local shard with a
+            # device-folded key, and gradients pmean over ICI inside the
+            # epoch scan. Global batch = config batch_size.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if self.batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by data "
+                    f"axis {n_data}")
+            m = (lr.shape[0] // n_data) * n_data
+            lr, hr = lr[:m], hr[:m]
+            shard = NamedSharding(self.mesh, P("data"))
+            self.lr_buf = jax.device_put(jnp.asarray(lr, jnp.float32), shard)
+            self.hr_buf = jax.device_put(jnp.asarray(hr, jnp.float32), shard)
+            self.m = m // n_data           # per-device samples
+            self._step_batch = self.batch_size // n_data
+            self.steps_per_epoch = self._steps_cfg or max(
+                1, m // self.batch_size)
+
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover
+                from jax.experimental.shard_map import shard_map
+
+            sharded = shard_map(
+                self._device_epoch_dp_fn,
+                mesh=self.mesh,
+                in_specs=(P(), P(), P(), P("data"), P("data")),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+            self._device_epoch = jax.jit(sharded, donate_argnums=(0, 1))
+        else:
+            self.lr_buf = jax.device_put(jnp.asarray(lr, jnp.float32))
+            self.hr_buf = jax.device_put(jnp.asarray(hr, jnp.float32))
+            self.m = lr.shape[0]
+            self._step_batch = self.batch_size
+            self.steps_per_epoch = self._steps_cfg or max(
+                1, self.m // self.batch_size)
+            self._device_epoch = jax.jit(
+                self._device_epoch_fn, donate_argnames=("params", "opt_state"))
 
     def _example_inputs(self):
         self._ensure_buffers()
@@ -296,19 +340,24 @@ class DeviceTrainerMixin:
         """Hook matching the task trainer's target structure."""
         return hr
 
-    def _sample_batch(self, key):
+    def _sample_batch(self, key, lr_buf=None, hr_buf=None, batch=None, m=None):
         """Random paired crops + flips from the HBM buffers (all on device)."""
         from vsr_tpu.utils.normalize import DATASET_STATS
 
+        lr_buf = self.lr_buf if lr_buf is None else lr_buf
+        hr_buf = self.hr_buf if hr_buf is None else hr_buf
+        batch = self._step_batch if batch is None else batch
+        m = self.m if m is None else m
+
         k_idx, k_y, k_x, k_hf, k_vf = jax.random.split(key, 5)
-        idx = jax.random.randint(k_idx, (self.batch_size,), 0, self.m)
-        lr = self.lr_buf[idx]
-        hr = self.hr_buf[idx]
+        idx = jax.random.randint(k_idx, (batch,), 0, m)
+        lr = lr_buf[idx]
+        hr = hr_buf[idx]
 
         h, w = lr.shape[-3], lr.shape[-2]
         p = self.patch
-        y0 = jax.random.randint(k_y, (self.batch_size,), 0, h - p + 1)
-        x0 = jax.random.randint(k_x, (self.batch_size,), 0, w - p + 1)
+        y0 = jax.random.randint(k_y, (batch,), 0, h - p + 1)
+        x0 = jax.random.randint(k_x, (batch,), 0, w - p + 1)
 
         def crop(img, y, x, size):
             if img.ndim == 4:  # (T, h, w, C)
@@ -320,8 +369,8 @@ class DeviceTrainerMixin:
         hr_c = jax.vmap(lambda im, y, x: crop(im, y, x, p * self.ratio))(
             hr, y0 * self.ratio, x0 * self.ratio)
 
-        hf = jax.random.bernoulli(k_hf, 0.5, (self.batch_size,))
-        vf = jax.random.bernoulli(k_vf, 0.5, (self.batch_size,))
+        hf = jax.random.bernoulli(k_hf, 0.5, (batch,))
+        vf = jax.random.bernoulli(k_vf, 0.5, (batch,))
 
         def flip(img, do_h, do_v):
             img = jnp.where(do_h, jnp.flip(img, axis=-2), img)
@@ -336,18 +385,31 @@ class DeviceTrainerMixin:
         return norm(lr_c), norm(hr_c)
 
     # --------------------------------------------------------------- epoch
-    def _device_epoch_fn(self, params, opt_state, key):
+    def _epoch_scan(self, params, opt_state, key, lr_buf, hr_buf,
+                    axis_name=None):
         def body(carry, step_key):
             params, opt_state = carry
-            inputs, hr = self._sample_batch(step_key)
+            inputs, hr = self._sample_batch(step_key, lr_buf, hr_buf)
             targets = self._pack_device_targets(hr)
             params, opt_state, scalars, _ = self._step(
-                params, opt_state, inputs, targets, training=True)
+                params, opt_state, inputs, targets, training=True,
+                axis_name=axis_name)
             return (params, opt_state), scalars
 
         keys = jax.random.split(key, self.steps_per_epoch)
         (params, opt_state), scalars = jax.lax.scan(body, (params, opt_state), keys)
         return params, opt_state, jax.tree_util.tree_map(jnp.mean, scalars)
+
+    def _device_epoch_fn(self, params, opt_state, key, lr_buf, hr_buf):
+        return self._epoch_scan(params, opt_state, key, lr_buf, hr_buf)
+
+    def _device_epoch_dp_fn(self, params, opt_state, key, lr_buf, hr_buf):
+        """Per-device body under shard_map: each chip samples its OWN local
+        buffer shard with a device-folded key; the per-step pmean inside
+        _step allreduces grads/scalars over ICI."""
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        return self._epoch_scan(params, opt_state, key, lr_buf, hr_buf,
+                                axis_name="data")
 
     def _run_epoch(self, mode: str, epoch: int):
         if mode != "training":
@@ -356,7 +418,7 @@ class DeviceTrainerMixin:
         self._ensure_buffers()
         key = self.rng_tree.jax_key("device-epoch", epoch)
         self.params, self.opt_state, scalars = self._device_epoch(
-            self.params, self.opt_state, key)
+            self.params, self.opt_state, key, self.lr_buf, self.hr_buf)
         log = {k: float(v) for k, v in scalars.items()}
         return log, None, None
 
