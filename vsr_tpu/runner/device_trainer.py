@@ -336,8 +336,9 @@ class DeviceTrainerMixin:
         return jnp.zeros((self.batch_size, *spatial, shape[-1]))
 
     # ------------------------------------------------------------- sampling
-    def _pack_device_targets(self, hr):
-        """Hook matching the task trainer's target structure."""
+    def _pack_device_targets(self, hr, inputs):
+        """Hook matching the task trainer's target structure (``inputs`` is
+        the sampled LR batch, for tasks whose loss references it)."""
         return hr
 
     def _sample_batch(self, key, lr_buf=None, hr_buf=None, batch=None, m=None):
@@ -390,7 +391,7 @@ class DeviceTrainerMixin:
         def body(carry, step_key):
             params, opt_state = carry
             inputs, hr = self._sample_batch(step_key, lr_buf, hr_buf)
-            targets = self._pack_device_targets(hr)
+            targets = self._pack_device_targets(hr, inputs)
             params, opt_state, scalars, _ = self._step(
                 params, opt_state, inputs, targets, training=True,
                 axis_name=axis_name)
@@ -424,29 +425,45 @@ class DeviceTrainerMixin:
 
 
 def _register_device_trainers() -> None:
-    """Device-epoch twins of the patch-training task trainers."""
+    """Device-epoch twins of every patch-training task trainer."""
     from vsr_tpu.registry import register
-    from vsr_tpu.runner.trainers import MISRTrainer, SISRTrainer, VSRTrainer
+    from vsr_tpu.runner.trainers import (
+        FRVSRTrainer,
+        MISRTrainer,
+        SISRSRFBTrainer,
+        SISRTrainer,
+        VSRTrainer,
+    )
 
     class _DeviceVSRBase(DeviceTrainerMixin, VSRTrainer):
-        def _pack_device_targets(self, hr):
+        def _pack_device_targets(self, hr, inputs):
             # (hr, frame mask) — all frames real in fixed training windows.
             return hr, jnp.ones((hr.shape[0], hr.shape[1]), hr.dtype)
+
+    class _DeviceFRVSRBase(DeviceTrainerMixin, FRVSRTrainer):
+        def _pack_device_targets(self, hr, inputs):
+            # FRVSR losses reference the LR inputs (flow-warp loss).
+            mask = jnp.ones((hr.shape[0], hr.shape[1]), hr.dtype)
+            return inputs, hr, mask
 
     for name, base, stats in [
         ("AcdcSISRDeviceTrainer", SISRTrainer, "acdc"),
         ("Dsb15SISRDeviceTrainer", SISRTrainer, "dsb15"),
+        ("AcdcSISRSRFBDeviceTrainer", SISRSRFBTrainer, "acdc"),
+        ("Dsb15SISRSRFBDeviceTrainer", SISRSRFBTrainer, "dsb15"),
         ("AcdcMISRDeviceTrainer", MISRTrainer, "acdc"),
         ("Dsb15MISRDeviceTrainer", MISRTrainer, "dsb15"),
     ]:
         cls = type(name, (DeviceTrainerMixin, base), {"dataset_stats": stats})
         register("trainer", name)(cls)
         globals()[name] = cls
-    for name, stats in [
-        ("AcdcVSRDeviceTrainer", "acdc"),
-        ("Dsb15VSRDeviceTrainer", "dsb15"),
+    for name, base, stats in [
+        ("AcdcVSRDeviceTrainer", _DeviceVSRBase, "acdc"),
+        ("Dsb15VSRDeviceTrainer", _DeviceVSRBase, "dsb15"),
+        ("AcdcFRVSRDeviceTrainer", _DeviceFRVSRBase, "acdc"),
+        ("Dsb15FRVSRDeviceTrainer", _DeviceFRVSRBase, "dsb15"),
     ]:
-        cls = type(name, (_DeviceVSRBase,), {"dataset_stats": stats})
+        cls = type(name, (base,), {"dataset_stats": stats})
         register("trainer", name)(cls)
         globals()[name] = cls
 
