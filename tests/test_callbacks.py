@@ -97,3 +97,20 @@ def test_reduce_on_plateau():
     s2.load_state_dict(state)
     assert s2.current_lr == pytest.approx(0.5)
     assert s2.best == pytest.approx(0.5)
+
+
+def test_vsr_logger_grid_handles_tuple_outputs(tmp_path):
+    """FRVSR valid outputs are (sr, warped_lr) with DIFFERENT spatial shapes;
+    the grid must come from the SR element (regression: np.asarray on the
+    inhomogeneous tuple used to raise and the grid was silently dropped)."""
+    import numpy as np
+
+    from vsr_tpu.callbacks.logger import VSRLogger
+
+    logger = VSRLogger(log_dir=tmp_path)
+    batch = {"hr_imgs": np.random.rand(1, 3, 16, 16, 1).astype(np.float32)}
+    sr = np.random.rand(1, 4, 16, 16, 1).astype(np.float32)  # T-bucket padded
+    warped = np.random.rand(1, 4, 8, 8, 1).astype(np.float32)
+    grid = logger._make_grid(batch, (sr, warped))
+    assert grid is not None and grid.ndim == 3
+    logger.close()

@@ -120,9 +120,11 @@ class VSRLogger(BaseLogger):
     def _make_grid(self, batch, outputs):
         hr = np.asarray(batch["hr_imgs"])
         targets = hr[:, -1]
-        outs = np.asarray(outputs)
+        # Tuple check FIRST: FRVSR outputs (sr, warped_lr) with different
+        # spatial shapes — np.asarray on that tuple would raise.
         if isinstance(outputs, tuple):
-            outs = np.asarray(outputs[0])
+            outputs = outputs[0]
+        outs = np.asarray(outputs)
         # Validation outputs may be T-bucket padded (trainers.py VSRTrainer);
         # index the LAST REAL frame, matching the target.
         outs = outs[:, hr.shape[1] - 1]

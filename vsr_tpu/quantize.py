@@ -41,29 +41,25 @@ def quantize_params(params) -> tuple[Any, Any]:
 
     Kernel leaves become int8 with a broadcastable per-output-channel scale
     (last axis); all other leaves pass through with a scalar 1.0 scale so the
-    two trees share the params structure exactly.
+    two trees share the params structure exactly. One traversal computes
+    both trees, so the scale formula cannot desynchronize.
     """
 
-    def q_leaf(path, leaf):
-        leaf = np.asarray(leaf)
-        if not _is_kernel(path, leaf):
-            return leaf
-        amax = np.max(np.abs(leaf), axis=tuple(range(leaf.ndim - 1)),
+    def leaf(path, value):
+        value = np.asarray(value)
+        if not _is_kernel(path, value):
+            return value, np.float32(1.0)
+        amax = np.max(np.abs(value), axis=tuple(range(value.ndim - 1)),
                       keepdims=True)
         scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-        q = np.clip(np.round(leaf / scale), -127, 127).astype(np.int8)
-        return q
+        q = np.clip(np.round(value / scale), -127, 127).astype(np.int8)
+        return q, scale
 
-    def s_leaf(path, leaf):
-        leaf = np.asarray(leaf)
-        if not _is_kernel(path, leaf):
-            return np.float32(1.0)
-        amax = np.max(np.abs(leaf), axis=tuple(range(leaf.ndim - 1)),
-                      keepdims=True)
-        return np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-
-    qparams = jax.tree_util.tree_map_with_path(q_leaf, params)
-    scales = jax.tree_util.tree_map_with_path(s_leaf, params)
+    pairs = jax.tree_util.tree_map_with_path(leaf, params)
+    # Params trees contain no tuples, so every tuple is one of our pairs.
+    is_pair = lambda x: isinstance(x, tuple)
+    qparams = jax.tree_util.tree_map(lambda p: p[0], pairs, is_leaf=is_pair)
+    scales = jax.tree_util.tree_map(lambda p: p[1], pairs, is_leaf=is_pair)
     return qparams, scales
 
 

@@ -50,6 +50,46 @@ def stack_dataset(dataset, limit: int | None = None) -> tuple[np.ndarray, np.nda
     return np.stack(lrs), np.stack(hrs)
 
 
+def sample_crop_flip(key, lr, hr, patch: int, ratio: int, stats):
+    """Shared on-device augmentation: random paired crops + flips +
+    normalization on an already-gathered (lr, hr) batch.
+
+    lr: (B, h, w, C) or (B, T, h, w, C); hr: same rank with spatial dims
+    ``x ratio`` (the temporal axis, if any, is never scaled — mirroring
+    RandomCropPatch, transforms.py).
+    """
+    k_y, k_x, k_hf, k_vf = jax.random.split(key, 4)
+    batch = lr.shape[0]
+    h, w = lr.shape[-3], lr.shape[-2]
+    y0 = jax.random.randint(k_y, (batch,), 0, h - patch + 1)
+    x0 = jax.random.randint(k_x, (batch,), 0, w - patch + 1)
+
+    def crop(img, y, x, size):
+        if img.ndim == 4:  # (T, h, w, C)
+            return jax.lax.dynamic_slice(
+                img, (0, y, x, 0), (img.shape[0], size, size, img.shape[-1]))
+        return jax.lax.dynamic_slice(img, (y, x, 0), (size, size, img.shape[-1]))
+
+    lr_c = jax.vmap(lambda im, y, x: crop(im, y, x, patch))(lr, y0, x0)
+    hr_c = jax.vmap(lambda im, y, x: crop(im, y, x, patch * ratio))(
+        hr, y0 * ratio, x0 * ratio)
+
+    hf = jax.random.bernoulli(k_hf, 0.5, (batch,))
+    vf = jax.random.bernoulli(k_vf, 0.5, (batch,))
+
+    def flip(img, do_h, do_v):
+        img = jnp.where(do_h, jnp.flip(img, axis=-2), img)
+        img = jnp.where(do_v, jnp.flip(img, axis=-3), img)
+        return img
+
+    lr_c = jax.vmap(flip)(lr_c, hf, vf)
+    hr_c = jax.vmap(flip)(hr_c, hf, vf)
+
+    mean, std = stats
+    norm = lambda x: (x - mean) / (std + 1e-10)
+    return norm(lr_c), norm(hr_c)
+
+
 class DeviceEpochTrainer:
     """Single-program epochs over an HBM-resident (lr, hr) pair buffer.
 
@@ -119,8 +159,9 @@ class DeviceEpochTrainer:
         return jnp.zeros((self.batch_size, *spatial, shape[-1]))
 
     def _sample_batch(self, key):
-        """Random paired crops + flips, fully vectorized on device."""
-        k_idx, k_t, k_y, k_x, k_hf, k_vf = jax.random.split(key, 6)
+        """Random samples (+ circular temporal windows) -> shared paired
+        crop/flip/normalize."""
+        k_idx, k_t, k_aug = jax.random.split(key, 3)
         idx = jax.random.randint(k_idx, (self.batch_size,), 0, self.m)
         lr = self.lr_buf[idx]
         hr = self.hr_buf[idx]
@@ -132,40 +173,7 @@ class DeviceEpochTrainer:
             tidx = (t0[:, None] + offsets[None, :]) % t_full  # (B, window)
             lr = jnp.take_along_axis(lr, tidx[:, :, None, None, None], axis=1)
             hr = jnp.take_along_axis(hr, tidx[:, :, None, None, None], axis=1)
-
-        h, w = lr.shape[-3], lr.shape[-2]
-        p = self.patch
-        y0 = jax.random.randint(k_y, (self.batch_size,), 0, h - p + 1)
-        x0 = jax.random.randint(k_x, (self.batch_size,), 0, w - p + 1)
-
-        def crop(img, y, x, size):
-            start = (y, x, 0)
-            if img.ndim == 4:  # (T, h, w, C)
-                start = (0, y, x, 0)
-                return jax.lax.dynamic_slice(
-                    img, start, (img.shape[0], size, size, img.shape[-1])
-                )
-            return jax.lax.dynamic_slice(img, start, (size, size, img.shape[-1]))
-
-        lr_c = jax.vmap(lambda im, y, x: crop(im, y, x, p))(lr, y0, x0)
-        hr_c = jax.vmap(lambda im, y, x: crop(im, y, x, p * self.ratio))(
-            hr, y0 * self.ratio, x0 * self.ratio
-        )
-
-        hf = jax.random.bernoulli(k_hf, 0.5, (self.batch_size,))
-        vf = jax.random.bernoulli(k_vf, 0.5, (self.batch_size,))
-
-        def flip(img, do_h, do_v):
-            img = jnp.where(do_h, jnp.flip(img, axis=-2), img)
-            img = jnp.where(do_v, jnp.flip(img, axis=-3), img)
-            return img
-
-        lr_c = jax.vmap(flip)(lr_c, hf, vf)
-        hr_c = jax.vmap(flip)(hr_c, hf, vf)
-
-        mean, std = self.stats
-        norm = lambda x: (x - mean) / (std + 1e-10)
-        return norm(lr_c), norm(hr_c)
+        return sample_crop_flip(k_aug, lr, hr, self.patch, self.ratio, self.stats)
 
     def _train_step(self, params, opt_state, inputs, targets):
         def loss_fn(p):
@@ -294,6 +302,11 @@ class DeviceTrainerMixin:
                 raise ValueError(
                     f"batch_size {self.batch_size} not divisible by data "
                     f"axis {n_data}")
+            if lr.shape[0] < n_data:
+                raise ValueError(
+                    f"train split has {lr.shape[0]} samples — fewer than "
+                    f"the data axis size {n_data}; every chip needs at "
+                    f"least one buffered sample")
             m = (lr.shape[0] // n_data) * n_data
             lr, hr = lr[:m], hr[:m]
             shard = NamedSharding(self.mesh, P("data"))
@@ -341,49 +354,16 @@ class DeviceTrainerMixin:
         the sampled LR batch, for tasks whose loss references it)."""
         return hr
 
-    def _sample_batch(self, key, lr_buf=None, hr_buf=None, batch=None, m=None):
-        """Random paired crops + flips from the HBM buffers (all on device)."""
+    def _sample_batch(self, key, lr_buf=None, hr_buf=None):
+        """Random per-device samples -> shared paired crop/flip/normalize."""
         from vsr_tpu.utils.normalize import DATASET_STATS
 
         lr_buf = self.lr_buf if lr_buf is None else lr_buf
         hr_buf = self.hr_buf if hr_buf is None else hr_buf
-        batch = self._step_batch if batch is None else batch
-        m = self.m if m is None else m
-
-        k_idx, k_y, k_x, k_hf, k_vf = jax.random.split(key, 5)
-        idx = jax.random.randint(k_idx, (batch,), 0, m)
-        lr = lr_buf[idx]
-        hr = hr_buf[idx]
-
-        h, w = lr.shape[-3], lr.shape[-2]
-        p = self.patch
-        y0 = jax.random.randint(k_y, (batch,), 0, h - p + 1)
-        x0 = jax.random.randint(k_x, (batch,), 0, w - p + 1)
-
-        def crop(img, y, x, size):
-            if img.ndim == 4:  # (T, h, w, C)
-                return jax.lax.dynamic_slice(
-                    img, (0, y, x, 0), (img.shape[0], size, size, img.shape[-1]))
-            return jax.lax.dynamic_slice(img, (y, x, 0), (size, size, img.shape[-1]))
-
-        lr_c = jax.vmap(lambda im, y, x: crop(im, y, x, p))(lr, y0, x0)
-        hr_c = jax.vmap(lambda im, y, x: crop(im, y, x, p * self.ratio))(
-            hr, y0 * self.ratio, x0 * self.ratio)
-
-        hf = jax.random.bernoulli(k_hf, 0.5, (batch,))
-        vf = jax.random.bernoulli(k_vf, 0.5, (batch,))
-
-        def flip(img, do_h, do_v):
-            img = jnp.where(do_h, jnp.flip(img, axis=-2), img)
-            img = jnp.where(do_v, jnp.flip(img, axis=-3), img)
-            return img
-
-        lr_c = jax.vmap(flip)(lr_c, hf, vf)
-        hr_c = jax.vmap(flip)(hr_c, hf, vf)
-
-        mean, std = DATASET_STATS[self.dataset_stats]
-        norm = lambda x: (x - mean) / (std + 1e-10)
-        return norm(lr_c), norm(hr_c)
+        k_idx, k_aug = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (self._step_batch,), 0, self.m)
+        return sample_crop_flip(k_aug, lr_buf[idx], hr_buf[idx], self.patch,
+                                self.ratio, DATASET_STATS[self.dataset_stats])
 
     # --------------------------------------------------------------- epoch
     def _epoch_scan(self, params, opt_state, key, lr_buf, hr_buf,

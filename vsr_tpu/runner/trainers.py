@@ -463,7 +463,10 @@ class VSRTrainer(BaseTrainer):
     pair ``(hr_stack, frame_mask)``; training windows carry an all-ones mask.
     """
 
-    def _seq_inputs_targets(self, lr: np.ndarray, tgt: np.ndarray):
+    def _seq_inputs_targets(self, lr, tgt):
+        """Pad (N, T, ...) pairs to the T bucket. Operates on numpy OR
+        already-device arrays without forcing a host readback (batches may
+        come through device_prefetch)."""
         t = lr.shape[1]
         tb = t if self._epoch_training else bucket_length(t, self.t_bucket)
         # The mask carries a batch axis (rows identical) so the DP shard_map
@@ -474,7 +477,7 @@ class VSRTrainer(BaseTrainer):
 
     def _get_inputs_targets(self, batch):
         lr, hr, mask = self._seq_inputs_targets(
-            np.asarray(batch["lr_imgs"]), np.asarray(batch["hr_imgs"]))
+            batch["lr_imgs"], batch["hr_imgs"])
         return lr, (hr, mask)
 
     def _batch_weight(self, batch):
@@ -515,7 +518,7 @@ class FRVSRTrainer(VSRTrainer):
 
     def _get_inputs_targets(self, batch):
         lr, hr, mask = self._seq_inputs_targets(
-            np.asarray(batch["lr_imgs"]), np.asarray(batch["hr_imgs"]))
+            batch["lr_imgs"], batch["hr_imgs"])
         return lr, (lr, hr, mask)
 
     def _partition_specs(self):
@@ -595,8 +598,8 @@ class Volume4DTrainer(VSRTrainer):
     same masked T-bucketing applies to variable-length validation sequences."""
 
     def _get_inputs_targets(self, batch):
-        lr = np.moveaxis(np.asarray(batch["lr_vols"]), 4, 2)
-        hr = np.moveaxis(np.asarray(batch["hr_vols"]), 4, 2)
+        lr = jnp.moveaxis(jnp.asarray(batch["lr_vols"]), 4, 2)
+        hr = jnp.moveaxis(jnp.asarray(batch["hr_vols"]), 4, 2)
         lr, hr, mask = self._seq_inputs_targets(lr, hr)
         return lr, (hr, mask)
 
