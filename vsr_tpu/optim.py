@@ -86,8 +86,126 @@ def RMSprop(learning_rate: float = 1e-2, lr: float | None = None,
     def make(learning_rate):
         return optax.chain(
             _maybe_l2(weight_decay),
-            optax.scale_by_rms(decay=alpha, eps=eps),
+            # torch adds eps OUTSIDE the sqrt (g / (sqrt(v) + eps)).
+            optax.scale_by_rms(decay=alpha, eps=eps, eps_in_sqrt=False),
             optax.trace(decay=momentum) if momentum else optax.identity(),
+            optax.scale(-learning_rate),
+        )
+
+    return optax.inject_hyperparams(make)(learning_rate=lr)
+
+
+@register("optimizer")
+def Adagrad(learning_rate: float = 1e-2, lr: float | None = None,
+            eps: float = 1e-10, weight_decay: float = 0.0,
+            initial_accumulator_value: float = 0.0):
+    lr = lr if lr is not None else learning_rate
+
+    def make(learning_rate):
+        return optax.chain(
+            _maybe_l2(weight_decay),
+            optax.scale_by_rss(
+                initial_accumulator_value=initial_accumulator_value, eps=eps),
+            optax.scale(-learning_rate),
+        )
+
+    return optax.inject_hyperparams(make)(learning_rate=lr)
+
+
+@register("optimizer")
+def Adadelta(learning_rate: float = 1.0, lr: float | None = None,
+             rho: float = 0.9, eps: float = 1e-6, weight_decay: float = 0.0):
+    lr = lr if lr is not None else learning_rate
+
+    def make(learning_rate):
+        return optax.chain(
+            _maybe_l2(weight_decay),
+            optax.scale_by_adadelta(rho=rho, eps=eps),
+            optax.scale(-learning_rate),
+        )
+
+    return optax.inject_hyperparams(make)(learning_rate=lr)
+
+
+@register("optimizer")
+def Adamax(learning_rate: float = 2e-3, lr: float | None = None,
+           betas: Sequence[float] = (0.9, 0.999), eps: float = 1e-8,
+           weight_decay: float = 0.0):
+    lr = lr if lr is not None else learning_rate
+
+    def make(learning_rate):
+        return optax.chain(
+            _maybe_l2(weight_decay),
+            optax.scale_by_adamax(b1=betas[0], b2=betas[1], eps=eps),
+            optax.scale(-learning_rate),
+        )
+
+    return optax.inject_hyperparams(make)(learning_rate=lr)
+
+
+def _scale_by_torch_nadam(b1: float, b2: float, eps: float,
+                          momentum_decay: float):
+    """torch.optim.NAdam's exact update (its mu_t momentum-decay schedule
+    differs from optax's nesterov-adam)."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {"m": zeros,
+                "v": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "t": jnp.zeros([], jnp.int32),
+                "mu_prod": jnp.ones([], jnp.float32)}
+
+    def update(grads, state, params=None):
+        t = state["t"] + 1
+        tf = t.astype(jnp.float32)
+        mu_t = b1 * (1.0 - 0.5 * 0.96 ** (tf * momentum_decay))
+        mu_next = b1 * (1.0 - 0.5 * 0.96 ** ((tf + 1.0) * momentum_decay))
+        mu_prod = state["mu_prod"] * mu_t
+        m = jax.tree_util.tree_map(
+            lambda mm, g: b1 * mm + (1 - b1) * g, state["m"], grads)
+        v = jax.tree_util.tree_map(
+            lambda vv, g: b2 * vv + (1 - b2) * g * g, state["v"], grads)
+        bc2 = 1.0 - b2 ** tf
+
+        def u(mm, vv, g):
+            mhat = (mu_next * mm / (1.0 - mu_prod * mu_next)
+                    + (1.0 - mu_t) * g / (1.0 - mu_prod))
+            return mhat / (jnp.sqrt(vv / bc2) + eps)
+
+        updates = jax.tree_util.tree_map(u, m, v, grads)
+        return updates, {"m": m, "v": v, "t": t, "mu_prod": mu_prod}
+
+    return optax.GradientTransformation(init, update)
+
+
+@register("optimizer")
+def NAdam(learning_rate: float = 2e-3, lr: float | None = None,
+          betas: Sequence[float] = (0.9, 0.999), eps: float = 1e-8,
+          weight_decay: float = 0.0, momentum_decay: float = 0.004):
+    lr = lr if lr is not None else learning_rate
+
+    def make(learning_rate):
+        return optax.chain(
+            _maybe_l2(weight_decay),
+            _scale_by_torch_nadam(betas[0], betas[1], eps, momentum_decay),
+            optax.scale(-learning_rate),
+        )
+
+    return optax.inject_hyperparams(make)(learning_rate=lr)
+
+
+@register("optimizer")
+def RAdam(learning_rate: float = 1e-3, lr: float | None = None,
+          betas: Sequence[float] = (0.9, 0.999), eps: float = 1e-8,
+          weight_decay: float = 0.0):
+    lr = lr if lr is not None else learning_rate
+
+    def make(learning_rate):
+        return optax.chain(
+            _maybe_l2(weight_decay),
+            optax.scale_by_radam(b1=betas[0], b2=betas[1], eps=eps),
             optax.scale(-learning_rate),
         )
 
@@ -191,6 +309,25 @@ class CosineAnnealingLR(Scheduler):
     def _lr(self) -> float:
         return self.eta_min + (self.base_lr - self.eta_min) * (
             1 + math.cos(math.pi * self.last_epoch / self.T_max)
+        ) / 2
+
+
+@register("lr_scheduler")
+class CosineAnnealingWarmRestarts(Scheduler):
+    def __init__(self, T_0: int, T_mult: int = 1, eta_min: float = 0.0,
+                 **kwargs: Any):
+        super().__init__()
+        self.T_0 = T_0
+        self.T_mult = int(T_mult)
+        self.eta_min = eta_min
+
+    def _lr(self) -> float:
+        t, t_i = self.last_epoch, self.T_0
+        while t >= t_i:
+            t -= t_i
+            t_i = t_i * self.T_mult if self.T_mult > 1 else t_i
+        return self.eta_min + (self.base_lr - self.eta_min) * (
+            1 + math.cos(math.pi * t / t_i)
         ) / 2
 
 

@@ -162,8 +162,33 @@ class ImagePredictor(BasePredictor):
         return output
 
     # ---------------------------------------------------------------------
+    def _ensure_sample_eval(self) -> None:
+        """ONE jitted dispatch per sample for all losses + non-Cardiac
+        metrics (Cardiac* crops are per-patient dynamic shapes and stay on
+        the host path)."""
+        if getattr(self, "_sample_eval", None) is not None:
+            return
+        std_fns = [fn for fn in self.metric_fns
+                   if "Cardiac" not in fn.__class__.__name__]
+        self._std_cols = [i for i, fn in enumerate(self.metric_fns)
+                          if "Cardiac" not in fn.__class__.__name__]
+        self._cardiac_cols = [i for i in range(len(self.metric_fns))
+                              if i not in self._std_cols]
+
+        def sample_eval(output, target):
+            losses = (jnp.stack(self._sample_losses(output, target))
+                      if self.loss_fns else jnp.zeros((0,)))
+            d_out = self._denormalize(self._eval_output(output))
+            d_tgt = self._denormalize(target)
+            stds = (jnp.stack([fn(d_out, d_tgt) for fn in std_fns])
+                    if std_fns else jnp.zeros((0,)))
+            return losses, stds, d_out, d_tgt
+
+        self._sample_eval = jax.jit(sample_eval)
+
     def predict(self) -> dict:
         self._ensure_initialized()
+        self._ensure_sample_eval()
         dataset = self.test_dataloader.dataset
         if self.exported:
             videos_dir = self.saved_dir / "videos"
@@ -182,13 +207,16 @@ class ImagePredictor(BasePredictor):
             target = jnp.asarray(batch["hr_img"])
             output = self._apply(self.params, inputs)
 
-            losses = self._sample_losses(output, target)
-            loss = float(sum(w * l for w, l in zip(self.loss_weights, losses)))
-            eval_out = self._eval_output(output)
-            d_out, d_tgt = self._denormalize(eval_out), self._denormalize(target)
-            metrics = [
-                self._metric_value(fn, d_out, d_tgt, patient) for fn in self.metric_fns
-            ]
+            losses_v, stds, d_out, d_tgt = self._sample_eval(output, target)
+            losses = np.asarray(losses_v)
+            loss = float((losses * self.loss_weights).sum()) if self.loss_fns else 0.0
+            metrics = [0.0] * len(self.metric_fns)
+            stds = np.asarray(stds)
+            for j, col in enumerate(self._std_cols):
+                metrics[col] = stds[j]
+            for col in self._cardiac_cols:
+                metrics[col] = self._metric_value(
+                    self.metric_fns[col], d_out, d_tgt, patient)
 
             if self.exported:
                 results.append(
