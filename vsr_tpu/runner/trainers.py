@@ -83,6 +83,7 @@ class BaseTrainer:
         # trainers only; see vsr_tpu/utils/bucketing.py). <=1 disables.
         self.t_bucket = int(t_bucket)
         self._epoch_training = True
+        self._preempted = False
         self.profile_dir = profile_dir
         self.prefetch_to_device = prefetch_to_device
         if grad_accumulation > 1:
@@ -316,11 +317,59 @@ class BaseTrainer:
                 jnp.add, acc, weighted
             )
             count += w
+            if training and self._preempted:
+                break  # graceful stop at a batch boundary (signal received)
         log = {k: float(v) / count for k, v in (acc or {}).items()}
         return log, batch, outputs
 
+    def _install_preemption_handlers(self) -> dict:
+        """SIGTERM/SIGINT request a graceful stop: the current batch
+        finishes, a ``model_preempt.ckpt`` is written (resumable at the
+        interrupted epoch), and train() returns — the preemption-safety the
+        reference lacks entirely (its recovery is manual ``loaded_path``)."""
+        import signal
+
+        previous = {}
+
+        def handler(signum, frame):
+            logging.warning(
+                f"Received signal {signum}: checkpointing and stopping at "
+                f"the next batch boundary.")
+            self._preempted = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                previous[sig] = signal.signal(sig, handler)
+            except ValueError:  # not the main thread
+                pass
+        return previous
+
+    def _restore_handlers(self, previous: dict) -> None:
+        import signal
+
+        for sig, old in previous.items():
+            signal.signal(sig, old)
+
+    def _save_preempt_checkpoint(self) -> None:
+        if self.monitor is None:
+            logging.warning("Preempted with no monitor: nothing saved.")
+            return
+        path = Path(self.monitor.checkpoints_dir) / "model_preempt.ckpt"
+        # The interrupted epoch must be REDONE on resume (its update stream
+        # is partial), so the checkpoint records the last FINISHED epoch.
+        self.save(path, epoch=self.epoch - 1)
+        logging.info(f"Preemption checkpoint saved to {path}.")
+
     def train(self) -> None:
         self._ensure_initialized()
+        self._preempted = False
+        previous_handlers = self._install_preemption_handlers()
+        try:
+            self._train_loop()
+        finally:
+            self._restore_handlers(previous_handlers)
+
+    def _train_loop(self) -> None:
         while self.epoch <= self.num_epochs:
             logging.info(f"Epoch {self.epoch}.")
             # Device trace of the second epoch (first epoch pays compiles).
@@ -335,6 +384,9 @@ class BaseTrainer:
                 train_log, train_batch, train_outputs = self._run_epoch(
                     "training", self.epoch
                 )
+            if self._preempted:
+                self._save_preempt_checkpoint()
+                break
             logging.info(f"Train log: { {k: round(v, 5) for k, v in train_log.items()} }.")
             valid_log, valid_batch, valid_outputs = self._run_epoch("validation", self.epoch)
             logging.info(f"Valid log: { {k: round(v, 5) for k, v in valid_log.items()} }.")
@@ -374,9 +426,9 @@ class BaseTrainer:
 
     # ----------------------------------------------------------- checkpoint
 
-    def save(self, path: str | Path) -> None:
+    def save(self, path: str | Path, epoch: int | None = None) -> None:
         aux = {
-            "epoch": self.epoch,
+            "epoch": self.epoch if epoch is None else epoch,
             "monitor": self.monitor.state_dict(),
             "lr_scheduler": self.lr_scheduler.state_dict() if self.lr_scheduler else None,
             "random_seed": str(self.rng_tree.root_seed),
