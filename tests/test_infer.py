@@ -85,3 +85,32 @@ def test_infer_with_trained_checkpoint(tmp_path, rng):
     assert stats["frames"] == 2
     sr = load_nifti(tmp_path / "sr" / "p" / "p_4d_sr.nii.gz")
     assert sr.shape == (24, 24, 1, 2)
+
+
+def test_infer_video_mode_flagship(tmp_path, rng):
+    """--video serves a whole-sequence VSR net (DRFNet) through the CLI path,
+    keeping every SR frame."""
+    import argparse
+
+    import numpy as np
+
+    from tests.synth import make_processed_tree  # noqa: F401 (env parity)
+    from vsr_tpu.infer import run
+    from vsr_tpu.io.nifti import load_nifti, save_nifti
+
+    vol = np.round(rng.random((24, 24, 2, 4)) * 255).astype(np.float32)
+    (tmp_path / "in").mkdir()
+    save_nifti(vol, tmp_path / "in" / "p1_4d.nii.gz")
+    args = argparse.Namespace(
+        input_dir=tmp_path / "in", output_dir=tmp_path / "out",
+        net="DRFNet",
+        net_kwargs='{"in_channels":1,"out_channels":1,"num_features":4,'
+                   '"num_groups":1,"upscale_factor":2}',
+        checkpoint="", factor=2, dataset="acdc", gif=False, bf16=False,
+        int8=False, video=True,
+    )
+    stats = run(args)
+    assert stats["frames"] == 8
+    sr = load_nifti(tmp_path / "out" / "p1_4d_sr.nii.gz")
+    assert sr.shape == (24, 24, 2, 4)  # every frame SR'd, geometry preserved
+    assert np.isfinite(sr).all()

@@ -31,14 +31,19 @@ from vsr_tpu.registry import build
 from vsr_tpu.utils.normalize import DATASET_STATS
 
 
-def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False):
+def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
+                  video_t: int | None = None):
     """One jitted device program: HR float frames (N, H, W) ->
     (lr_frames, sr_frames) uint8-valued float32.
 
     ``int8=True``: kernels are held in HBM as int8 with per-channel scales
     and dequantized inside the program (vsr_tpu/quantize.py) — 4x smaller
     weight footprint/traffic; accuracy gated at <0.05 dB PSNR delta in
-    tests/test_quantize.py."""
+    tests/test_quantize.py.
+
+    ``video_t``: for sequence (VSR) nets — the N frames are D*video_t
+    slice-sequences; the net sees (D, T, h, w, 1) and every SR frame is
+    kept (frame order preserved)."""
     import jax
     import jax.numpy as jnp
 
@@ -58,11 +63,18 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False):
     def pipeline(hr_frames):
         lr = kspace_downscale_jax(hr_frames, factor)
         z = (lr - mean) / (std + 1e-10)
-        sr = net_apply(z[..., None])
+        z = z[..., None]
+        if video_t:
+            n, h, w, c = z.shape
+            z = z.reshape(n // video_t, video_t, h, w, c)
+        sr = net_apply(z)
         if isinstance(sr, tuple):
             sr = sr[0]
-        if sr.ndim == 5:  # sequence nets
-            sr = sr[:, -1]
+        if sr.ndim == 5:
+            if video_t:  # whole-sequence SR: flatten frames back out
+                sr = sr.reshape(-1, *sr.shape[2:])
+            else:  # windowed net fed frames: keep the last frame
+                sr = sr[:, -1]
         sr = sr.astype(jnp.float32)[..., 0]
         sr = jnp.clip(jnp.round(sr * std + mean), 0, 255)
         return lr, sr
@@ -101,8 +113,12 @@ def run(args) -> dict:
         h, w, d, t = data.shape
         frames = np.moveaxis(data.reshape(h, w, d * t), -1, 0)  # (D*T, H, W)
 
+        video = bool(getattr(args, "video", False))
         if params is None:
-            example = jnp.zeros((1, h // args.factor, w // args.factor, 1))
+            if video:
+                example = jnp.zeros((1, 2, h // args.factor, w // args.factor, 1))
+            else:
+                example = jnp.zeros((1, h // args.factor, w // args.factor, 1))
             params = net.init(jax.random.PRNGKey(0), example)
             if args.checkpoint:
                 from flax import serialization
@@ -112,11 +128,12 @@ def run(args) -> dict:
                 state, _ = load_checkpoint(args.checkpoint)
                 params = serialization.from_state_dict(params, state["params"])
 
-        key = (h, w)
+        key = (h, w, t if video else None)
         if key not in pipelines:
             pipelines[key] = make_pipeline(net, params, args.factor,
                                            args.dataset,
-                                           int8=getattr(args, "int8", False))
+                                           int8=getattr(args, "int8", False),
+                                           video_t=t if video else None)
         lr, sr = pipelines[key](jax.device_put(frames))
         sr_np = np.asarray(sr).astype(np.float32)
         n_frames += frames.shape[0]
@@ -161,6 +178,9 @@ def main() -> None:
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--int8", action="store_true",
                         help="int8 weight quantization for serving")
+    parser.add_argument("--video", action="store_true",
+                        help="sequence (VSR) net: SR every slice's whole "
+                             "time series as one sequence")
     run(parser.parse_args())
 
 
