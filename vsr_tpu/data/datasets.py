@@ -50,16 +50,17 @@ class BaseDataset:
 
 
 def _nifti_shape(path: Path) -> tuple[int, ...]:
-    """Read just the header to get the data shape (cheap: 352 bytes)."""
+    """Read just the header to get the data shape (cheap: 352 bytes) —
+    delegates to the single NIfTI header parser in vsr_tpu.io.nifti."""
     import gzip
-    import struct
+
+    from vsr_tpu.io.nifti import _parse_header
 
     opener = gzip.open if str(path).endswith(".gz") else open
     with opener(path, "rb") as f:
         raw = f.read(352)
-    endian = "<" if struct.unpack_from("<i", raw, 0)[0] == 348 else ">"
-    dim = struct.unpack_from(f"{endian}8h", raw, 40)
-    return tuple(int(d) for d in dim[1 : 1 + dim[0]])
+    header, _, _ = _parse_header(raw)
+    return header.shape
 
 
 def parse_sample_name(path: Path) -> tuple[str, str, str | None]:
@@ -194,6 +195,14 @@ class _SequenceDataset(_SRDatasetMixin):
         out = []
         for i, lr_path in enumerate(self.lr_paths):
             T = _nifti_shape(lr_path)[-1]
+            if self.num_frames > T + 1:
+                # The circular wrap (reference acdc_misr_dataset.py:59-66)
+                # covers at most one extra lap; beyond that numpy slice
+                # clamping silently yields SHORT windows that crash collate
+                # mid-epoch — reject up front with the offending file.
+                raise ValueError(
+                    f"num_frames={self.num_frames} exceeds sequence length "
+                    f"{T}+1 of {lr_path.name}")
             out.extend((i, t) for t in range(T))
         return out
 
@@ -309,6 +318,16 @@ class AcdcVolumeDataset(_SRDatasetMixin):
         for p in self.patients:
             if not self.lr_seqs[p]:
                 continue
+            # Volumetric stacking needs every slice sequence of a patient to
+            # share (H, W, T); reject heterogeneous series up front (DSB15
+            # allows them) instead of IndexError/stack-mismatch mid-epoch.
+            shapes = {_nifti_shape(q) for q in self.lr_seqs[p]}
+            if len(shapes) > 1:
+                raise ValueError(
+                    f"Patient {p} has heterogeneous slice sequences "
+                    f"{sorted(shapes)}; the volumetric datasets require "
+                    f"uniform (H, W, T) per patient — exclude or resample "
+                    f"this patient")
             T = _nifti_shape(self.lr_seqs[p][0])[-1]
             self.data.extend((p, t) for t in range(T))
 

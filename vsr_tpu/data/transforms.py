@@ -273,6 +273,15 @@ class RandomElasticDeformation(BaseTransform):
         _check_dims(imgs)
         if rng is None or rng.random() >= self.prob:
             return imgs
+        if any(img.shape[:-1] != imgs[0].shape[:-1] for img in imgs):
+            # The reference builds ONE transform from imgs[0] and applies it
+            # to every image (transforms.py:262), which silently corrupts
+            # mixed-size LR/HR tuples; fail loudly instead.
+            raise ValueError(
+                "RandomElasticDeformation requires all images to share one "
+                f"spatial shape, got {[img.shape for img in imgs]} — apply "
+                "it before any resolution-changing step, or to same-size "
+                "tuples only.")
 
         from scipy import ndimage
 

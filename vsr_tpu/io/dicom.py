@@ -191,12 +191,18 @@ def read_dicom(path: str | Path) -> DicomImage:
 
 
 def series_to_array(paths: list[Path]) -> np.ndarray:
-    """Stack a cine series into (H, W, 1, T) sorted by InstanceNumber."""
+    """Stack a cine series into (H, W, 1, T) sorted by InstanceNumber.
+
+    Frames whose matrix size differs from the series MAJORITY shape are
+    dropped (keying on the first frame would throw away a whole valid
+    series whenever instance 1 is the outlier)."""
+    from collections import Counter
+
     images = [read_dicom(p) for p in paths]
     images.sort(key=lambda im: (im.instance_number, im.trigger_time))
     frames = [im.array() for im in images]
-    shape0 = frames[0].shape
-    frames = [f for f in frames if f.shape == shape0]
+    majority = Counter(f.shape for f in frames).most_common(1)[0][0]
+    frames = [f for f in frames if f.shape == majority]
     stack = np.stack(frames, axis=-1)  # (H, W, T)
     return stack[:, :, None, :]
 

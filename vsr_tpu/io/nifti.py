@@ -123,14 +123,17 @@ def load_nifti(
         raise ValueError(f"Two-file (.hdr/.img) NIfTI is not supported: {path}")
 
     count = int(np.prod(header.shape))
-    offset = int(vox_offset) if vox_offset else _VOX_OFFSET
+    offset = int(vox_offset) if vox_offset else int(_VOX_OFFSET)
     data = np.frombuffer(raw, dtype=header.dtype, count=count, offset=offset)
     data = data.reshape(header.shape, order="F")
 
     slope, inter = header.scl_slope, header.scl_inter
-    if (slope not in (0.0, 1.0) and slope == slope) or (inter not in (0.0,) and inter == inter):
-        effective_slope = slope if slope not in (0.0,) and slope == slope else 1.0
-        data = data.astype(np.float32) * np.float32(effective_slope) + np.float32(inter)
+    # NIfTI-1 semantics (and nibabel's): scl_slope == 0 (or NaN) means NO
+    # scaling at all — scl_inter is ignored, not applied with slope 1.
+    has_slope = slope == slope and slope != 0.0
+    if has_slope and (slope != 1.0 or (inter == inter and inter != 0.0)):
+        inter = inter if inter == inter else 0.0
+        data = data.astype(np.float32) * np.float32(slope) + np.float32(inter)
     else:
         # Return native-endian writable copy.
         data = np.asarray(data, dtype=header.dtype.newbyteorder("=")).copy(order="F")

@@ -140,13 +140,16 @@ class SliceSSIM(Metric):
 
     def __init__(self, channels: int = 1, size_average: bool = True,
                  value_range: float = 255):
+        self.size_average = size_average
         self.ssim = SSIM(dim=2, channels=channels, size_average=size_average,
                          value_range=value_range)
 
     def __call__(self, output, target):
         # vmap over depth: (N, D, H, W, C) -> per-slice (N, H, W, C).
         per_slice = jax.vmap(self.ssim, in_axes=(1, 1))(output, target)
-        return jnp.mean(per_slice)
+        if self.size_average:
+            return jnp.mean(per_slice)
+        return jnp.mean(per_slice, axis=0)  # (N,) per-sample, like PSNR
 
 
 class _CardiacMixin:

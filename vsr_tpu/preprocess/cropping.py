@@ -46,6 +46,10 @@ def find_bbox(data: np.ndarray) -> tuple[int, int, int, int]:
     xsets, ysets = np.where(opened)
     xsets = xsets[int(len(xsets) * 0.05) : int(len(xsets) * 0.95)]
     ysets = ysets[int(len(ysets) * 0.05) : int(len(ysets) * 0.95)]
+    if len(xsets) == 0 or len(ysets) == 0:
+        # No motion detected (e.g. identical frames): fall back to the full
+        # frame instead of propagating NaN statistics.
+        return 0, hmax, 0, wmax
 
     height = int(np.std(xsets).round() * 5)
     width = int(np.std(ysets).round() * 5)

@@ -16,13 +16,21 @@ def clip_outliers_minmax(data: np.ndarray) -> np.ndarray:
     float32."""
     if data.dtype == np.int16:
         data = data.copy()
-        hist, _ = np.histogram(
-            data.ravel(), bins=range(int(data.max()) + 1), density=True
-        )
-        cdf = np.cumsum(hist)
-        idx = int(np.abs(cdf - 0.995).argmin())
-        data[data > idx] = idx
-        data = ((data - data.min()) / (data.max() - data.min()) * 255.0).round()
+        # Degenerate volumes (max <= 1, e.g. all-zero masks) have no CDF to
+        # clip and would make np.histogram raise; pass them straight to the
+        # min-max step.
+        if int(data.max()) > 1:
+            hist, _ = np.histogram(
+                data.ravel(), bins=range(int(data.max()) + 1), density=True
+            )
+            cdf = np.cumsum(hist)
+            idx = int(np.abs(cdf - 0.995).argmin())
+            data[data > idx] = idx
+        spread = data.max() - data.min()
+        if spread > 0:
+            data = ((data - data.min()) / spread * 255.0).round()
+        else:
+            data = np.zeros_like(data, dtype=np.float32)
     return data.astype(np.float32)
 
 
