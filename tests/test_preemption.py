@@ -67,10 +67,11 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     assert find_latest_checkpoint(tmp_path / "ckpt") == ckpt
 
     interrupted = trainer.epoch
-    resumed = _make_trainer(root, tmp_path, num_epochs=interrupted)
+    resumed = _make_trainer(root, tmp_path, num_epochs=interrupted + 1)
     resumed.load(ckpt)
-    # The interrupted epoch is REDONE (ckpt stores epoch-1; load adds 1).
-    assert resumed.epoch == interrupted
+    # The interrupted epoch counts as done (its partial updates are in the
+    # params); resume continues at the NEXT epoch, never re-applying them.
+    assert resumed.epoch == interrupted + 1
     resumed.train()
     assert not resumed._preempted
     finite = all(np.isfinite(np.asarray(l)).all()

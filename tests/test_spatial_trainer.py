@@ -98,3 +98,24 @@ def test_vsr_trainer_data_x_spatial_matches_single_device():
         np.testing.assert_allclose(s_s[k], s_u[k], rtol=2e-4, atol=1e-5,
                                    err_msg=k)
     _params_close(p_s, p_u, rtol=5e-4, atol=1e-5)
+
+
+def test_spatial_only_mesh_works():
+    """mesh_axes={'spatial': m} (no data axis) degrades the 'data' spec
+    entries to replicated instead of crashing at construction."""
+    rng = np.random.default_rng(2)
+    batch = {
+        "lr_vol": rng.standard_normal((1, 8, 8, 4, 1)).astype(np.float32),
+        "hr_vol": rng.standard_normal((1, 16, 16, 4, 1)).astype(np.float32),
+        "index": np.arange(1),
+    }
+    net = Volume3DSRNet(in_channels=1, out_channels=1, num_features=4,
+                        num_resblocks=1, upscale_factor=2)
+    tr = _make(Acdc3DSRTrainer, net, {"spatial": 4})
+    p_s, s_s = _run_steps(tr, batch, 2, sharded=True)
+    single = _make(Acdc3DSRTrainer,
+                   Volume3DSRNet(in_channels=1, out_channels=1, num_features=4,
+                                 num_resblocks=1, upscale_factor=2), None)
+    p_u, s_u = _run_steps(single, batch, 2, sharded=False)
+    for k in s_u:
+        np.testing.assert_allclose(s_s[k], s_u[k], rtol=2e-4, atol=1e-5)

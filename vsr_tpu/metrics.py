@@ -156,8 +156,15 @@ class _CardiacMixin:
     """Crop output/target to the per-patient heart bbox before scoring.
 
     The crop happens in numpy index space (static per patient), so each
-    distinct bbox shape compiles once.
+    distinct bbox shape compiles once. ``host_only`` keeps these metrics out
+    of the predictors' jitted batch-eval (per-patient crops are dynamic
+    shapes); ``needs_name`` makes the call sites pass the patient name —
+    mirroring the reference's name-based dispatch
+    (``acdc_sisr_predictor.py:143-146``).
     """
+
+    host_only = True
+    needs_name = True
 
     def __init__(self, coordinates_path: str):
         # Lazy load: constructing metrics from a config must not require the

@@ -95,6 +95,25 @@ def RMSprop(learning_rate: float = 1e-2, lr: float | None = None,
     return optax.inject_hyperparams(make)(learning_rate=lr)
 
 
+def _scale_by_torch_adagrad(eps: float, initial_accumulator_value: float):
+    """torch Adagrad places eps OUTSIDE the sqrt (g / (sqrt(acc) + eps));
+    optax.scale_by_rss puts it inside, which diverges for tiny gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        return {"acc": jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, initial_accumulator_value), params)}
+
+    def update(grads, state, params=None):
+        acc = jax.tree_util.tree_map(lambda a, g: a + g * g, state["acc"], grads)
+        updates = jax.tree_util.tree_map(
+            lambda g, a: g / (jnp.sqrt(a) + eps), grads, acc)
+        return updates, {"acc": acc}
+
+    return optax.GradientTransformation(init, update)
+
+
 @register("optimizer")
 def Adagrad(learning_rate: float = 1e-2, lr: float | None = None,
             eps: float = 1e-10, weight_decay: float = 0.0,
@@ -104,8 +123,7 @@ def Adagrad(learning_rate: float = 1e-2, lr: float | None = None,
     def make(learning_rate):
         return optax.chain(
             _maybe_l2(weight_decay),
-            optax.scale_by_rss(
-                initial_accumulator_value=initial_accumulator_value, eps=eps),
+            _scale_by_torch_adagrad(eps, initial_accumulator_value),
             optax.scale(-learning_rate),
         )
 
@@ -317,6 +335,10 @@ class CosineAnnealingWarmRestarts(Scheduler):
     def __init__(self, T_0: int, T_mult: int = 1, eta_min: float = 0.0,
                  **kwargs: Any):
         super().__init__()
+        if T_0 <= 0:
+            raise ValueError(f"Expected positive integer T_0, got {T_0}")
+        if T_mult < 1:
+            raise ValueError(f"Expected integer T_mult >= 1, got {T_mult}")
         self.T_0 = T_0
         self.T_mult = int(T_mult)
         self.eta_min = eta_min

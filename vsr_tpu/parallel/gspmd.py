@@ -24,10 +24,17 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _prune_spec(mesh: Mesh, spec: P) -> P:
+    """Drop axis names the mesh does not have (e.g. a spatial-only mesh
+    {'spatial': m} works with the standard ('data', ..., 'spatial') specs —
+    the absent 'data' axis degrades to replicated)."""
+    return P(*(axis if axis in mesh.shape else None for axis in spec))
+
+
 def _shardings(mesh: Mesh, spec_tree: Any):
     """Map a pytree of PartitionSpec (or a single one) to NamedShardings."""
     return jax.tree_util.tree_map(
-        lambda s: NamedSharding(mesh, s),
+        lambda s: NamedSharding(mesh, _prune_spec(mesh, s)),
         spec_tree,
         is_leaf=lambda x: isinstance(x, P),
     )

@@ -308,6 +308,10 @@ class DeviceTrainerMixin:
                     f"the data axis size {n_data}; every chip needs at "
                     f"least one buffered sample")
             m = (lr.shape[0] // n_data) * n_data
+            if m != lr.shape[0]:
+                logging.info(
+                    f"DP buffers: truncating {lr.shape[0]} -> {m} samples "
+                    f"(multiple of data axis {n_data}).")
             lr, hr = lr[:m], hr[:m]
             shard = NamedSharding(self.mesh, P("data"))
             self.lr_buf = jax.device_put(jnp.asarray(lr, jnp.float32), shard)

@@ -126,8 +126,23 @@ class BasePredictor:
             log[fn.__class__.__name__] = 0.0
         return log
 
+    @staticmethod
+    def _host_metric(fn) -> bool:
+        """Metrics needing per-patient dynamic crops stay on the host path.
+        Opt-in via a ``host_only`` attribute; the reference's 'Cardiac'
+        class-name convention is kept as the fallback."""
+        return bool(getattr(fn, "host_only",
+                            "Cardiac" in fn.__class__.__name__))
+
+    def _split_metric_cols(self) -> tuple[list[int], list[int]]:
+        """(jit-eval column indices, host-path column indices)."""
+        std = [i for i, fn in enumerate(self.metric_fns)
+               if not self._host_metric(fn)]
+        host = [i for i in range(len(self.metric_fns)) if i not in std]
+        return std, host
+
     def _metric_value(self, fn, output, target, patient: str):
-        if "Cardiac" in fn.__class__.__name__:
+        if getattr(fn, "needs_name", "Cardiac" in fn.__class__.__name__):
             return fn(output, target, patient)
         return fn(output, target)
 
@@ -168,12 +183,8 @@ class ImagePredictor(BasePredictor):
         the host path)."""
         if getattr(self, "_sample_eval", None) is not None:
             return
-        std_fns = [fn for fn in self.metric_fns
-                   if "Cardiac" not in fn.__class__.__name__]
-        self._std_cols = [i for i, fn in enumerate(self.metric_fns)
-                          if "Cardiac" not in fn.__class__.__name__]
-        self._cardiac_cols = [i for i in range(len(self.metric_fns))
-                              if i not in self._std_cols]
+        self._std_cols, self._cardiac_cols = self._split_metric_cols()
+        std_fns = [self.metric_fns[i] for i in self._std_cols]
 
         def sample_eval(output, target):
             losses = (jnp.stack(self._sample_losses(output, target))
@@ -301,12 +312,8 @@ class VSRPredictor(BasePredictor):
     def _ensure_frame_eval(self) -> None:
         if getattr(self, "_frame_eval", None) is not None:
             return
-        std_fns = [fn for fn in self.metric_fns
-                   if "Cardiac" not in fn.__class__.__name__]
-        self._std_cols = [i for i, fn in enumerate(self.metric_fns)
-                          if "Cardiac" not in fn.__class__.__name__]
-        self._cardiac_cols = [i for i in range(len(self.metric_fns))
-                              if i not in self._std_cols]
+        self._std_cols, self._cardiac_cols = self._split_metric_cols()
+        std_fns = [self.metric_fns[i] for i in self._std_cols]
 
         def frame_eval(outputs, targets):
             tb = outputs.shape[1]

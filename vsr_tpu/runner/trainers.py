@@ -324,17 +324,24 @@ class BaseTrainer:
 
     def _install_preemption_handlers(self) -> dict:
         """SIGTERM/SIGINT request a graceful stop: the current batch
-        finishes, a ``model_preempt.ckpt`` is written (resumable at the
-        interrupted epoch), and train() returns — the preemption-safety the
-        reference lacks entirely (its recovery is manual ``loaded_path``)."""
+        finishes, a ``model_preempt.ckpt`` is written, and train() returns —
+        the preemption-safety the reference lacks entirely (its recovery is
+        manual ``loaded_path``). A SECOND signal restores the previous
+        handlers and delivers normally, so a run stuck inside a long XLA
+        compile/epoch program stays interruptible."""
         import signal
 
         previous = {}
 
         def handler(signum, frame):
+            if self._preempted:  # second signal: escalate
+                self._restore_handlers(previous)
+                logging.warning(f"Second signal {signum}: escalating.")
+                signal.raise_signal(signum)
+                return
             logging.warning(
                 f"Received signal {signum}: checkpointing and stopping at "
-                f"the next batch boundary.")
+                f"the next batch boundary (send again to force).")
             self._preempted = True
 
         for sig in (signal.SIGTERM, signal.SIGINT):
@@ -355,10 +362,14 @@ class BaseTrainer:
             logging.warning("Preempted with no monitor: nothing saved.")
             return
         path = Path(self.monitor.checkpoints_dir) / "model_preempt.ckpt"
-        # The interrupted epoch must be REDONE on resume (its update stream
-        # is partial), so the checkpoint records the last FINISHED epoch.
-        self.save(path, epoch=self.epoch - 1)
-        logging.info(f"Preemption checkpoint saved to {path}.")
+        # params already contain the interrupted epoch's (partial) updates,
+        # so the checkpoint counts that epoch as DONE and resume starts at
+        # the next one — re-running it would apply its batches a second time
+        # on top of their own updates. The tail of the interrupted epoch is
+        # sacrificed, never double-trained.
+        self.save(path, epoch=self.epoch)
+        logging.info(f"Preemption checkpoint saved to {path} "
+                     f"(resume continues at epoch {self.epoch + 1}).")
 
     def train(self) -> None:
         self._ensure_initialized()
