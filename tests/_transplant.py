@@ -47,6 +47,10 @@ def flax_leaf_order(net, variables, *args, **kwargs):
             kind = None
             if type(m).__name__ in _FLAX_PACKS:
                 kind = "mdcn" if type(m).__name__.startswith("Modulated") else "dcn"
+            elif type(m).__name__ == "ShuffleConv":
+                # pixel_shuffle + conv tail owning kernel/bias directly —
+                # transplants exactly like a conv (same HWIO layout).
+                kind = "conv"
             elif isinstance(m, nn.ConvTranspose):
                 kind = "deconv"
             elif isinstance(m, nn.Conv):

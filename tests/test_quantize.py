@@ -92,8 +92,11 @@ def _psnr_of(apply_fn, x, y):
 
 
 def test_int8_psnr_gate_edsr(rng):
+    # 16 features: at toy sizes (<=8) the relative int8 step is large enough
+    # that the 0.05 dB gate flaps with the init seed; production serving is
+    # 64 features where the per-channel error is smaller still.
     net = EDSRNet(in_channels=1, out_channels=1, num_resblocks=2,
-                  num_features=8, upscale_factor=2)
+                  num_features=16, upscale_factor=2)
     params, x, y = _train_briefly(net, rng)
     base = _psnr_of(lambda x: net.apply(params, x), x, y)
     q, s = quantize_params(params)

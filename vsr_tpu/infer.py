@@ -94,6 +94,8 @@ def run(args) -> dict:
     net_kwargs = json.loads(args.net_kwargs) if args.net_kwargs else {}
     if args.bf16:
         net_kwargs["dtype"] = jnp.bfloat16
+    if getattr(args, "fused_tail", False):
+        net_kwargs["fused_tail"] = True  # EDSR/DRF: fold conv through shuffle
     net = build("net", {"name": args.net, "kwargs": net_kwargs})
 
     paths = sorted(Path(args.input_dir).glob("**/*.nii*"))
@@ -181,6 +183,9 @@ def main() -> None:
     parser.add_argument("--video", action="store_true",
                         help="sequence (VSR) net: SR every slice's whole "
                              "time series as one sequence")
+    parser.add_argument("--fused-tail", dest="fused_tail", action="store_true",
+                        help="fold the final conv through the pixel-shuffle "
+                             "(EDSR/DRF; +~9%% serving throughput)")
     run(parser.parse_args())
 
 

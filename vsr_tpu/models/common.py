@@ -137,6 +137,51 @@ class Conv3D(nn.Module):
         )(x)
 
 
+class ShuffleConv(nn.Module):
+    """``pixel_shuffle(factor)`` followed by a SAME conv — the sub-pixel tail
+    of the SR nets — with an optional ``fused`` mode that folds the conv
+    through the shuffle (ops/fused_tail.py) so the full-resolution
+    intermediate never materializes (+8.6% EDSR serving on the chip,
+    identical math up to float reassociation).
+
+    Owns its ``kernel``/``bias`` directly (torch-default init, fan-in on the
+    POST-shuffle channel count) so both modes share one set of parameters:
+    train unfused, serve fused, same checkpoint.
+    """
+
+    features: int
+    kernel_size: int = 3
+    factor: int = 2
+    fused: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, pre):
+        """pre: (..., H, W, C*factor^2) -> (..., H*f, W*f, features)."""
+        from vsr_tpu.ops.fused_tail import conv_through_shuffle
+        from vsr_tpu.ops.pixel_shuffle import pixel_shuffle
+
+        k, r = self.kernel_size, self.factor
+        cin = pre.shape[-1] // (r * r)
+        fan_in = k * k * cin
+        kernel = self.param("kernel", torch_kernel_init,
+                            (k, k, cin, self.features))
+        bias = self.param("bias", make_torch_bias_init(fan_in),
+                          (self.features,))
+        dtype = self.dtype or pre.dtype
+        if self.fused:
+            return conv_through_shuffle(pre.astype(dtype),
+                                        kernel.astype(dtype),
+                                        bias.astype(dtype), r)
+        x = pixel_shuffle(pre, r)
+        pad = k // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype), (1, 1),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(dtype)
+
+
 def count_params(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
 

@@ -19,17 +19,20 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vsr_tpu.models.common import Conv
+from vsr_tpu.models.common import Conv, ShuffleConv
 from vsr_tpu.models.feedback import FBlock, InBlock, check_upscale_factor
 from vsr_tpu.ops.pixel_shuffle import pixel_shuffle
 from vsr_tpu.registry import register
 
 
 class _OutBlock(nn.Module):
-    """PixelShuffle ladder + final conv (``drf_sisr_net.py:137-148``)."""
+    """PixelShuffle ladder + final conv (``drf_sisr_net.py:137-148``). The
+    last shuffle + final conv are a ShuffleConv so serving can fold the conv
+    through the shuffle (``fused``)."""
 
     out_channels: int
     upscale_factor: int
+    fused: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -37,15 +40,18 @@ class _OutBlock(nn.Module):
         f = self.upscale_factor
         c = x.shape[-1]
         if math.log2(f).is_integer():
-            for _ in range(int(math.log2(f))):
+            for _ in range(int(math.log2(f)) - 1):
                 x = Conv(4 * c, 3, padding=1, dtype=self.dtype)(x)
                 x = pixel_shuffle(x, 2)
+            x = Conv(4 * c, 3, padding=1, dtype=self.dtype)(x)
+            last = 2
         elif f == 3:
             x = Conv(9 * c, 3, padding=1, dtype=self.dtype)(x)
-            x = pixel_shuffle(x, 3)
+            last = 3
         else:
             raise NotImplementedError(f"upscale_factor={f}")
-        return Conv(self.out_channels, 3, padding=1, dtype=self.dtype)(x)
+        return ShuffleConv(self.out_channels, 3, factor=last,
+                           fused=self.fused, dtype=self.dtype)(x)
 
 
 class _DRFStep(nn.Module):
@@ -56,13 +62,15 @@ class _DRFStep(nn.Module):
     num_groups: int
     out_channels: int
     upscale_factor: int
+    fused_tail: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, hidden, in_feat):
         f = FBlock(self.num_features, self.num_groups, self.upscale_factor,
                    dtype=self.dtype)(in_feat, hidden)
-        out = _OutBlock(self.out_channels, self.upscale_factor, dtype=self.dtype)(
+        out = _OutBlock(self.out_channels, self.upscale_factor,
+                        fused=self.fused_tail, dtype=self.dtype)(
             in_feat + f
         )
         return f, out
@@ -76,6 +84,7 @@ class DRFSISRNet(nn.Module):
     num_features: int
     num_groups: int
     upscale_factor: int
+    fused_tail: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -92,7 +101,7 @@ class DRFSISRNet(nn.Module):
         )
         _, outputs = scan(
             self.num_features, self.num_groups, self.out_channels,
-            self.upscale_factor, dtype=self.dtype,
+            self.upscale_factor, fused_tail=self.fused_tail, dtype=self.dtype,
         )(in_feat, in_feat)
         return outputs  # (num_steps, N, H, W, C)
 
@@ -109,6 +118,7 @@ class DRFNet(nn.Module):
     num_groups: int
     upscale_factor: int
     remat: bool = False
+    fused_tail: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -135,6 +145,7 @@ class DRFNet(nn.Module):
         # carries across frames.
         _, outputs = scan(
             self.num_features, self.num_groups, self.out_channels,
-            self.upscale_factor, dtype=self.dtype, name="step",
+            self.upscale_factor, fused_tail=self.fused_tail,
+            dtype=self.dtype, name="step",
         )(in_feats_t[0], in_feats_t)
         return jnp.moveaxis(outputs, 0, 1)  # (N, T, H, W, C)

@@ -14,7 +14,7 @@ from typing import Any
 
 from flax import linen as nn
 
-from vsr_tpu.models.common import Conv
+from vsr_tpu.models.common import Conv, ShuffleConv
 from vsr_tpu.ops.pixel_shuffle import pixel_shuffle
 from vsr_tpu.registry import register
 
@@ -33,28 +33,42 @@ class _ResBlock(nn.Module):
 
 
 class _UpBlock(nn.Module):
+    """Sub-pixel upsampling ladder. Returns the PRE-shuffle array of the
+    last stage (factor ``last_factor``); the caller's ShuffleConv tail
+    performs that final shuffle (optionally folded into its conv)."""
+
     num_features: int
     upscale_factor: int
     dtype: Any = None
+
+    last_factor: int = 0  # derived; set via staticmethod below
+
+    @staticmethod
+    def split(upscale_factor: int) -> int:
+        """Factor of the LAST shuffle stage."""
+        return 3 if upscale_factor == 3 else 2
 
     @nn.compact
     def __call__(self, x):
         f = self.upscale_factor
         if math.log2(f).is_integer():
-            for _ in range(int(math.log2(f))):
+            stages = int(math.log2(f))
+            for _ in range(stages - 1):
                 x = Conv(4 * self.num_features, 3, padding=1, dtype=self.dtype)(x)
                 x = pixel_shuffle(x, 2)
+            x = Conv(4 * self.num_features, 3, padding=1, dtype=self.dtype)(x)
         elif f == 3:
             x = Conv(9 * self.num_features, 3, padding=1, dtype=self.dtype)(x)
-            x = pixel_shuffle(x, 3)
         else:
             raise NotImplementedError(f"upscale_factor={f}")
-        return x
+        return x  # pre-shuffle of the last stage
 
 
 @register("net")
 class EDSRNet(nn.Module):
-    """Args mirror the reference (edsr_net.py:19)."""
+    """Args mirror the reference (edsr_net.py:19). ``fused_tail=True`` folds
+    the final conv through the last pixel-shuffle for serving (identical
+    parameters/math; see ops/fused_tail.py)."""
 
     in_channels: int
     out_channels: int
@@ -62,6 +76,7 @@ class EDSRNet(nn.Module):
     num_features: int
     upscale_factor: int
     res_scale: float = 0.1
+    fused_tail: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -72,6 +87,7 @@ class EDSRNet(nn.Module):
             body = _ResBlock(self.num_features, self.res_scale, dtype=self.dtype)(body)
         body = Conv(self.num_features, 3, padding=1, dtype=self.dtype)(body)
         body = body + head
-        out = _UpBlock(self.num_features, self.upscale_factor, dtype=self.dtype)(body)
-        out = Conv(self.out_channels, 3, padding=1, dtype=self.dtype)(out)
-        return out
+        pre = _UpBlock(self.num_features, self.upscale_factor, dtype=self.dtype)(body)
+        return ShuffleConv(self.out_channels, 3,
+                           factor=_UpBlock.split(self.upscale_factor),
+                           fused=self.fused_tail, dtype=self.dtype)(pre)
