@@ -47,9 +47,9 @@ def flax_leaf_order(net, variables, *args, **kwargs):
             kind = None
             if type(m).__name__ in _FLAX_PACKS:
                 kind = "mdcn" if type(m).__name__.startswith("Modulated") else "dcn"
-            elif type(m).__name__ == "ShuffleConv":
-                # pixel_shuffle + conv tail owning kernel/bias directly —
-                # transplants exactly like a conv (same HWIO layout).
+            elif type(m).__name__ in ("ShuffleConv", "FoldableConv"):
+                # Shuffle-adjacent convs owning kernel/bias directly —
+                # transplant exactly like a conv (same HWIO layout).
                 kind = "conv"
             elif isinstance(m, nn.ConvTranspose):
                 kind = "deconv"

@@ -73,3 +73,20 @@ def test_drf_sisr_fused_tail_equivalent(rng):
         b = net.clone(fused_tail=True).apply(params, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_edvr_fused_tail_equivalent(rng):
+    """EDVR's two tail convs chain FOLDED at half resolution; outputs match
+    the unfolded graph on one parameter set."""
+    from vsr_tpu.models import EDVRNet
+
+    x = jnp.asarray(rng.random((1, 5, 12, 12, 1)).astype(np.float32))
+    net = EDVRNet(in_channels=1, out_channels=1, nf=8, nframes=5, groups=2,
+                  front_RBs=1, back_RBs=1)
+    params = net.init(jax.random.PRNGKey(0), x)
+    with jax.default_matmul_precision("float32"):
+        a = net.apply(params, x)
+        b = net.clone(fused_tail=True).apply(params, x)
+    assert a.shape == (1, 48, 48, 1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)

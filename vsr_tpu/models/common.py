@@ -182,6 +182,53 @@ class ShuffleConv(nn.Module):
         return y + bias.astype(dtype)
 
 
+class FoldableConv(nn.Module):
+    """SAME conv that can alternatively run FOLDED through the
+    pixel_shuffle(factor) that would otherwise precede it.
+
+    Unfolded: ``__call__(x)`` is a plain SAME conv on the post-shuffle array.
+    Folded: ``__call__(pre, folded=True)`` consumes the PRE-shuffle array
+    (``cin * factor^2`` channels) and returns the PRE-shuffle result
+    (``features * factor^2`` channels) — so folded convs chain without ever
+    materializing the full-resolution arrays; the caller applies ONE final
+    pixel_shuffle. Elementwise activations commute with the shuffle, so they
+    can be applied between folded convs directly. One parameter set serves
+    both modes.
+    """
+
+    features: int
+    kernel_size: int = 3
+    factor: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, folded: bool = False):
+        from vsr_tpu.ops.fused_tail import fuse_conv_through_shuffle
+
+        k, r = self.kernel_size, self.factor
+        cin = x.shape[-1] // (r * r) if folded else x.shape[-1]
+        fan_in = k * k * cin
+        kernel = self.param("kernel", torch_kernel_init,
+                            (k, k, cin, self.features))
+        bias = self.param("bias", make_torch_bias_init(fan_in),
+                          (self.features,))
+        dtype = self.dtype or x.dtype
+        if not folded:
+            pad = k // 2
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype), kernel.astype(dtype), (1, 1),
+                [(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + bias.astype(dtype)
+        K, B = fuse_conv_through_shuffle(kernel.astype(dtype),
+                                         bias.astype(dtype), r)
+        pad = K.shape[0] // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), K, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + B
+
+
 def count_params(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
 

@@ -289,6 +289,7 @@ class EDVRNet(nn.Module):
     predeblur: bool = False
     HR_in: bool = False
     w_TSA: bool = True
+    fused_tail: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -351,12 +352,25 @@ class EDVRNet(nn.Module):
         out = fea
         for _ in range(self.back_RBs):
             out = ResidualBlockNoBN(nf, dtype=self.dtype)(out)
+        from vsr_tpu.models.common import FoldableConv
         from vsr_tpu.ops.pixel_shuffle import pixel_shuffle
 
         out = _lrelu(pixel_shuffle(Conv(nf * 4, 3, padding=1, dtype=self.dtype)(out), 2))
-        out = _lrelu(pixel_shuffle(Conv(64 * 4, 3, padding=1, dtype=self.dtype)(out), 2))
-        out = _lrelu(Conv(64, 3, padding=1, dtype=self.dtype)(out))
-        out = Conv(self.out_channels, 3, padding=1, dtype=self.dtype)(out)
+        up2 = Conv(64 * 4, 3, padding=1, dtype=self.dtype)(out)
+        hr_conv = FoldableConv(64, 3, factor=2, dtype=self.dtype)
+        last_conv = FoldableConv(self.out_channels, 3, factor=2, dtype=self.dtype)
+        if self.fused_tail:
+            # lrelu commutes with pixel_shuffle; HRconv and conv_last fold
+            # through the second shuffle and chain at HALF resolution with
+            # 4x-wider channels (ops/fused_tail.py) — the full-resolution
+            # 64-channel intermediates never materialize.
+            y = _lrelu(up2)
+            y = _lrelu(hr_conv(y, folded=True))
+            out = pixel_shuffle(last_conv(y, folded=True), 2)
+        else:
+            out = _lrelu(pixel_shuffle(up2, 2))
+            out = _lrelu(hr_conv(out))
+            out = last_conv(out)
 
         if self.HR_in:
             base = x_center
