@@ -100,14 +100,15 @@ def main() -> None:
         monitor=Monitor(checkpoints_dir=Path("/tmp/vsr_soak_ckpt"),
                         mode="min", target="Loss", saved_freq=10,
                         early_stop=0),
-        num_epochs=20, patch=24, ratio=factor, steps_per_epoch=200,
+        num_epochs=int(__import__("os").environ.get("SOAK_EPOCHS", 20)), patch=24, ratio=factor, steps_per_epoch=200,
         t_bucket=8,
     )
     t0 = time.time()
     trainer.train()
     dt = time.time() - t0
-    print(f"20 epochs x 200 steps = 4000 steps + 20 bucketed valid epochs "
-          f"in {dt:.1f}s ({4000 / dt:.0f} steps/s incl. validation)")
+    n = trainer.num_epochs
+    print(f"{n} epochs x 200 steps = {n * 200} steps + {n} bucketed valid "
+          f"epochs in {dt:.1f}s ({n * 200 / dt:.0f} steps/s incl. validation)")
 
     leaves = jax.tree_util.tree_leaves(trainer.params)
     assert all(bool(np.isfinite(np.asarray(l)).all()) for l in leaves), "non-finite params"

@@ -114,3 +114,29 @@ def test_infer_video_mode_flagship(tmp_path, rng):
     sr = load_nifti(tmp_path / "out" / "p1_4d_sr.nii.gz")
     assert sr.shape == (24, 24, 2, 4)  # every frame SR'd, geometry preserved
     assert np.isfinite(sr).all()
+
+
+def test_infer_flag_composition(tmp_path, rng):
+    """--video + --int8 + fused_tail compose in one serving pipeline."""
+    import argparse
+
+    import numpy as np
+
+    from vsr_tpu.infer import run
+    from vsr_tpu.io.nifti import load_nifti, save_nifti
+
+    vol = np.round(rng.random((24, 24, 1, 4)) * 255).astype(np.float32)
+    (tmp_path / "in").mkdir()
+    save_nifti(vol, tmp_path / "in" / "p1_4d.nii.gz")
+    args = argparse.Namespace(
+        input_dir=tmp_path / "in", output_dir=tmp_path / "out",
+        net="DRFNet",
+        net_kwargs='{"in_channels":1,"out_channels":1,"num_features":4,'
+                   '"num_groups":1,"upscale_factor":2}',
+        checkpoint="", factor=2, dataset="acdc", gif=False, bf16=False,
+        int8=True, video=True, fused_tail=True,
+    )
+    stats = run(args)
+    assert stats["frames"] == 4
+    sr = load_nifti(tmp_path / "out" / "p1_4d_sr.nii.gz")
+    assert sr.shape == (24, 24, 1, 4) and np.isfinite(sr).all()
