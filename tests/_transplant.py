@@ -47,9 +47,10 @@ def flax_leaf_order(net, variables, *args, **kwargs):
             kind = None
             if type(m).__name__ in _FLAX_PACKS:
                 kind = "mdcn" if type(m).__name__.startswith("Modulated") else "dcn"
-            elif type(m).__name__ in ("ShuffleConv", "FoldableConv"):
-                # Shuffle-adjacent convs owning kernel/bias directly —
-                # transplant exactly like a conv (same HWIO layout).
+            elif type(m).__name__ == "FoldableConv":
+                # Shuffle-adjacent conv owning kernel/bias directly —
+                # transplants exactly like a conv (same HWIO layout).
+                # (ShuffleConv is a pure wrapper around it.)
                 kind = "conv"
             elif isinstance(m, nn.ConvTranspose):
                 kind = "deconv"

@@ -68,7 +68,7 @@ def _copy_params_to_torch(params, tnet):
         set_conv(tnet.blocks[i][2], rb["Conv_1"]["Conv_0"])
     set_conv(tnet.body_conv, p["Conv_1"]["Conv_0"])
     set_conv(tnet.up, p["_UpBlock_0"]["Conv_0"]["Conv_0"])
-    set_conv(tnet.tail, p["ShuffleConv_0"])  # tail owns kernel/bias directly
+    set_conv(tnet.tail, p["ShuffleConv_0"]["FoldableConv_0"])
 
 
 def test_edsr_forward_matches_torch_with_shared_weights(rng):

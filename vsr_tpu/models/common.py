@@ -137,51 +137,6 @@ class Conv3D(nn.Module):
         )(x)
 
 
-class ShuffleConv(nn.Module):
-    """``pixel_shuffle(factor)`` followed by a SAME conv — the sub-pixel tail
-    of the SR nets — with an optional ``fused`` mode that folds the conv
-    through the shuffle (ops/fused_tail.py) so the full-resolution
-    intermediate never materializes (+8.6% EDSR serving on the chip,
-    identical math up to float reassociation).
-
-    Owns its ``kernel``/``bias`` directly (torch-default init, fan-in on the
-    POST-shuffle channel count) so both modes share one set of parameters:
-    train unfused, serve fused, same checkpoint.
-    """
-
-    features: int
-    kernel_size: int = 3
-    factor: int = 2
-    fused: bool = False
-    dtype: Any = None
-
-    @nn.compact
-    def __call__(self, pre):
-        """pre: (..., H, W, C*factor^2) -> (..., H*f, W*f, features)."""
-        from vsr_tpu.ops.fused_tail import conv_through_shuffle
-        from vsr_tpu.ops.pixel_shuffle import pixel_shuffle
-
-        k, r = self.kernel_size, self.factor
-        cin = pre.shape[-1] // (r * r)
-        fan_in = k * k * cin
-        kernel = self.param("kernel", torch_kernel_init,
-                            (k, k, cin, self.features))
-        bias = self.param("bias", make_torch_bias_init(fan_in),
-                          (self.features,))
-        dtype = self.dtype or pre.dtype
-        if self.fused:
-            return conv_through_shuffle(pre.astype(dtype),
-                                        kernel.astype(dtype),
-                                        bias.astype(dtype), r)
-        x = pixel_shuffle(pre, r)
-        pad = k // 2
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel.astype(dtype), (1, 1),
-            [(pad, pad), (pad, pad)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + bias.astype(dtype)
-
-
 class FoldableConv(nn.Module):
     """SAME conv that can alternatively run FOLDED through the
     pixel_shuffle(factor) that would otherwise precede it.
@@ -206,6 +161,10 @@ class FoldableConv(nn.Module):
         from vsr_tpu.ops.fused_tail import fuse_conv_through_shuffle
 
         k, r = self.kernel_size, self.factor
+        if k % 2 == 0:
+            # The fold derivation (and SAME-pad equality between modes)
+            # assumes odd kernels; all SR tails use 3.
+            raise ValueError(f"FoldableConv requires an odd kernel, got {k}")
         cin = x.shape[-1] // (r * r) if folded else x.shape[-1]
         fan_in = k * k * cin
         kernel = self.param("kernel", torch_kernel_init,
@@ -227,6 +186,34 @@ class FoldableConv(nn.Module):
             x.astype(dtype), K, (1, 1), [(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return y + B
+
+
+class ShuffleConv(nn.Module):
+    """``pixel_shuffle(factor)`` followed by a SAME conv — the sub-pixel tail
+    of the SR nets — with an optional ``fused`` mode that folds the conv
+    through the shuffle (ops/fused_tail.py) so the full-resolution
+    intermediate never materializes (+8.6% EDSR serving on the chip,
+    identical math up to float reassociation). Thin composition over
+    :class:`FoldableConv` (one parameter set: train unfused, serve fused,
+    same checkpoint).
+    """
+
+    features: int
+    kernel_size: int = 3
+    factor: int = 2
+    fused: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, pre):
+        """pre: (..., H, W, C*factor^2) -> (..., H*f, W*f, features)."""
+        from vsr_tpu.ops.pixel_shuffle import pixel_shuffle
+
+        conv = FoldableConv(self.features, self.kernel_size,
+                            factor=self.factor, dtype=self.dtype)
+        if self.fused:
+            return pixel_shuffle(conv(pre, folded=True), self.factor)
+        return conv(pixel_shuffle(pre, self.factor))
 
 
 def count_params(params) -> int:

@@ -41,8 +41,6 @@ class _UpBlock(nn.Module):
     upscale_factor: int
     dtype: Any = None
 
-    last_factor: int = 0  # derived; set via staticmethod below
-
     @staticmethod
     def split(upscale_factor: int) -> int:
         """Factor of the LAST shuffle stage."""
@@ -51,6 +49,11 @@ class _UpBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         f = self.upscale_factor
+        if f not in (2, 3, 4, 8):
+            # The reference _UpBlock supports 2^k and 3 and crashes for
+            # f == 1 (edsr_net.py:64 references an undefined loop var);
+            # reject explicitly instead of silently upscaling.
+            raise NotImplementedError(f"upscale_factor={f}")
         if math.log2(f).is_integer():
             stages = int(math.log2(f))
             for _ in range(stages - 1):

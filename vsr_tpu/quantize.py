@@ -77,7 +77,16 @@ def dequantize_params(qparams, scales, dtype=jnp.float32):
 
 def make_quantized_apply(net, qparams, scales, compute_dtype=jnp.float32,
                          **apply_kwargs):
-    """Returns ``apply(x)`` closing over the int8 tree; jit it once."""
+    """Returns ``apply(x)`` closing over the int8 tree; jit it once.
+
+    Dequantization runs in ``compute_dtype`` (fp32 default — pass bf16 for
+    bf16 serving). The trees are device_put first: raw numpy closures would
+    lower to literal constants that XLA's constant folding could expand back
+    into dense full-precision weights, silently defeating int8 residency;
+    device buffers are delivered as executable parameters and cannot fold.
+    """
+    qparams = jax.tree_util.tree_map(jnp.asarray, qparams)
+    scales = jax.tree_util.tree_map(jnp.asarray, scales)
 
     def apply(x, **kw):
         params = dequantize_params(qparams, scales, compute_dtype)
