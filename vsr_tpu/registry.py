@@ -83,9 +83,14 @@ def get_class(category: str, name: str) -> type:
         _ensure_populated()
         bucket = _REGISTRIES.get(category, {})
     if name not in bucket:
+        import difflib
+
         available = sorted(bucket)
+        close = difflib.get_close_matches(name, available, n=3, cutoff=0.55)
+        hint = f" Did you mean {close}?" if close else ""
         raise KeyError(
-            f"No {category!r} named {name!r} is registered. Available: {available}"
+            f"No {category!r} named {name!r} is registered.{hint} "
+            f"Available: {available}"
         )
     return bucket[name]
 
