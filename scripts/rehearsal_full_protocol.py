@@ -77,6 +77,7 @@ def main() -> None:
 
     cropped.mkdir(parents=True, exist_ok=True)
     cropping.run(processed / "videos" / "valid" / "HR", cropped)
+    cropping.run(processed / "videos" / "test" / "HR", cropped)  # merges
 
     print("== 4. flagship DEVICE training via the CLI ==", flush=True)
     train_cfg = {

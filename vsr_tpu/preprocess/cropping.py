@@ -69,8 +69,16 @@ def dump_video(path: Path, imgs: list[np.ndarray]) -> None:
 
 def run(data_dir: Path, output_dir: Path) -> dict[str, tuple[int, int, int, int]]:
     """Process every patient directory under ``data_dir`` (a ``videos/<type>/HR``
-    tree) and write cropped GIFs + ``coordinates.pkl`` under ``output_dir``."""
+    tree) and write cropped GIFs + ``coordinates.pkl`` under ``output_dir``.
+
+    An existing ``coordinates.pkl`` in ``output_dir`` is MERGED into (run the
+    CLI once per split — valid, test — into one output dir and the Cardiac
+    metrics see every patient)."""
     coordinates: dict[str, tuple[int, int, int, int]] = {}
+    existing = Path(output_dir) / "coordinates.pkl"
+    if existing.exists():
+        with open(existing, "rb") as f:
+            coordinates.update(pickle.load(f))
     patient_dirs = sorted(d for d in data_dir.iterdir() if d.is_dir())
     for patient_dir in patient_dirs:
         patient_name = patient_dir.parts[-1]
