@@ -150,10 +150,11 @@ def main() -> None:
 
     csv = (results / "pred" / "results.csv").read_text().splitlines()
     n_gifs = len(list((results / "pred" / "videos").glob("**/*.gif")))
+    assert log and log["PSNR"] > 30, log
+    assert np.isfinite(log["CardiacPSNR"])
+    assert len(csv) - 1 == 52 and n_gifs == 4
     print(f"REHEARSAL OK: test log {log}; {len(csv) - 1} per-frame CSV rows; "
           f"{n_gifs} GIFs; served {stats}; timings {timings}", flush=True)
-    assert log["PSNR"] > 30, log
-    assert log["PSNR"] > 0 and np.isfinite(log["CardiacPSNR"])
 
 
 if __name__ == "__main__":

@@ -145,7 +145,7 @@ def run_train(config) -> None:
     logging.info("End training.")
 
 
-def run_test(config) -> None:
+def run_test(config) -> dict:
     logging.info("Create the testing dataset and dataloader.")
     test_dataset = build("dataset", config.dataset, type="test")
     dl_kwargs = dict(config.dataloader.get("kwargs") or {})
@@ -177,7 +177,7 @@ def run_test(config) -> None:
         logging.info(f'Load the previous checkpoint from "{config.main.loaded_path}".')
         predictor.load(Path(config.main.loaded_path))
     logging.info("Start testing.")
-    predictor.predict()
+    return predictor.predict()
     logging.info("End testing.")
 
 
