@@ -125,7 +125,10 @@ def test_repo_configs_parse_and_resolve():
 
     import vsr_tpu.main  # noqa: F401 — populates registries
 
-    for cfg_file in sorted(Path("configs").glob("**/*.yaml")):
+    cfg_dir = Path(__file__).resolve().parent.parent / "configs"
+    cfg_files = sorted(cfg_dir.glob("**/*.yaml"))
+    assert len(cfg_files) >= 30, cfg_dir  # never pass vacuously
+    for cfg_file in cfg_files:
         cfg = load_config(cfg_file)
         assert cfg.dataset.name in names("dataset"), cfg_file
         assert cfg.net.name in names("net"), cfg_file

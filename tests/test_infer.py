@@ -7,8 +7,11 @@ from vsr_tpu.io.nifti import load_nifti, save_nifti
 
 
 def _args(**kw):
+    """Namespace with the FULL serving-CLI flag surface (keep in sync with
+    vsr_tpu.infer.main's argparse)."""
     defaults = dict(net="Bicubic", net_kwargs='{"upscale_factor": 2}',
-                    checkpoint="", factor=2, dataset="acdc", gif=True, bf16=False)
+                    checkpoint="", factor=2, dataset="acdc", gif=True,
+                    bf16=False, int8=False, video=False, fused_tail=False)
     defaults.update(kw)
     return argparse.Namespace(**defaults)
 
@@ -101,15 +104,12 @@ def test_infer_video_mode_flagship(tmp_path, rng):
     vol = np.round(rng.random((24, 24, 2, 4)) * 255).astype(np.float32)
     (tmp_path / "in").mkdir()
     save_nifti(vol, tmp_path / "in" / "p1_4d.nii.gz")
-    args = argparse.Namespace(
+    stats = run(_args(
         input_dir=tmp_path / "in", output_dir=tmp_path / "out",
         net="DRFNet",
         net_kwargs='{"in_channels":1,"out_channels":1,"num_features":4,'
                    '"num_groups":1,"upscale_factor":2}',
-        checkpoint="", factor=2, dataset="acdc", gif=False, bf16=False,
-        int8=False, video=True,
-    )
-    stats = run(args)
+        gif=False, video=True))
     assert stats["frames"] == 8
     sr = load_nifti(tmp_path / "out" / "p1_4d_sr.nii.gz")
     assert sr.shape == (24, 24, 2, 4)  # every frame SR'd, geometry preserved
@@ -128,15 +128,12 @@ def test_infer_flag_composition(tmp_path, rng):
     vol = np.round(rng.random((24, 24, 1, 4)) * 255).astype(np.float32)
     (tmp_path / "in").mkdir()
     save_nifti(vol, tmp_path / "in" / "p1_4d.nii.gz")
-    args = argparse.Namespace(
+    stats = run(_args(
         input_dir=tmp_path / "in", output_dir=tmp_path / "out",
         net="DRFNet",
         net_kwargs='{"in_channels":1,"out_channels":1,"num_features":4,'
                    '"num_groups":1,"upscale_factor":2}',
-        checkpoint="", factor=2, dataset="acdc", gif=False, bf16=False,
-        int8=True, video=True, fused_tail=True,
-    )
-    stats = run(args)
+        gif=False, int8=True, video=True, fused_tail=True))
     assert stats["frames"] == 4
     sr = load_nifti(tmp_path / "out" / "p1_4d_sr.nii.gz")
     assert sr.shape == (24, 24, 1, 4) and np.isfinite(sr).all()

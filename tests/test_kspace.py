@@ -64,7 +64,7 @@ def test_jax_matches_numpy_within_rounding(rng, factor):
     for i in range(2):
         np_out = kspace_downscale(imgs[i][..., None], factor)[..., 0]
         # complex64 vs complex128 can flip values at .5 rounding boundaries;
-        # demand exact match on >99% of pixels and <=1 level elsewhere.
+        # demand exact match on >98% of pixels (the enforced bound; measured ~99.5%) and <=1 level elsewhere.
         diff = np.abs(jax_out[i] - np_out)
         assert (diff == 0).mean() > 0.98, f"match rate {(diff == 0).mean()}"
         assert diff.max() <= 1.0

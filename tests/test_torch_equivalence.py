@@ -115,12 +115,7 @@ def test_conv_transpose_matches_torch_with_shared_weights(rng):
         golden = t(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
 
     ours = np.asarray(m.apply(variables, jnp.asarray(x)))
-    try:
-        np.testing.assert_allclose(ours, golden.transpose(0, 2, 3, 1), atol=2e-5)
-    except AssertionError:
-        # Kernel orientation conventions differ between frameworks; accept
-        # the unflipped variant as the match instead.
-        with torch.no_grad():
-            t.weight.copy_(torch.from_numpy(kernel.transpose(2, 3, 0, 1)))
-            golden = t(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
-        np.testing.assert_allclose(ours, golden.transpose(0, 2, 3, 1), atol=2e-5)
+    # The flip IS the convention (flax ConvTranspose correlates, torch
+    # convolves); tests/_transplant.py:_copy_deconv depends on it, so this
+    # must fail hard if it ever changes — no fallback.
+    np.testing.assert_allclose(ours, golden.transpose(0, 2, 3, 1), atol=2e-5)
