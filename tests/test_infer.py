@@ -11,7 +11,8 @@ def _args(**kw):
     vsr_tpu.infer.main's argparse)."""
     defaults = dict(net="Bicubic", net_kwargs='{"upscale_factor": 2}',
                     checkpoint="", factor=2, dataset="acdc", gif=True,
-                    bf16=False, int8=False, video=False, fused_tail=False)
+                    bf16=False, int8=False, video=False, fused_tail=False,
+                    mesh="")
     defaults.update(kw)
     return argparse.Namespace(**defaults)
 

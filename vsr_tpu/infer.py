@@ -32,7 +32,7 @@ from vsr_tpu.utils.normalize import DATASET_STATS
 
 
 def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
-                  video_t: int | None = None):
+                  video_t: int | None = None, mesh=None):
     """One jitted device program: HR float frames (N, H, W) ->
     (lr_frames, sr_frames) uint8-valued float32.
 
@@ -43,7 +43,11 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
 
     ``video_t``: for sequence (VSR) nets — the N frames are D*video_t
     slice-sequences; the net sees (D, T, h, w, 1) and every SR frame is
-    kept (frame order preserved)."""
+    kept (frame order preserved).
+
+    ``mesh``: a ``jax.sharding.Mesh`` — the pipeline is partitioned over it
+    (frames over ``'data'``, H over ``'spatial'``; parallel/serving.py) for
+    multi-chip batch serving."""
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +63,6 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     else:
         net_apply = lambda z: net.apply(params, z)
 
-    @jax.jit
     def pipeline(hr_frames):
         lr = kspace_downscale_jax(hr_frames, factor)
         z = (lr - mean) / (std + 1e-10)
@@ -79,7 +82,11 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
         sr = jnp.clip(jnp.round(sr * std + mean), 0, 255)
         return lr, sr
 
-    return pipeline
+    if mesh is not None:
+        from vsr_tpu.parallel.serving import shard_pipeline
+
+        return shard_pipeline(pipeline, mesh, seq_len=video_t)
+    return jax.jit(pipeline)
 
 
 def run(args) -> dict:
@@ -97,6 +104,14 @@ def run(args) -> dict:
     if getattr(args, "fused_tail", False):
         net_kwargs["fused_tail"] = True  # EDSR/DRF: fold conv through shuffle
     net = build("net", {"name": args.net, "kwargs": net_kwargs})
+
+    mesh = None
+    if getattr(args, "mesh", ""):
+        from vsr_tpu.parallel.mesh import make_mesh
+        from vsr_tpu.parallel.serving import parse_mesh_axes
+
+        mesh = make_mesh(parse_mesh_axes(args.mesh))
+        logging.info(f"Serving over mesh {dict(mesh.shape)}")
 
     paths = sorted(Path(args.input_dir).glob("**/*.nii*"))
     if not paths:
@@ -135,8 +150,10 @@ def run(args) -> dict:
             pipelines[key] = make_pipeline(net, params, args.factor,
                                            args.dataset,
                                            int8=getattr(args, "int8", False),
-                                           video_t=t if video else None)
-        lr, sr = pipelines[key](jax.device_put(frames))
+                                           video_t=t if video else None,
+                                           mesh=mesh)
+        lr, sr = pipelines[key](frames if mesh is not None
+                                else jax.device_put(frames))
         sr_np = np.asarray(sr).astype(np.float32)
         n_frames += frames.shape[0]
 
@@ -183,6 +200,10 @@ def main() -> None:
     parser.add_argument("--video", action="store_true",
                         help="sequence (VSR) net: SR every slice's whole "
                              "time series as one sequence")
+    parser.add_argument("--mesh", default="",
+                        help="partition serving over a device mesh, e.g. "
+                             "'data=4' or 'data=2,spatial=2' (-1 = all "
+                             "remaining devices)")
     parser.add_argument("--fused-tail", dest="fused_tail", action="store_true",
                         help="fold the final conv through the pixel-shuffle "
                              "(EDSR/DRF; +~9%% serving throughput)")
