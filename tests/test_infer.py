@@ -12,7 +12,7 @@ def _args(**kw):
     defaults = dict(net="Bicubic", net_kwargs='{"upscale_factor": 2}',
                     checkpoint="", factor=2, dataset="acdc", gif=True,
                     bf16=False, int8=False, video=False, fused_tail=False,
-                    mesh="")
+                    mesh="", bucket_t=0)
     defaults.update(kw)
     return argparse.Namespace(**defaults)
 
@@ -138,3 +138,25 @@ def test_infer_flag_composition(tmp_path, rng):
     assert stats["frames"] == 4
     sr = load_nifti(tmp_path / "out" / "p1_4d_sr.nii.gz")
     assert sr.shape == (24, 24, 1, 4) and np.isfinite(sr).all()
+
+
+def test_infer_video_bucketed_t(tmp_path, rng):
+    """--bucket-t: volumes with different T share ONE compiled program and
+    the causal pad-then-slice output equals the per-T exact serving."""
+    kw = ('{"in_channels":1,"out_channels":1,"num_features":4,'
+          '"num_groups":1,"upscale_factor":2}')
+    for name, t in (("pA", 3), ("pB", 4)):
+        (tmp_path / "in" / name).mkdir(parents=True)
+        vol = np.round(rng.random((24, 24, 2, t)) * 255).astype(np.float32)
+        save_nifti(vol, tmp_path / "in" / name / f"{name}_4d.nii.gz")
+
+    exact = run(_args(input_dir=tmp_path / "in", output_dir=tmp_path / "o1",
+                      net="DRFNet", net_kwargs=kw, video=True))
+    bucketed = run(_args(input_dir=tmp_path / "in", output_dir=tmp_path / "o2",
+                         net="DRFNet", net_kwargs=kw, video=True, bucket_t=4))
+    assert exact["programs"] == 2 and bucketed["programs"] == 1
+    assert bucketed["frames"] == exact["frames"] == 14
+    for name in ("pA", "pB"):
+        a = load_nifti(tmp_path / "o1" / name / f"{name}_4d_sr.nii.gz")
+        b = load_nifti(tmp_path / "o2" / name / f"{name}_4d_sr.nii.gz")
+        np.testing.assert_array_equal(a, b)  # causality => bitwise equal

@@ -23,7 +23,7 @@ def _args(**kw):
     defaults = dict(net="Bicubic", net_kwargs='{"upscale_factor": 2}',
                     checkpoint="", factor=2, dataset="acdc", gif=False,
                     bf16=False, int8=False, video=False, fused_tail=False,
-                    mesh="")
+                    mesh="", bucket_t=0)
     defaults.update(kw)
     return argparse.Namespace(**defaults)
 

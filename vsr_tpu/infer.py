@@ -131,6 +131,17 @@ def run(args) -> dict:
         frames = np.moveaxis(data.reshape(h, w, d * t), -1, 0)  # (D*T, H, W)
 
         video = bool(getattr(args, "video", False))
+        # Bucketed sequence length: round T up to a multiple of --bucket-t so
+        # many distinct-T volumes share a few compiled programs (the serving
+        # analogue of utils/bucketing.py). The recurrent VSR nets are causal
+        # over T, so trailing pad frames cannot influence the first t outputs
+        # — slicing back is exact; pad content is wrap-around (cine loops).
+        bucket = int(getattr(args, "bucket_t", 0) or 0)
+        t_eff = -(-t // bucket) * bucket if (video and bucket) else t
+        if t_eff != t:
+            seq = frames.reshape(d, t, *frames.shape[1:])
+            frames = seq[:, np.arange(t_eff) % t].reshape(
+                d * t_eff, *frames.shape[1:])
         if params is None:
             if video:
                 example = jnp.zeros((1, 2, h // args.factor, w // args.factor, 1))
@@ -145,17 +156,20 @@ def run(args) -> dict:
                 state, _ = load_checkpoint(args.checkpoint)
                 params = serialization.from_state_dict(params, state["params"])
 
-        key = (h, w, t if video else None)
+        key = (h, w, t_eff if video else None)
         if key not in pipelines:
             pipelines[key] = make_pipeline(net, params, args.factor,
                                            args.dataset,
                                            int8=getattr(args, "int8", False),
-                                           video_t=t if video else None,
+                                           video_t=t_eff if video else None,
                                            mesh=mesh)
         lr, sr = pipelines[key](frames if mesh is not None
                                 else jax.device_put(frames))
         sr_np = np.asarray(sr).astype(np.float32)
-        n_frames += frames.shape[0]
+        if t_eff != t:  # drop the causal pad frames
+            sr_np = sr_np.reshape(d, t_eff, *sr_np.shape[1:])[:, :t]
+            sr_np = sr_np.reshape(d * t, *sr_np.shape[2:])
+        n_frames += d * t
 
         rel = path.relative_to(args.input_dir)
         out_base = Path(args.output_dir) / rel.parent / rel.name.split(".")[0]
@@ -169,12 +183,13 @@ def run(args) -> dict:
                 with imageio.get_writer(gif_path) as writer:
                     for ti in range(t):
                         writer.append_data(sr_seq[:, :, di, ti].astype(np.uint8))
-        logging.info(f"{path.name}: {frames.shape[0]} frames -> {out_base}_sr.nii.gz")
+        logging.info(f"{path.name}: {d * t} frames -> {out_base}_sr.nii.gz")
 
     elapsed = time.perf_counter() - start
     stats = {"volumes": len(paths), "frames": n_frames,
              "seconds": round(elapsed, 3),
-             "frames_per_sec": round(n_frames / elapsed, 2)}
+             "frames_per_sec": round(n_frames / elapsed, 2),
+             "programs": len(pipelines)}
     logging.info(f"Inference done: {stats}")
     return stats
 
@@ -200,6 +215,11 @@ def main() -> None:
     parser.add_argument("--video", action="store_true",
                         help="sequence (VSR) net: SR every slice's whole "
                              "time series as one sequence")
+    parser.add_argument("--bucket-t", dest="bucket_t", type=int, default=0,
+                        help="with --video: round each sequence's T up to a "
+                             "multiple of this (wrap-around pad, sliced back "
+                             "after — exact for the causal VSR nets) so "
+                             "variable-T volumes share compiled programs")
     parser.add_argument("--mesh", default="",
                         help="partition serving over a device mesh, e.g. "
                              "'data=4' or 'data=2,spatial=2' (-1 = all "
