@@ -160,3 +160,66 @@ def test_infer_video_bucketed_t(tmp_path, rng):
         a = load_nifti(tmp_path / "o1" / name / f"{name}_4d_sr.nii.gz")
         b = load_nifti(tmp_path / "o2" / name / f"{name}_4d_sr.nii.gz")
         np.testing.assert_array_equal(a, b)  # causality => bitwise equal
+
+
+def test_infer_misr_windows(tmp_path, rng):
+    """--windows serves a MISR net through the CLI: every output frame comes
+    from one circular temporal window (reference acdc_misr_dataset.py:53-68),
+    matching a manual per-window application exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from vsr_tpu.models import RBPNet
+    from vsr_tpu.preprocess.kspace import kspace_downscale_jax
+
+    vol = np.round(rng.random((24, 24, 2, 4)) * 255).astype(np.float32)
+    (tmp_path / "in").mkdir()
+    save_nifti(vol, tmp_path / "in" / "p1_4d.nii.gz")
+
+    kwargs = dict(in_channels=1, out_channels=1, base_filter=8, feat=8,
+                  num_stages=2, num_resblocks=1, num_frames=3,
+                  upscale_factor=2)
+    import json
+    stats = run(_args(input_dir=tmp_path / "in", output_dir=tmp_path / "out",
+                      net="RBPNet", net_kwargs=json.dumps(kwargs),
+                      gif=False, windows=3))
+    assert stats["frames"] == 8 and stats["programs"] == 1
+    sr = load_nifti(tmp_path / "out" / "p1_4d_sr.nii.gz")
+    assert sr.shape == (24, 24, 2, 4) and np.isfinite(sr).all()
+
+    # Manual oracle: same normalize/degrade, explicit middle-ordered windows.
+    net = RBPNet(**kwargs)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 12, 12, 1)))
+    frames = np.moveaxis(vol.reshape(24, 24, 8), -1, 0)
+    lr = np.asarray(kspace_downscale_jax(jnp.asarray(frames), 2))
+    z = ((lr - 54.089) / (48.084 + 1e-10))[..., None].reshape(2, 4, 12, 12, 1)
+    outs = []
+    for d in range(2):
+        for t in range(4):
+            idx = [(t - 1) % 4, t, (t + 1) % 4]
+            win = z[d, idx][None]
+            o = np.asarray(net.apply(params, jnp.asarray(win)))[0]
+            outs.append(o)
+    oracle = np.clip(np.round(np.stack(outs)[..., 0] * 48.084 + 54.089), 0, 255)
+    got = np.moveaxis(sr.reshape(24, 24, 8), -1, 0)
+    np.testing.assert_array_equal(got, oracle)
+
+
+def test_infer_misr_windows_batchnorm_net(tmp_path, rng):
+    """--windows with a BatchNorm net (DUF): the train=False flag threads
+    through init and apply."""
+    import json
+
+    vol = np.round(rng.random((24, 24, 1, 3)) * 255).astype(np.float32)
+    (tmp_path / "in").mkdir()
+    save_nifti(vol, tmp_path / "in" / "p1_4d.nii.gz")
+    stats = run(_args(
+        input_dir=tmp_path / "in", output_dir=tmp_path / "out",
+        net="DUFNet",
+        net_kwargs=json.dumps(dict(in_channels=1, out_channels=1,
+                                   num_frames=7, size_filter=3,
+                                   upscale_factor=2)),
+        gif=False, windows=7))
+    assert stats["frames"] == 3
+    sr = load_nifti(tmp_path / "out" / "p1_4d_sr.nii.gz")
+    assert sr.shape == (24, 24, 1, 3) and np.isfinite(sr).all()

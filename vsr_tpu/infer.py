@@ -32,7 +32,9 @@ from vsr_tpu.utils.normalize import DATASET_STATS
 
 
 def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
-                  video_t: int | None = None, mesh=None):
+                  video_t: int | None = None, mesh=None,
+                  window: tuple[int, int, str] | None = None,
+                  train_flag: bool = False):
     """One jitted device program: HR float frames (N, H, W) ->
     (lr_frames, sr_frames) uint8-valued float32.
 
@@ -47,7 +49,15 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
 
     ``mesh``: a ``jax.sharding.Mesh`` — the pipeline is partitioned over it
     (frames over ``'data'``, H over ``'spatial'``; parallel/serving.py) for
-    multi-chip batch serving."""
+    multi-chip batch serving.
+
+    ``window``: for MISR nets — ``(n_frames, seq_t, order)``: the N frames
+    are D*seq_t slice-sequences; every output frame gets one circular
+    ``n_frames`` temporal window (the reference MISR eval protocol,
+    ``acdc_misr_dataset.py:53-68``), built on device by a gather.
+    ``order='middle'`` centers the window on the output frame, ``'last'``
+    ends it there. ``train_flag``: pass ``train=False`` explicitly (the
+    BatchNorm nets, TOFlow/DUF)."""
     import jax
     import jax.numpy as jnp
 
@@ -55,13 +65,14 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
 
     mean, std = DATASET_STATS[dataset]
 
+    extra = {"train": False} if train_flag else {}
     if int8:
         from vsr_tpu.quantize import make_quantized_apply, quantize_params
 
         qparams, scales = quantize_params(params)
-        net_apply = make_quantized_apply(net, qparams, scales)
+        net_apply = make_quantized_apply(net, qparams, scales, **extra)
     else:
-        net_apply = lambda z: net.apply(params, z)
+        net_apply = lambda z: net.apply(params, z, **extra)
 
     def pipeline(hr_frames):
         lr = kspace_downscale_jax(hr_frames, factor)
@@ -70,6 +81,14 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
         if video_t:
             n, h, w, c = z.shape
             z = z.reshape(n // video_t, video_t, h, w, c)
+        elif window:
+            nf, seq_t, order = window
+            n, h, w, c = z.shape
+            seq = z.reshape(n // seq_t, seq_t, h, w, c)
+            shift = nf // 2 if order == "middle" else nf - 1
+            idx = (jnp.arange(seq_t)[:, None]
+                   + jnp.arange(nf)[None, :] - shift) % seq_t
+            z = jnp.take(seq, idx, axis=1).reshape(n, nf, h, w, c)
         sr = net_apply(z)
         if isinstance(sr, tuple):
             sr = sr[0]
@@ -85,7 +104,8 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     if mesh is not None:
         from vsr_tpu.parallel.serving import shard_pipeline
 
-        return shard_pipeline(pipeline, mesh, seq_len=video_t)
+        return shard_pipeline(pipeline, mesh,
+                              seq_len=video_t or (window[1] if window else None))
     return jax.jit(pipeline)
 
 
@@ -131,6 +151,13 @@ def run(args) -> dict:
         frames = np.moveaxis(data.reshape(h, w, d * t), -1, 0)  # (D*T, H, W)
 
         video = bool(getattr(args, "video", False))
+        windows = int(getattr(args, "windows", 0) or 0)
+        if windows and video:
+            raise SystemExit("--windows (MISR) and --video (VSR) are "
+                             "mutually exclusive")
+        if windows and getattr(args, "bucket_t", 0):
+            raise SystemExit("--bucket-t requires --video (circular MISR "
+                             "windows over a padded period are not exact)")
         # Bucketed sequence length: round T up to a multiple of --bucket-t so
         # many distinct-T volumes share a few compiled programs (the serving
         # analogue of utils/bucketing.py). The recurrent VSR nets are causal
@@ -142,12 +169,19 @@ def run(args) -> dict:
             seq = frames.reshape(d, t, *frames.shape[1:])
             frames = seq[:, np.arange(t_eff) % t].reshape(
                 d * t_eff, *frames.shape[1:])
+        # The BatchNorm nets take an explicit train flag (and carry
+        # batch_stats in their variables).
+        train_flag = args.net in ("TOFlowNet", "DUFNet")
         if params is None:
             if video:
                 example = jnp.zeros((1, 2, h // args.factor, w // args.factor, 1))
+            elif windows:
+                example = jnp.zeros((1, windows, h // args.factor,
+                                     w // args.factor, 1))
             else:
                 example = jnp.zeros((1, h // args.factor, w // args.factor, 1))
-            params = net.init(jax.random.PRNGKey(0), example)
+            init_kw = {"train": False} if train_flag else {}
+            params = net.init(jax.random.PRNGKey(0), example, **init_kw)
             if args.checkpoint:
                 from flax import serialization
 
@@ -156,13 +190,16 @@ def run(args) -> dict:
                 state, _ = load_checkpoint(args.checkpoint)
                 params = serialization.from_state_dict(params, state["params"])
 
-        key = (h, w, t_eff if video else None)
+        key = (h, w, t_eff if video else (t if windows else None))
         if key not in pipelines:
-            pipelines[key] = make_pipeline(net, params, args.factor,
-                                           args.dataset,
-                                           int8=getattr(args, "int8", False),
-                                           video_t=t_eff if video else None,
-                                           mesh=mesh)
+            pipelines[key] = make_pipeline(
+                net, params, args.factor, args.dataset,
+                int8=getattr(args, "int8", False),
+                video_t=t_eff if video else None,
+                mesh=mesh,
+                window=((windows, t, getattr(args, "window_order", "middle"))
+                        if windows else None),
+                train_flag=train_flag)
         lr, sr = pipelines[key](frames if mesh is not None
                                 else jax.device_put(frames))
         sr_np = np.asarray(sr).astype(np.float32)
@@ -215,6 +252,13 @@ def main() -> None:
     parser.add_argument("--video", action="store_true",
                         help="sequence (VSR) net: SR every slice's whole "
                              "time series as one sequence")
+    parser.add_argument("--windows", type=int, default=0,
+                        help="MISR net (DUF/EDVR/RBPN/TOFlow): serve every "
+                             "frame from one circular N-frame temporal "
+                             "window (the reference MISR eval protocol)")
+    parser.add_argument("--window-order", dest="window_order",
+                        choices=["middle", "last"], default="middle",
+                        help="window alignment relative to the output frame")
     parser.add_argument("--bucket-t", dest="bucket_t", type=int, default=0,
                         help="with --video: round each sequence's T up to a "
                              "multiple of this (wrap-around pad, sliced back "

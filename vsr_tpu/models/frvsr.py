@@ -163,7 +163,10 @@ class _FRVSRStep(nn.Module):
             space_to_depth(warped_sr, self.upscale_factor), lr_img
         )
         warped_lr = stn_warp(lr_last, lr_flow, padding_mode="border")
-        return (lr_img, sr_img), (sr_img, warped_lr)
+        # Keep the carry dtype stable across frames: under dtype=bf16 the
+        # SRNet emits bf16 while the zeros-initialized sr_last is the input
+        # dtype — lax.scan requires identical carry types (no-op in f32).
+        return (lr_img, sr_img.astype(lr_img.dtype)), (sr_img, warped_lr)
 
 
 @register("net")
