@@ -43,11 +43,12 @@ def naive_deform_conv(x, offsets, weight, mask=None, padding=1):
     return out
 
 
-def test_zero_offset_equals_standard_conv(rng):
+@pytest.mark.parametrize("method", ["gather", "matmul"])
+def test_zero_offset_equals_standard_conv(rng, method):
     x = jnp.asarray(rng.random((1, 6, 6, 4)), jnp.float32)
     weight = jnp.asarray(rng.standard_normal((3, 3, 4, 5)), jnp.float32)
     offsets = jnp.zeros((1, 6, 6, 2, 9, 2), jnp.float32)
-    ours = deform_conv2d(x, offsets, weight)
+    ours = deform_conv2d(x, offsets, weight, method=method)
     golden = jax.lax.conv_general_dilated(
         x, weight, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -55,23 +56,26 @@ def test_zero_offset_equals_standard_conv(rng):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(golden), atol=1e-4)
 
 
-def test_matches_naive_with_offsets(rng):
+@pytest.mark.parametrize("method", ["gather", "matmul"])
+def test_matches_naive_with_offsets(rng, method):
     x = rng.random((1, 5, 5, 2)).astype(np.float32)
     weight = rng.standard_normal((3, 3, 2, 3)).astype(np.float32)
     offsets = (rng.random((1, 5, 5, 2, 9, 2)).astype(np.float32) - 0.5) * 2
-    ours = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight)))
+    ours = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(offsets),
+                                    jnp.asarray(weight), method=method))
     golden = naive_deform_conv(x, offsets, weight)
     np.testing.assert_allclose(ours, golden, atol=1e-4)
 
 
-def test_modulated_matches_naive(rng):
+@pytest.mark.parametrize("method", ["gather", "matmul"])
+def test_modulated_matches_naive(rng, method):
     x = rng.random((1, 4, 4, 2)).astype(np.float32)
     weight = rng.standard_normal((3, 3, 2, 2)).astype(np.float32)
     offsets = (rng.random((1, 4, 4, 1, 9, 2)).astype(np.float32) - 0.5) * 2
     mask = rng.random((1, 4, 4, 1, 9)).astype(np.float32)
     ours = np.asarray(
         deform_conv2d(jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(weight),
-                      mask=jnp.asarray(mask))
+                      mask=jnp.asarray(mask), method=method)
     )
     golden = naive_deform_conv(x, offsets, weight, mask=mask)
     np.testing.assert_allclose(ours, golden, atol=1e-4)
@@ -87,14 +91,45 @@ def test_bias_added(rng):
     np.testing.assert_allclose(out[..., 1], -2.0, atol=1e-6)
 
 
-def test_grad_flows_to_offsets(rng):
+@pytest.mark.parametrize("method", ["gather", "matmul"])
+def test_grad_flows_to_offsets(rng, method):
     x = jnp.asarray(rng.random((1, 5, 5, 2)), jnp.float32)
     weight = jnp.asarray(rng.standard_normal((3, 3, 2, 2)), jnp.float32)
     offsets = jnp.full((1, 5, 5, 1, 9, 2), 0.3, jnp.float32)
 
     def loss(off):
-        return jnp.sum(deform_conv2d(x, off, weight) ** 2)
+        return jnp.sum(deform_conv2d(x, off, weight, method=method) ** 2)
 
     g = jax.grad(loss)(offsets)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_matmul_and_gather_paths_agree(rng):
+    """The hat-matmul sampler and the 4-corner gather sampler are the same
+    math — outputs, input grads, and offset grads agree on a larger random
+    case with out-of-bounds samples, stride 2, dilation 2, groups."""
+    x = jnp.asarray(rng.random((2, 9, 7, 4)), jnp.float32)
+    weight = jnp.asarray(rng.standard_normal((3, 3, 4, 5)) * 0.3, jnp.float32)
+    offsets = jnp.asarray((rng.random((2, 5, 4, 2, 9, 2)) - 0.5) * 8,
+                          jnp.float32)
+    mask = jnp.asarray(rng.random((2, 5, 4, 2, 9)), jnp.float32)
+
+    def f(method):
+        def loss(x_, off_):
+            out = deform_conv2d(x_, off_, weight, mask=mask, stride=2,
+                                padding=2, dilation=2, method=method)
+            return jnp.sum(out ** 2), out
+
+        (l, out), (gx, go) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(x, offsets)
+        return out, gx, go
+
+    out_g, gx_g, go_g = f("gather")
+    out_m, gx_m, go_m = f("matmul")
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_g),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_m), np.asarray(gx_g),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(go_m), np.asarray(go_g),
+                               rtol=1e-3, atol=1e-3)

@@ -96,3 +96,31 @@ def test_grid_sample_normalized_corners(rng):
     np.testing.assert_allclose(out[0, 0, 1, 0], img[0, 0, 4, 0], atol=1e-6)
     np.testing.assert_allclose(out[0, 1, 0, 0], img[0, 4, 0, 0], atol=1e-6)
     np.testing.assert_allclose(out[0, 1, 1, 0], img[0, 4, 4, 0], atol=1e-6)
+
+
+def test_warp_matmul_and_gather_agree(rng):
+    """Hat-matmul sampler vs 4-corner gather sampler: values and grid grads
+    agree for both padding modes, incl. far out-of-bounds coordinates."""
+    import jax
+    import jax.numpy as jnp
+
+    from vsr_tpu.ops.warp import grid_sample_bilinear
+
+    img = jnp.asarray(rng.random((2, 9, 7, 3)), jnp.float32)
+    gy = jnp.asarray((rng.random((2, 5, 6)) - 0.3) * 12, jnp.float32)
+    gx = jnp.asarray((rng.random((2, 5, 6)) - 0.3) * 10, jnp.float32)
+
+    for mode in ("zeros", "border"):
+        def f(method, g):
+            out = grid_sample_bilinear(img, g, gx, padding_mode=mode,
+                                       method=method)
+            return jnp.sum(out ** 2), out
+
+        (_, out_g), gg = jax.value_and_grad(
+            lambda g: f("gather", g), has_aux=True)(gy)
+        (_, out_m), gm = jax.value_and_grad(
+            lambda g: f("matmul", g), has_aux=True)(gy)
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_g),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(gg),
+                                   rtol=1e-4, atol=1e-4)

@@ -1,18 +1,28 @@
 """Backward warping (optical-flow sampling) — torch ``grid_sample``
-equivalent, channels-last, XLA gather based.
+equivalent, channels-last.
 
 Used by the FRVSR recurrent warp (``/root/reference/src/model/nets/
 frvsr_net.py`` STN) and TOFlow/EDVR neighbor alignment (``toflow_net.py``
 ``flow_warp``; ``edvr_net/arch_util.py:flow_warp``). torch 1.1 grid_sample
 semantics = bilinear, ``align_corners=True``, zeros padding — replicated
-here. The bilinear gather vectorizes to 4 XLA gathers + lerp; offsets are
-data-dependent so this is the irregular-memory op of the flow nets (a Pallas
-fused version can replace it if it shows up in profiles, but XLA's gather on
-TPU handles the (H, W)-contiguous case well).
+here.
+
+Two samplers (same math, golden-tested against each other and torch):
+
+- ``method="matmul"`` (default): the bilinear row weight is the hat
+  function ``relu(1 - |gy - i|)``, so sampling = one MXU contraction over
+  H then a small one over W, scanned over output-row chunks to bound the
+  intermediate. Chip profiling of the gather path showed TPU gathers of
+  narrow rows (C=1 image warps!) run at <1% of HBM bandwidth — the same
+  pathology as the deformable conv (ops/deform_conv.py), fixed the same
+  way.
+- ``method="gather"``: 4 fused corner gathers + lerp (the torch-shaped
+  path), kept for A/B.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -26,17 +36,67 @@ def _gather_hw(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarra
     ).reshape(idx.shape + (c,))
 
 
+def _sample_matmul(img, grid_y, grid_x, padding_mode):
+    """Hat-weighted MXU sampling: (N, Ho, Wo) coords over (N, H, W, C).
+
+    Scans over chunks of output rows so the (N, chunk*Wo, W, C)
+    intermediate stays bounded (~<=256 MB at serving shapes).
+    """
+    n, h, w, c = img.shape
+    n_, ho, wo = grid_y.shape
+    gy = grid_y.astype(jnp.float32)
+    gx = grid_x.astype(jnp.float32)
+    if padding_mode == "border":
+        gy = jnp.clip(gy, 0.0, h - 1)
+        gx = jnp.clip(gx, 0.0, w - 1)
+
+    # Largest divisor of Ho with chunk*Wo*W*C*N under ~64M elements.
+    budget = max(1, (64 << 20) // max(1, n * wo * w * c))
+    rc = 1
+    for d in range(1, ho + 1):
+        if ho % d == 0 and d <= budget:
+            rc = d
+    nchunks = ho // rc
+
+    gy = gy.reshape(n, nchunks, rc * wo)
+    gx = gx.reshape(n, nchunks, rc * wo)
+    gy = jnp.moveaxis(gy, 1, 0)  # (nchunks, N, P)
+    gx = jnp.moveaxis(gx, 1, 0)
+    iota_h = jnp.arange(h, dtype=jnp.float32)
+    iota_w = jnp.arange(w, dtype=jnp.float32)
+    prec = (jax.lax.Precision.HIGHEST
+            if img.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+    def one(_, g):
+        gy_c, gx_c = g  # (N, P)
+        ry = jnp.maximum(0.0, 1.0 - jnp.abs(gy_c[..., None] - iota_h))
+        rx = jnp.maximum(0.0, 1.0 - jnp.abs(gx_c[..., None] - iota_w))
+        rows = jnp.einsum("nph,nhwc->npwc", ry.astype(img.dtype), img,
+                          precision=prec)
+        out = jnp.einsum("npw,npwc->npc", rx.astype(img.dtype), rows,
+                         precision=prec)
+        return None, out
+
+    _, out = jax.lax.scan(one, None, (gy, gx))  # (nchunks, N, P, C)
+    out = jnp.moveaxis(out, 0, 1).reshape(n, ho, wo, c)
+    return out
+
+
 def grid_sample_bilinear(
     img: jnp.ndarray,
     grid_y: jnp.ndarray,
     grid_x: jnp.ndarray,
     padding_mode: str = "zeros",
+    method: str = "matmul",
 ) -> jnp.ndarray:
     """Sample ``img`` (N, H, W, C) at fractional pixel coords (N, Ho, Wo).
 
     ``padding_mode='zeros'``: out-of-bounds contributions are zero (torch
-    default); ``'border'``: coordinates clamp to the edge.
+    default); ``'border'``: coordinates clamp to the edge. ``method``:
+    ``"matmul"`` (hat-weighted MXU contractions, default) or ``"gather"``.
     """
+    if method == "matmul":
+        return _sample_matmul(img, grid_y, grid_x, padding_mode)
     n, h, w, c = img.shape
     x0 = jnp.floor(grid_x)
     y0 = jnp.floor(grid_y)
