@@ -1,10 +1,12 @@
 """Profile EDVR window serving: where do the milliseconds go?
 
-EDVR serves at 0.033 vol/s (zoo_serving.json) — ~100 ms per 5-frame window,
-orders of magnitude under the conv-FLOP expectation. Hypothesis: the
-deformable-conv bilinear gathers (ops/deform_conv.py:_sample_taps) dominate.
-This captures a jax.profiler device trace of one 30-window chunk and prints
-the top device ops by self time from the trace protobuf.
+Round-2 history: EDVR first served at 0.033 vol/s — this trace showed the
+deformable-conv bilinear gathers (4 fused gathers of 8-channel group rows)
+running at ~3 GB/s, <1% of HBM bandwidth (8 of 128 lanes used). That
+motivated the hat-matmul sampler (ops/deform_conv.py method="matmul"),
+which lifted serving 33x to 1.08 vol/s. The script remains the tool for
+finding the CURRENT bottleneck: it captures a jax.profiler device trace of
+one 30-window chunk and prints the top device ops by self time.
 
 Run: python scripts/profile_edvr_serving.py [outdir]
 """

@@ -93,3 +93,86 @@ def test_quantize_error_bound_property(shape, scale, seed):
     amax = np.abs(w).max(axis=tuple(range(w.ndim - 1)), keepdims=True)
     assert (np.abs(w - wq) <= amax / 127.0 * 0.5 + 1e-6 * scale + 1e-12).all()
     np.testing.assert_array_equal(params["layer"]["bias"], np.asarray(deq["layer"]["bias"]))
+
+
+@settings(**_SETTINGS)
+@given(
+    k=st.sampled_from([1, 3]),
+    stride=st.integers(1, 2),
+    dilation=st.integers(1, 2),
+    dg=st.sampled_from([1, 2]),
+    cg=st.integers(1, 3),
+    cout=st.integers(1, 4),
+    h=st.integers(4, 8),
+    w=st.integers(4, 8),
+    amp=st.floats(0.0, 6.0),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_deform_conv_sampler_paths_property(k, stride, dilation, dg, cg,
+                                            cout, h, w, amp, seed):
+    """The hat-matmul and 4-corner-gather samplers are the same math for
+    ANY geometry: values and offset grads agree (incl. far out-of-bounds
+    offsets, stride/dilation/groups)."""
+    from vsr_tpu.ops.deform_conv import deform_conv2d
+
+    rng = np.random.default_rng(seed)
+    cin = dg * cg
+    pad = k // 2
+    ho = (h + 2 * pad - (dilation * (k - 1) + 1)) // stride + 1
+    wo = (w + 2 * pad - (dilation * (k - 1) + 1)) // stride + 1
+    if ho < 1 or wo < 1:
+        return
+    x = jnp.asarray(rng.random((1, h, w, cin)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.3, jnp.float32)
+    off = jnp.asarray((rng.random((1, ho, wo, dg, k * k, 2)) - 0.5) * amp,
+                      jnp.float32)
+
+    def run(method):
+        def loss(o):
+            out = deform_conv2d(x, o, wt, stride=stride, padding=pad,
+                                dilation=dilation, method=method)
+            return jnp.sum(out ** 2), out
+        (_, out), g = jax.value_and_grad(loss, has_aux=True)(off)
+        return np.asarray(out), np.asarray(g)
+
+    with jax.default_matmul_precision("float32"):
+        out_g, grad_g = run("gather")
+        out_m, grad_m = run("matmul")
+    np.testing.assert_allclose(out_m, out_g, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(grad_m, grad_g, rtol=1e-3, atol=1e-3)
+
+
+@settings(**_SETTINGS)
+@given(
+    c=st.integers(1, 3),
+    h=st.integers(3, 9),
+    w=st.integers(3, 9),
+    ho=st.integers(1, 6),
+    wo=st.integers(1, 6),
+    spread=st.floats(0.5, 3.0),
+    mode=st.sampled_from(["zeros", "border"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_warp_sampler_paths_property(c, h, w, ho, wo, spread, mode, seed):
+    """grid_sample_bilinear matmul vs gather agree in value and grid grad
+    for random grids (including out-of-bounds) in both padding modes."""
+    from vsr_tpu.ops.warp import grid_sample_bilinear
+
+    rng = np.random.default_rng(seed)
+    img = jnp.asarray(rng.random((2, h, w, c)), jnp.float32)
+    gy = jnp.asarray((rng.random((2, ho, wo)) - 0.3) * spread * h, jnp.float32)
+    gx = jnp.asarray((rng.random((2, ho, wo)) - 0.3) * spread * w, jnp.float32)
+
+    def run(method):
+        def loss(g):
+            out = grid_sample_bilinear(img, g, gx, padding_mode=mode,
+                                       method=method)
+            return jnp.sum(out ** 2), out
+        (_, out), grad = jax.value_and_grad(loss, has_aux=True)(gy)
+        return np.asarray(out), np.asarray(grad)
+
+    with jax.default_matmul_precision("float32"):
+        out_g, grad_g = run("gather")
+        out_m, grad_m = run("matmul")
+    np.testing.assert_allclose(out_m, out_g, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(grad_m, grad_g, rtol=1e-4, atol=1e-4)

@@ -49,6 +49,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from vsr_tpu.ops.warp import hat
+
 
 def _sample_taps(
     x: jnp.ndarray,
@@ -167,8 +169,8 @@ def _sample_taps_matmul(
 
     def one_tap(_, g):
         gy_t, gx_t = g  # (dg*N, Ho*Wo)
-        ry = jnp.maximum(0.0, 1.0 - jnp.abs(gy_t[..., None] - iota_h))
-        rx = jnp.maximum(0.0, 1.0 - jnp.abs(gx_t[..., None] - iota_w))
+        ry = hat(gy_t[..., None] - iota_h)
+        rx = hat(gx_t[..., None] - iota_w)
         rows = jnp.einsum("nph,nhwc->npwc", ry.astype(x.dtype), xg,
                           precision=prec)
         out_t = jnp.einsum("npw,npwc->npc", rx.astype(x.dtype), rows,

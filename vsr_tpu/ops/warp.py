@@ -26,6 +26,29 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_jvp
+def hat(d: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear hat weight ``relu(1 - |d|)`` with the CUDA subgradient.
+
+    At integer sample coordinates (d exactly 0 or +-1 — e.g. the zero-
+    initialized DCN offsets on their first step) ``|d|``'s JAX subgradient
+    is 0, which would zero the coordinate gradient; the reference CUDA
+    ``col2im_coord`` (and the 4-corner gather path, via ``floor``) instead
+    uses the one-sided forward difference. The custom JVP reproduces it:
+    ``hat'(d) = +1 on [-1, 0), -1 on [0, 1), 0 elsewhere`` — making the
+    matmul and gather samplers agree in gradient EVERYWHERE.
+    """
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+@hat.defjvp
+def _hat_jvp(primals, tangents):
+    (d,), (td,) = primals, tangents
+    slope = jnp.where((d >= -1.0) & (d < 0.0), 1.0,
+                      jnp.where((d >= 0.0) & (d < 1.0), -1.0, 0.0))
+    return hat(d), slope * td
+
+
 def _gather_hw(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
     """img: (N, H, W, C); yi/xi: (N, Ho, Wo) int32 -> (N, Ho, Wo, C)."""
     n, h, w, c = img.shape
@@ -69,8 +92,8 @@ def _sample_matmul(img, grid_y, grid_x, padding_mode):
 
     def one(_, g):
         gy_c, gx_c = g  # (N, P)
-        ry = jnp.maximum(0.0, 1.0 - jnp.abs(gy_c[..., None] - iota_h))
-        rx = jnp.maximum(0.0, 1.0 - jnp.abs(gx_c[..., None] - iota_w))
+        ry = hat(gy_c[..., None] - iota_h)
+        rx = hat(gx_c[..., None] - iota_w)
         rows = jnp.einsum("nph,nhwc->npwc", ry.astype(img.dtype), img,
                           precision=prec)
         out = jnp.einsum("npw,npwc->npc", rx.astype(img.dtype), rows,
