@@ -223,3 +223,107 @@ def test_infer_misr_windows_batchnorm_net(tmp_path, rng):
     assert stats["frames"] == 3
     sr = load_nifti(tmp_path / "out" / "p1_4d_sr.nii.gz")
     assert sr.shape == (24, 24, 1, 3) and np.isfinite(sr).all()
+
+
+def test_infer_feedback_net_takes_last_step(tmp_path, rng):
+    """SRFBN/DRFSISR stack refinement steps on axis 0 — the CLI must serve
+    the LAST step (predictors.py:287), not index into the batch axis
+    (regression: sr[:, -1] crashed the reshape for these nets)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from vsr_tpu.models import SRFBNet
+    from vsr_tpu.preprocess.kspace import kspace_downscale_jax
+
+    vol = np.round(rng.random((24, 24, 2, 2)) * 255).astype(np.float32)
+    (tmp_path / "in").mkdir()
+    save_nifti(vol, tmp_path / "in" / "p1_4d.nii.gz")
+
+    kwargs = dict(in_channels=1, out_channels=1, num_steps=2, num_features=8,
+                  num_groups=2, upscale_factor=2)
+    stats = run(_args(input_dir=tmp_path / "in", output_dir=tmp_path / "out",
+                      net="SRFBNet", net_kwargs=json.dumps(kwargs), gif=False))
+    assert stats["frames"] == 4
+    sr = load_nifti(tmp_path / "out" / "p1_4d_sr.nii.gz")
+    assert sr.shape == (24, 24, 2, 2)
+
+    net = SRFBNet(**kwargs)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 1)))
+    frames = np.moveaxis(vol.reshape(24, 24, 4), -1, 0)
+    lr = np.asarray(kspace_downscale_jax(jnp.asarray(frames), 2))
+    z = ((lr - 54.089) / (48.084 + 1e-10))[..., None]
+    steps = np.asarray(net.apply(params, jnp.asarray(z)))  # (steps, N, H, W, C)
+    oracle = np.clip(np.round(steps[-1][..., 0] * 48.084 + 54.089), 0, 255)
+    got = np.moveaxis(sr.reshape(24, 24, 4), -1, 0)
+    np.testing.assert_array_equal(got, oracle)
+
+
+def test_infer_even_window_target_alignment(tmp_path, rng):
+    """Even MISR windows: the net's target slot is misr_target_index(nf) =
+    nf//2 - 1, so the CLI's middle-ordered window for output frame t must
+    place t at that slot (regression: nf//2 shifted every SR frame by one)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from vsr_tpu.models import RBPNet
+    from vsr_tpu.preprocess.kspace import kspace_downscale_jax
+
+    vol = np.round(rng.random((24, 24, 1, 4)) * 255).astype(np.float32)
+    (tmp_path / "in").mkdir()
+    save_nifti(vol, tmp_path / "in" / "p1_4d.nii.gz")
+
+    kwargs = dict(in_channels=1, out_channels=1, base_filter=8, feat=8,
+                  num_stages=2, num_resblocks=1, num_frames=4,
+                  upscale_factor=2)
+    run(_args(input_dir=tmp_path / "in", output_dir=tmp_path / "out",
+              net="RBPNet", net_kwargs=json.dumps(kwargs), gif=False,
+              windows=4))
+    sr = load_nifti(tmp_path / "out" / "p1_4d_sr.nii.gz")
+
+    net = RBPNet(**kwargs)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 12, 12, 1)))
+    frames = np.moveaxis(vol.reshape(24, 24, 4), -1, 0)
+    lr = np.asarray(kspace_downscale_jax(jnp.asarray(frames), 2))
+    z = ((lr - 54.089) / (48.084 + 1e-10))[..., None]
+    outs = []
+    for t in range(4):
+        # target slot = misr_target_index(4) = 1 -> window [t-1, t, t+1, t+2]
+        idx = [(t - 1) % 4, t, (t + 1) % 4, (t + 2) % 4]
+        o = np.asarray(net.apply(params, jnp.asarray(z[idx][None])))[0]
+        outs.append(o)
+    oracle = np.clip(np.round(np.stack(outs)[..., 0] * 48.084 + 54.089), 0, 255)
+    got = np.moveaxis(sr.reshape(24, 24, 4), -1, 0)
+    np.testing.assert_array_equal(got, oracle)
+
+
+def test_infer_bucket_t_requires_video(tmp_path, rng):
+    """--bucket-t without --video is an explicit error, not a silent no-op."""
+    import pytest
+
+    vol = np.round(rng.random((24, 24, 1, 3)) * 255).astype(np.float32)
+    (tmp_path / "in").mkdir()
+    save_nifti(vol, tmp_path / "in" / "p1_4d.nii.gz")
+    with pytest.raises(SystemExit, match="--bucket-t requires --video"):
+        run(_args(input_dir=tmp_path / "in", output_dir=tmp_path / "out",
+                  bucket_t=4))
+
+
+def test_infer_psnr_report(tmp_path, rng):
+    """--psnr writes metrics.csv and a mean PSNR into the stats; bicubic SR
+    of a smooth volume should land in a sane range."""
+    import csv
+
+    vol = np.round(rng.random((24, 24, 1, 2)) * 64 + 96).astype(np.float32)
+    (tmp_path / "in").mkdir()
+    save_nifti(vol, tmp_path / "in" / "p1_4d.nii.gz")
+    stats = run(_args(input_dir=tmp_path / "in", output_dir=tmp_path / "out",
+                      gif=False, psnr=True))
+    assert "psnr_mean" in stats and 5.0 < stats["psnr_mean"] < 60.0
+    with open(tmp_path / "out" / "metrics.csv") as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["volume", "PSNR"] and len(rows) == 2
+    assert abs(float(rows[1][1]) - stats["psnr_mean"]) < 1e-3

@@ -124,3 +124,35 @@ def test_warp_matmul_and_gather_agree(rng):
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gm), np.asarray(gg),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_warp_border_exact_boundary_gradient(rng):
+    """At coordinates exactly on the border (border padding), both corners
+    clamp to the same pixel so the torch/gather coordinate gradient is 0;
+    the matmul path must agree (regression: hat'(0) = -1 leaked -img[h-1])."""
+    import jax
+    import jax.numpy as jnp
+
+    from vsr_tpu.ops.warp import grid_sample_bilinear
+
+    img = jnp.asarray(rng.random((1, 5, 4, 2)), jnp.float32)
+    # Corners and edges: exactly 0 and exactly h-1 / w-1, plus interior ints.
+    gy = jnp.asarray([[[0.0, 4.0], [4.0, 2.0]]], jnp.float32)
+    gx = jnp.asarray([[[0.0, 3.0], [1.5, 3.0]]], jnp.float32)
+
+    def loss(method, g):
+        return jnp.sum(grid_sample_bilinear(img, g, gx, padding_mode="border",
+                                            method=method) ** 2)
+
+    for wrt in ("gy", "gx"):
+        def f(method, v):
+            if wrt == "gy":
+                return loss(method, v)
+            return jnp.sum(grid_sample_bilinear(
+                img, gy, v, padding_mode="border", method=method) ** 2)
+
+        var = gy if wrt == "gy" else gx
+        g_gather = jax.grad(lambda v: f("gather", v))(var)
+        g_matmul = jax.grad(lambda v: f("matmul", v))(var)
+        np.testing.assert_allclose(np.asarray(g_matmul), np.asarray(g_gather),
+                                   rtol=1e-5, atol=1e-5)

@@ -124,8 +124,13 @@ def test_deform_conv_sampler_paths_property(k, stride, dilation, dg, cg,
         return
     x = jnp.asarray(rng.random((1, h, w, cin)), jnp.float32)
     wt = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.3, jnp.float32)
-    off = jnp.asarray((rng.random((1, ho, wo, dg, k * k, 2)) - 0.5) * amp,
-                      jnp.float32)
+    # Offsets on an exact 1/64 binary grid: coordinates land either exactly
+    # on integers or >= 1/64 away. Within one f32 ulp of an integer the two
+    # samplers legitimately differ (hypothesis found amp=2e-16: gx - j
+    # rounds to exactly -1.0, a different — equally valid — subgradient
+    # rounding choice than floor's).
+    off = np.round((rng.random((1, ho, wo, dg, k * k, 2)) - 0.5) * amp * 64)
+    off = jnp.asarray(off / 64.0, jnp.float32)
 
     def run(method):
         def loss(o):
@@ -160,8 +165,12 @@ def test_warp_sampler_paths_property(c, h, w, ho, wo, spread, mode, seed):
 
     rng = np.random.default_rng(seed)
     img = jnp.asarray(rng.random((2, h, w, c)), jnp.float32)
-    gy = jnp.asarray((rng.random((2, ho, wo)) - 0.3) * spread * h, jnp.float32)
-    gx = jnp.asarray((rng.random((2, ho, wo)) - 0.3) * spread * w, jnp.float32)
+    # 1/64-grid coordinates: see the deform-conv property for why sub-ulp
+    # distances from integers are excluded.
+    gy = np.round((rng.random((2, ho, wo)) - 0.3) * spread * h * 64) / 64.0
+    gx = np.round((rng.random((2, ho, wo)) - 0.3) * spread * w * 64) / 64.0
+    gy = jnp.asarray(gy, jnp.float32)
+    gx = jnp.asarray(gx, jnp.float32)
 
     def run(method):
         def loss(g):

@@ -82,10 +82,16 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
             n, h, w, c = z.shape
             z = z.reshape(n // video_t, video_t, h, w, c)
         elif window:
+            from vsr_tpu.data.datasets import misr_target_index
+
             nf, seq_t, order = window
             n, h, w, c = z.shape
             seq = z.reshape(n // seq_t, seq_t, h, w, c)
-            shift = nf // 2 if order == "middle" else nf - 1
+            # Place output frame t at the net's target slot: the dataset
+            # convention (datasets.py:misr_target_index) is nf//2 for odd
+            # windows and nf//2 - 1 for even ones — nf//2 here would shift
+            # every even-window SR sequence by one frame.
+            shift = misr_target_index(nf) if order == "middle" else nf - 1
             idx = (jnp.arange(seq_t)[:, None]
                    + jnp.arange(nf)[None, :] - shift) % seq_t
             z = jnp.take(seq, idx, axis=1).reshape(n, nf, h, w, c)
@@ -95,8 +101,8 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
         if sr.ndim == 5:
             if video_t:  # whole-sequence SR: flatten frames back out
                 sr = sr.reshape(-1, *sr.shape[2:])
-            else:  # windowed net fed frames: keep the last frame
-                sr = sr[:, -1]
+            else:  # feedback nets (SRFBN/DRFSISR) stack steps on axis 0
+                sr = sr[-1]  # last refinement step (predictors.py:287)
         sr = sr.astype(jnp.float32)[..., 0]
         sr = jnp.clip(jnp.round(sr * std + mean), 0, 255)
         return lr, sr
@@ -140,6 +146,7 @@ def run(args) -> dict:
     params = None
     pipelines: dict = {}
     n_frames = 0
+    psnr_rows: list[tuple[str, float]] = []
     start = time.perf_counter()
     for path in paths:
         data = clip_outliers_minmax(load_nifti(path))
@@ -149,15 +156,18 @@ def run(args) -> dict:
         data = data[h0:hn, w0:wn]  # (H, W, D, T)
         h, w, d, t = data.shape
         frames = np.moveaxis(data.reshape(h, w, d * t), -1, 0)  # (D*T, H, W)
+        hr_ref = frames  # ground truth for --psnr (pre any bucket padding)
 
         video = bool(getattr(args, "video", False))
         windows = int(getattr(args, "windows", 0) or 0)
         if windows and video:
             raise SystemExit("--windows (MISR) and --video (VSR) are "
                              "mutually exclusive")
-        if windows and getattr(args, "bucket_t", 0):
+        if getattr(args, "bucket_t", 0) and not video:
             raise SystemExit("--bucket-t requires --video (circular MISR "
-                             "windows over a padded period are not exact)")
+                             "windows over a padded period are not exact, "
+                             "and frame-at-a-time nets have no T axis to "
+                             "bucket)")
         # Bucketed sequence length: round T up to a multiple of --bucket-t so
         # many distinct-T volumes share a few compiled programs (the serving
         # analogue of utils/bucketing.py). The recurrent VSR nets are causal
@@ -220,6 +230,16 @@ def run(args) -> dict:
                 with imageio.get_writer(gif_path) as writer:
                     for ti in range(t):
                         writer.append_data(sr_seq[:, :, di, ti].astype(np.uint8))
+        if getattr(args, "psnr", False):
+            # The pipeline degrades the input volume by --factor and
+            # super-resolves it back, so the input IS the ground truth:
+            # reference PSNR convention (max=255, 1e-10 eps; metrics.py).
+            from vsr_tpu.metrics import PSNR
+
+            val = float(np.asarray(PSNR()(jnp.asarray(sr_np),
+                                          jnp.asarray(hr_ref))))
+            psnr_rows.append((str(rel), val))
+            logging.info(f"{path.name}: PSNR {val:.3f} dB")
         logging.info(f"{path.name}: {d * t} frames -> {out_base}_sr.nii.gz")
 
     elapsed = time.perf_counter() - start
@@ -227,6 +247,17 @@ def run(args) -> dict:
              "seconds": round(elapsed, 3),
              "frames_per_sec": round(n_frames / elapsed, 2),
              "programs": len(pipelines)}
+    if psnr_rows:
+        import csv
+
+        csv_path = Path(args.output_dir) / "metrics.csv"
+        with open(csv_path, "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(["volume", "PSNR"])
+            writer.writerows(psnr_rows)
+        stats["psnr_mean"] = round(
+            sum(v for _, v in psnr_rows) / len(psnr_rows), 4)
+        logging.info(f"Mean PSNR {stats['psnr_mean']:.3f} dB -> {csv_path}")
     logging.info(f"Inference done: {stats}")
     return stats
 
@@ -268,6 +299,11 @@ def main() -> None:
                         help="partition serving over a device mesh, e.g. "
                              "'data=4' or 'data=2,spatial=2' (-1 = all "
                              "remaining devices)")
+    parser.add_argument("--psnr", action="store_true",
+                        help="report PSNR of each SR volume vs its input "
+                             "(the input is ground truth: it is degraded "
+                             "by --factor on device, then super-resolved); "
+                             "writes <output_dir>/metrics.csv")
     parser.add_argument("--fused-tail", dest="fused_tail", action="store_true",
                         help="fold the final conv through the pixel-shuffle "
                              "(EDSR/DRF; +~9%% serving throughput)")

@@ -95,8 +95,11 @@ class ModulatedDeformConvPack(nn.Module):
             lambda key: _dcn_weight_init(key, (k, k, x.shape[-1], self.features)),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # Params stay f32; compute in x's dtype (f32 operands would promote
+        # the whole bf16 im2col/GEMM to f32 — see PReLU note, feedback.py).
         return deform_conv2d(
-            x, offsets, weight, bias=bias, mask=mask,
+            x, offsets.astype(x.dtype), weight.astype(x.dtype),
+            bias=bias.astype(x.dtype), mask=mask.astype(x.dtype),
             stride=self.stride, padding=self.padding, dilation=self.dilation,
         )
 
@@ -141,7 +144,8 @@ class DeformConvPack(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return deform_conv2d(
-            x, offsets, weight, bias=bias, mask=None,
+            x, offsets.astype(x.dtype), weight.astype(x.dtype),
+            bias=bias.astype(x.dtype), mask=None,
             stride=self.stride, padding=self.padding, dilation=self.dilation,
         )
 

@@ -32,7 +32,10 @@ class _PReLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         alpha = self.param("alpha", lambda key: jnp.full((1,), self.init, jnp.float32))
-        return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
+        # Param stays f32; compute in x's dtype — an f32 alpha would promote
+        # every bf16 activation to f32 (2x HBM + convert storms: the DRF
+        # serving trace showed 17% of device time in add_convert fusions).
+        return jnp.maximum(x, 0) + alpha.astype(x.dtype) * jnp.minimum(x, 0)
 
 
 class _ConvP(nn.Module):

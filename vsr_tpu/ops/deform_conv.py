@@ -49,7 +49,30 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from vsr_tpu.ops.warp import hat
+from vsr_tpu.ops.warp import hat_sample_chunk
+
+
+def _offset_coords(offsets, kernel, stride, padding, dilation):
+    """Absolute f32 sample coordinates for every output position and tap.
+
+    offsets: (N, Ho, Wo, dg, k2, 2) -> gy, gx each (N, Ho, Wo, dg, k2).
+    f32 regardless of compute dtype: bf16 cannot resolve sub-pixel
+    positions at coordinates >= 32.
+    """
+    kh, kw = kernel
+    n, ho, wo, dg, k2, _ = offsets.shape
+    assert k2 == kh * kw
+    off = offsets.astype(jnp.float32)
+    base_y = (jnp.arange(ho, dtype=jnp.float32) * stride - padding
+              ).reshape(1, ho, 1, 1, 1)
+    base_x = (jnp.arange(wo, dtype=jnp.float32) * stride - padding
+              ).reshape(1, 1, wo, 1, 1)
+    # Kernel tap offsets laid out as (k2,) in (ky, kx) row-major order.
+    tap_y = jnp.repeat(jnp.arange(kh, dtype=jnp.float32) * dilation, kw
+                       ).reshape(1, 1, 1, 1, k2)
+    tap_x = jnp.tile(jnp.arange(kw, dtype=jnp.float32) * dilation, kh
+                     ).reshape(1, 1, 1, 1, k2)
+    return base_y + tap_y + off[..., 0], base_x + tap_x + off[..., 1]
 
 
 def _sample_taps(
@@ -73,28 +96,22 @@ def _sample_taps(
     n, h, w, c = x.shape
     kh, kw = kernel
     n_, ho, wo, dg, k2, _ = offsets.shape
-    assert k2 == kh * kw and n_ == n
+    assert n_ == n
     cg = c // dg
 
     # Per-group images flattened into the batch dim: (dg*N, H*W, cg).
     xg = x.reshape(n, h, w, dg, cg)
     xg = jnp.moveaxis(xg, 3, 0).reshape(dg * n, h * w, cg)
 
-    base_y = (jnp.arange(ho, dtype=x.dtype) * stride - padding).reshape(1, ho, 1, 1, 1)
-    base_x = (jnp.arange(wo, dtype=x.dtype) * stride - padding).reshape(1, 1, wo, 1, 1)
-    # Kernel tap offsets laid out as (k2,) in (ky, kx) row-major order.
-    tap_y = jnp.repeat(jnp.arange(kh, dtype=x.dtype) * dilation, kw).reshape(1, 1, 1, 1, k2)
-    tap_x = jnp.tile(jnp.arange(kw, dtype=x.dtype) * dilation, kh).reshape(1, 1, 1, 1, k2)
-
-    gy = base_y + tap_y + offsets[..., 0]  # (N, Ho, Wo, dg, k2)
-    gx = base_x + tap_x + offsets[..., 1]
+    gy, gx = _offset_coords(offsets, kernel, stride, padding, dilation)
     gy = jnp.moveaxis(gy, 3, 0).reshape(dg * n, ho * wo * k2)
     gx = jnp.moveaxis(gx, 3, 0).reshape(dg * n, ho * wo * k2)
 
     y0 = jnp.floor(gy)
     x0 = jnp.floor(gx)
-    wy = (gy - y0)[..., None]
-    wx = (gx - x0)[..., None]
+    # Corner positions/weights in f32, lerp in the compute dtype.
+    wy = (gy - y0)[..., None].astype(x.dtype)
+    wx = (gx - x0)[..., None].astype(x.dtype)
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
 
@@ -144,38 +161,16 @@ def _sample_taps_matmul(
     xg = x.reshape(n, h, w, dg, cg)
     xg = jnp.moveaxis(xg, 3, 0).reshape(dg * n, h, w, cg)
 
-    # f32 coordinates: bf16 cannot resolve sub-pixel positions at x >= 32.
-    off = offsets.astype(jnp.float32)
-    base_y = (jnp.arange(ho, dtype=jnp.float32) * stride - padding
-              ).reshape(1, ho, 1, 1, 1)
-    base_x = (jnp.arange(wo, dtype=jnp.float32) * stride - padding
-              ).reshape(1, 1, wo, 1, 1)
-    tap_y = jnp.repeat(jnp.arange(kh, dtype=jnp.float32) * dilation, kw
-                       ).reshape(1, 1, 1, 1, k2)
-    tap_x = jnp.tile(jnp.arange(kw, dtype=jnp.float32) * dilation, kh
-                     ).reshape(1, 1, 1, 1, k2)
-    gy = base_y + tap_y + off[..., 0]  # (N, Ho, Wo, dg, k2)
-    gx = base_x + tap_x + off[..., 1]
+    gy, gx = _offset_coords(offsets, kernel, stride, padding, dilation)
     # -> (k2, dg*N, Ho*Wo), taps in the scan axis.
     gy = jnp.moveaxis(gy, 3, 0).reshape(dg * n, ho * wo, k2)
     gx = jnp.moveaxis(gx, 3, 0).reshape(dg * n, ho * wo, k2)
     gy = jnp.moveaxis(gy, 2, 0)
     gx = jnp.moveaxis(gx, 2, 0)
 
-    prec = (jax.lax.Precision.HIGHEST
-            if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
-    iota_h = jnp.arange(h, dtype=jnp.float32)
-    iota_w = jnp.arange(w, dtype=jnp.float32)
-
     def one_tap(_, g):
         gy_t, gx_t = g  # (dg*N, Ho*Wo)
-        ry = hat(gy_t[..., None] - iota_h)
-        rx = hat(gx_t[..., None] - iota_w)
-        rows = jnp.einsum("nph,nhwc->npwc", ry.astype(x.dtype), xg,
-                          precision=prec)
-        out_t = jnp.einsum("npw,npwc->npc", rx.astype(x.dtype), rows,
-                           precision=prec)
-        return None, out_t
+        return None, hat_sample_chunk(xg, gy_t, gx_t)
 
     _, taps = jax.lax.scan(one_tap, None, (gy, gx))  # (k2, dg*N, Ho*Wo, cg)
     taps = jnp.moveaxis(taps, 0, 2)  # (dg*N, Ho*Wo, k2, cg)

@@ -22,6 +22,8 @@ Two samplers (same math, golden-tested against each other and torch):
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -49,6 +51,23 @@ def _hat_jvp(primals, tangents):
     return hat(d), slope * td
 
 
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
+def clip_coord(g: jnp.ndarray, hi: float) -> jnp.ndarray:
+    """``clip(g, 0, hi)`` with torch's ``clip_coordinates`` subgradient:
+    1 everywhere inside INCLUDING the exact boundaries, 0 outside.
+    ``jnp.clip`` would split the tie gradient 0.5/0.5 at g == 0 or g == hi,
+    halving the border-mode warp gradient of exactly-boundary coordinates.
+    """
+    return jnp.clip(g, 0.0, hi)
+
+
+@clip_coord.defjvp
+def _clip_coord_jvp(hi, primals, tangents):
+    (g,), (tg,) = primals, tangents
+    inside = (g >= 0.0) & (g <= hi)
+    return clip_coord(g, hi), jnp.where(inside, tg, jnp.zeros_like(tg))
+
+
 def _gather_hw(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
     """img: (N, H, W, C); yi/xi: (N, Ho, Wo) int32 -> (N, Ho, Wo, C)."""
     n, h, w, c = img.shape
@@ -57,6 +76,35 @@ def _gather_hw(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarra
     return jnp.take_along_axis(
         flat, idx.reshape(n, -1, 1), axis=1
     ).reshape(idx.shape + (c,))
+
+
+def matmul_precision(dtype) -> jax.lax.Precision:
+    """f32 sampling is parity-critical (HIGHEST); bf16 rides the MXU."""
+    return (jax.lax.Precision.HIGHEST
+            if dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+
+def hat_sample_chunk(img, gy, gx, border: bool = False):
+    """Hat-weighted bilinear sampling of one coordinate chunk — the shared
+    MXU core of the warp and deformable-conv samplers.
+
+    img: (B, H, W, C); gy/gx: (B, P) f32 pixel coordinates -> (B, P, C).
+    Zero padding outside the image unless ``border`` (coords then must
+    already be clipped to the valid range; the virtual edge rows fold into
+    the boundary rows so exactly-boundary gradients match the gather/torch
+    semantics: both corners equal -> forward difference 0).
+    """
+    h, w = img.shape[1], img.shape[2]
+    prec = matmul_precision(img.dtype)
+    ry = hat(gy[..., None] - jnp.arange(h, dtype=jnp.float32))
+    rx = hat(gx[..., None] - jnp.arange(w, dtype=jnp.float32))
+    if border:
+        ry = ry.at[..., h - 1].add(hat(gy - h))
+        rx = rx.at[..., w - 1].add(hat(gx - w))
+    rows = jnp.einsum("nph,nhwc->npwc", ry.astype(img.dtype), img,
+                      precision=prec)
+    return jnp.einsum("npw,npwc->npc", rx.astype(img.dtype), rows,
+                      precision=prec)
 
 
 def _sample_matmul(img, grid_y, grid_x, padding_mode):
@@ -69,9 +117,10 @@ def _sample_matmul(img, grid_y, grid_x, padding_mode):
     n_, ho, wo = grid_y.shape
     gy = grid_y.astype(jnp.float32)
     gx = grid_x.astype(jnp.float32)
-    if padding_mode == "border":
-        gy = jnp.clip(gy, 0.0, h - 1)
-        gx = jnp.clip(gx, 0.0, w - 1)
+    border = padding_mode == "border"
+    if border:
+        gy = clip_coord(gy, float(h - 1))
+        gx = clip_coord(gx, float(w - 1))
 
     # Largest divisor of Ho with chunk*Wo*W*C*N under ~64M elements.
     budget = max(1, (64 << 20) // max(1, n * wo * w * c))
@@ -85,20 +134,10 @@ def _sample_matmul(img, grid_y, grid_x, padding_mode):
     gx = gx.reshape(n, nchunks, rc * wo)
     gy = jnp.moveaxis(gy, 1, 0)  # (nchunks, N, P)
     gx = jnp.moveaxis(gx, 1, 0)
-    iota_h = jnp.arange(h, dtype=jnp.float32)
-    iota_w = jnp.arange(w, dtype=jnp.float32)
-    prec = (jax.lax.Precision.HIGHEST
-            if img.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 
     def one(_, g):
         gy_c, gx_c = g  # (N, P)
-        ry = hat(gy_c[..., None] - iota_h)
-        rx = hat(gx_c[..., None] - iota_w)
-        rows = jnp.einsum("nph,nhwc->npwc", ry.astype(img.dtype), img,
-                          precision=prec)
-        out = jnp.einsum("npw,npwc->npc", rx.astype(img.dtype), rows,
-                         precision=prec)
-        return None, out
+        return None, hat_sample_chunk(img, gy_c, gx_c, border=border)
 
     _, out = jax.lax.scan(one, None, (gy, gx))  # (nchunks, N, P, C)
     out = jnp.moveaxis(out, 0, 1).reshape(n, ho, wo, c)

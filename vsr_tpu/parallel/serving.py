@@ -43,9 +43,9 @@ def shard_pipeline(pipeline_fn, mesh: Mesh, batch_axis: str = "data",
     Returns a callable with identical semantics: the batch is padded up to a
     multiple of the ``data`` axis size (edge-repeat), sharded ``(data,
     spatial, None)``, run under one partitioned jit, and every output with a
-    leading batch axis is sliced back to the true N. H must divide the
-    ``spatial`` axis size (the preprocessing center-crop to a multiple of 12
-    guarantees this for meshes up to spatial=4).
+    leading batch axis is sliced back to the true N. H must be divisible by
+    the ``spatial`` axis size (the preprocessing center-crop to a multiple
+    of 12 guarantees this for meshes up to spatial=4).
 
     ``seq_len``: for whole-sequence (VSR ``--video``) pipelines that reshape
     N = D*T into (D, T, ...) internally — padding then happens in units of
@@ -63,7 +63,7 @@ def shard_pipeline(pipeline_fn, mesh: Mesh, batch_axis: str = "data",
         n, h, _w = frames.shape
         if h % sp:
             raise ValueError(
-                f"H={h} does not divide the '{spatial_axis}' mesh axis ({sp})")
+                f"H={h} is not divisible by the '{spatial_axis}' mesh axis ({sp})")
         if n % unit:
             raise ValueError(f"N={n} is not whole sequences of T={unit}")
         pad = ((-(n // unit)) % dp) * unit
