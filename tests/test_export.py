@@ -1,0 +1,94 @@
+"""Deployment export (.vsrx): serialized self-contained serving programs."""
+
+import json
+import zipfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vsr_tpu.export import (
+    ExportedServing,
+    export_serving,
+    make_serving_fn,
+    save_artifact,
+)
+from vsr_tpu.models import DRFNet, EDSRNet, SRFBNet
+
+
+def _roundtrip(tmp_path, net, shape, rng, **kw):
+    lr_hw = (1, shape[-2] // 2, shape[-1] // 2, 1)
+    if kw.get("video_t"):
+        example = jnp.zeros((1, 2) + lr_hw[1:])
+    else:
+        example = jnp.zeros(lr_hw)
+    params = net.init(jax.random.PRNGKey(0), example)
+    blob, meta = export_serving(net, params, shape, 2, **kw)
+    path = tmp_path / "m.vsrx"
+    save_artifact(path, blob, meta)
+    served = ExportedServing(path)
+    x = jnp.asarray(np.round(rng.random(shape) * 255), jnp.float32)
+    _, sr = served(x)
+    _, ref = jax.jit(make_serving_fn(net, params, 2, "acdc", **kw))(x)
+    np.testing.assert_array_equal(np.asarray(sr), np.asarray(ref))
+    return served
+
+
+def test_export_roundtrip_edsr(tmp_path, rng):
+    net = EDSRNet(in_channels=1, out_channels=1, num_resblocks=1,
+                  num_features=4, upscale_factor=2)
+    served = _roundtrip(tmp_path, net, (6, 24, 24), rng)
+    assert served.meta["factor"] == 2
+    assert served.meta["frames_shape"] == [6, 24, 24]
+
+
+def test_export_roundtrip_feedback_net(tmp_path, rng):
+    """Feedback nets: the exported program serves the LAST step."""
+    net = SRFBNet(in_channels=1, out_channels=1, num_steps=2, num_features=4,
+                  num_groups=2, upscale_factor=2)
+    _roundtrip(tmp_path, net, (4, 24, 24), rng)
+
+
+def test_export_roundtrip_video_net(tmp_path, rng):
+    """Whole-sequence VSR export (video_t baked into the program)."""
+    net = DRFNet(in_channels=1, out_channels=1, num_features=4, num_groups=2,
+                 upscale_factor=2)
+    _roundtrip(tmp_path, net, (6, 24, 24), rng, video_t=3)
+
+
+def test_export_cli_and_run(tmp_path, rng):
+    """The argparse surface: export an artifact, then serve a tree from it."""
+    import argparse
+
+    from vsr_tpu.export import _cmd_export, _cmd_run
+    from vsr_tpu.io.nifti import load_nifti, save_nifti
+
+    vol = np.round(rng.random((24, 24, 2, 3)) * 255).astype(np.float32)
+    (tmp_path / "in").mkdir()
+    save_nifti(vol, tmp_path / "in" / "p1_4d.nii.gz")
+
+    art = tmp_path / "edsr.vsrx"
+    _cmd_export(argparse.Namespace(
+        net="EDSRNet",
+        net_kwargs=json.dumps(dict(in_channels=1, out_channels=1,
+                                   num_resblocks=1, num_features=4,
+                                   upscale_factor=2)),
+        checkpoint="", factor=2, dataset="acdc", shape="6,24,24",
+        video_t=0, bf16=False, platforms="", out=str(art)))
+    assert art.exists()
+
+    _cmd_run(argparse.Namespace(run=str(art), input_dir=tmp_path / "in",
+                                output_dir=tmp_path / "out"))
+    sr = load_nifti(tmp_path / "out" / "p1_4d_sr.nii.gz")
+    assert sr.shape == (24, 24, 2, 3) and np.isfinite(sr).all()
+    assert sr.min() >= 0 and sr.max() <= 255
+
+
+def test_export_version_guard(tmp_path):
+    path = tmp_path / "future.vsrx"
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("meta.json", json.dumps({"format_version": 999}))
+        zf.writestr("program.stablehlo", b"")
+    with pytest.raises(ValueError, match="newer"):
+        ExportedServing(path)

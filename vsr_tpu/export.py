@@ -1,0 +1,250 @@
+"""Model export for deployment: serialized, self-contained serving programs.
+
+The reference has no deployment story beyond "load the checkpoint in
+Python" (``/root/reference/src/runner/predictors/base_predictor.py:130``);
+production TPU serving wants the opposite: a single artifact that runs
+without the model zoo's Python code. This module serializes the FUSED
+serving pipeline (k-space degrade -> normalize -> net -> denormalize, the
+same program ``vsr_tpu.infer`` builds) via ``jax.export`` (StableHLO +
+calling convention, versioned and stable across jax releases), with the
+trained parameters baked in as constants.
+
+Artifact format (``.vsrx``): a zip with
+  program.stablehlo  — jax.export blob (params embedded)
+  meta.json          — net name/kwargs, factor, dataset stats, shapes,
+                       lowering platforms, creation info
+
+Export is shape-specialized (TPU serving is static-shape by design);
+export one artifact per serving geometry, or a small set — the same
+bucketing story as compilation.
+
+CLI:
+  python -m vsr_tpu.export --net EDSRNet --checkpoint model.ckpt \
+      --shape 300,96,96 --factor 2 --out edsr_x2.vsrx [--platforms tpu,cpu]
+  python -m vsr_tpu.export --run edsr_x2.vsrx in_dir out_dir   # serve it
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import logging
+import time
+import zipfile
+from pathlib import Path
+from typing import Any, Sequence
+
+import numpy as np
+
+from vsr_tpu.registry import build
+from vsr_tpu.utils.normalize import DATASET_STATS
+
+FORMAT_VERSION = 1
+
+
+def make_serving_fn(net, params, factor: int, dataset: str,
+                    video_t: int | None = None, train_flag: bool = False):
+    """The fused HR-frames -> (lr, sr) pipeline, params closed over.
+
+    Mirrors ``vsr_tpu.infer.make_pipeline`` (frame and whole-sequence
+    modes) — kept separate so export does not drag the CLI's mesh/window
+    machinery into the artifact.
+    """
+    import jax.numpy as jnp
+
+    from vsr_tpu.preprocess.kspace import kspace_downscale_jax
+
+    mean, std = DATASET_STATS[dataset]
+    extra = {"train": False} if train_flag else {}
+
+    def pipeline(hr_frames):
+        lr = kspace_downscale_jax(hr_frames, factor)
+        z = ((lr - mean) / (std + 1e-10))[..., None]
+        if video_t:
+            n, h, w, c = z.shape
+            z = z.reshape(n // video_t, video_t, h, w, c)
+        sr = net.apply(params, z, **extra)
+        if isinstance(sr, tuple):
+            sr = sr[0]
+        if sr.ndim == 5:
+            if video_t:
+                sr = sr.reshape(-1, *sr.shape[2:])
+            else:  # feedback nets stack steps on axis 0
+                sr = sr[-1]
+        sr = sr.astype(jnp.float32)[..., 0]
+        return lr, jnp.clip(jnp.round(sr * std + mean), 0.0, 255.0)
+
+    return pipeline
+
+
+def export_serving(
+    net: Any,
+    params: Any,
+    frames_shape: Sequence[int],
+    factor: int,
+    dataset: str = "acdc",
+    video_t: int | None = None,
+    train_flag: bool = False,
+    platforms: Sequence[str] | None = None,
+) -> tuple[bytes, dict]:
+    """Serialize the fused serving program. Returns (blob, meta)."""
+    import jax
+    from jax import export as jexport
+
+    fn = make_serving_fn(net, params, factor, dataset, video_t=video_t,
+                         train_flag=train_flag)
+    spec = jax.ShapeDtypeStruct(tuple(frames_shape), jax.numpy.float32)
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    exp = jexport.export(jax.jit(fn), **kw)(spec)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "frames_shape": list(frames_shape),
+        "factor": factor,
+        "dataset": dataset,
+        "video_t": video_t,
+        "platforms": list(exp.platforms),
+        "created": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    return exp.serialize(), meta
+
+
+def save_artifact(path: str | Path, blob: bytes, meta: dict) -> None:
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("program.stablehlo", blob)
+        zf.writestr("meta.json", json.dumps(meta, indent=1))
+
+
+class ExportedServing:
+    """A loaded ``.vsrx`` artifact: ``__call__(hr_frames) -> (lr, sr)``.
+
+    Needs only jax + this class — no model code, no checkpoint."""
+
+    def __init__(self, path: str | Path):
+        from jax import export as jexport
+
+        with zipfile.ZipFile(path) as zf:
+            self.meta = json.loads(zf.read("meta.json"))
+            if self.meta.get("format_version", 0) > FORMAT_VERSION:
+                raise ValueError(
+                    f"artifact format {self.meta['format_version']} is newer "
+                    f"than this runtime ({FORMAT_VERSION})")
+            self._exp = jexport.deserialize(zf.read("program.stablehlo"))
+
+    def __call__(self, hr_frames):
+        return self._exp.call(hr_frames)
+
+
+def _cmd_export(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    net_kwargs = json.loads(args.net_kwargs) if args.net_kwargs else {}
+    if args.bf16:
+        net_kwargs["dtype"] = jnp.bfloat16
+    net = build("net", {"name": args.net, "kwargs": net_kwargs})
+    shape = tuple(int(s) for s in args.shape.split(","))
+    train_flag = args.net in ("TOFlowNet", "DUFNet")
+
+    h, w = shape[-2], shape[-1]
+    if args.video_t:
+        example = jnp.zeros((1, 2, h // args.factor, w // args.factor, 1))
+    else:
+        example = jnp.zeros((1, h // args.factor, w // args.factor, 1))
+    init_kw = {"train": False} if train_flag else {}
+    # jit the init: eager per-op init through a remote device link is
+    # minutes; one compiled program is seconds.
+    params = jax.jit(lambda k: net.init(k, example, **init_kw))(
+        jax.random.PRNGKey(0))
+    if args.checkpoint:
+        from flax import serialization
+
+        from vsr_tpu.utils.checkpoint import load_checkpoint
+
+        state, _ = load_checkpoint(args.checkpoint)
+        params = serialization.from_state_dict(params, state["params"])
+
+    platforms = args.platforms.split(",") if args.platforms else None
+    blob, meta = export_serving(
+        net, params, shape, args.factor, dataset=args.dataset,
+        video_t=args.video_t or None, train_flag=train_flag,
+        platforms=platforms)
+    meta.update({"net": args.net, "net_kwargs": net_kwargs
+                 if not args.bf16 else {**net_kwargs, "dtype": "bfloat16"}})
+    save_artifact(args.out, blob, meta)
+    logging.info(f"Exported {args.net} ({meta['platforms']}) "
+                 f"{shape} -> {args.out} "
+                 f"({Path(args.out).stat().st_size / 1e6:.1f} MB)")
+
+
+def _cmd_run(args) -> None:
+    import jax
+
+    from vsr_tpu.io.nifti import load_nifti, save_nifti
+    from vsr_tpu.preprocess.intensity import (center_crop_multiple,
+                                              clip_outliers_minmax)
+
+    serving = ExportedServing(args.run)
+    want = tuple(serving.meta["frames_shape"])
+    paths = sorted(Path(args.input_dir).glob("**/*.nii*"))
+    if not paths:
+        raise SystemExit(f"No NIfTI volumes under {args.input_dir}")
+    done = 0
+    for path in paths:
+        data = clip_outliers_minmax(load_nifti(path))
+        if data.ndim == 3:
+            data = data[..., None]
+        h0, hn, w0, wn = center_crop_multiple(data.shape[:2])
+        data = data[h0:hn, w0:wn]
+        h, w, d, t = data.shape
+        frames = np.moveaxis(data.reshape(h, w, d * t), -1, 0)
+        if frames.shape != want:
+            logging.warning(
+                f"{path.name}: shape {frames.shape} != artifact {want} — "
+                "skipped (export one artifact per serving geometry)")
+            continue
+        _, sr = serving(jax.device_put(frames.astype(np.float32)))
+        sr_np = np.asarray(sr, dtype=np.float32)
+        rel = path.relative_to(args.input_dir)
+        out_base = Path(args.output_dir) / rel.parent / rel.name.split(".")[0]
+        out_base.parent.mkdir(parents=True, exist_ok=True)
+        save_nifti(np.moveaxis(sr_np, 0, -1).reshape(h, w, d, t),
+                   Path(str(out_base) + "_sr.nii.gz"))
+        done += 1
+    logging.info(f"Served {done}/{len(paths)} volumes from {args.run}")
+
+
+def main() -> None:
+    logging.basicConfig(format="%(asctime)s | %(levelname)s | %(message)s",
+                        level=logging.INFO, datefmt="%Y-%m-%d %H:%M:%S")
+    p = argparse.ArgumentParser(
+        description="Export / run self-contained serving artifacts (.vsrx)")
+    p.add_argument("--run", default="",
+                   help="path to a .vsrx artifact: serve input_dir->output_dir")
+    p.add_argument("input_dir", nargs="?", type=Path)
+    p.add_argument("output_dir", nargs="?", type=Path)
+    p.add_argument("--net", default="EDSRNet")
+    p.add_argument("--net-kwargs", default="")
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--factor", type=int, default=2)
+    p.add_argument("--dataset", choices=["acdc", "dsb15"], default="acdc")
+    p.add_argument("--shape", default="300,96,96",
+                   help="HR frames shape N,H,W the artifact is specialized to")
+    p.add_argument("--video-t", dest="video_t", type=int, default=0,
+                   help="whole-sequence (VSR) serving with this T")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--platforms", default="",
+                   help="lowering platforms, e.g. 'tpu' or 'tpu,cpu' "
+                        "(default: current backend)")
+    p.add_argument("--out", default="model.vsrx")
+    args = p.parse_args()
+    if args.run:
+        if not (args.input_dir and args.output_dir):
+            raise SystemExit("--run needs input_dir and output_dir")
+        _cmd_run(args)
+    else:
+        _cmd_export(args)
+
+
+if __name__ == "__main__":
+    main()
