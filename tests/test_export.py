@@ -92,3 +92,45 @@ def test_export_version_guard(tmp_path):
         zf.writestr("program.stablehlo", b"")
     with pytest.raises(ValueError, match="newer"):
         ExportedServing(path)
+
+
+def test_export_int8_artifact(tmp_path, rng):
+    """--int8 bakes quantized weights in: artifact shrinks ~4x vs f32 and
+    output stays within the int8 accuracy envelope of the direct pipeline."""
+    net = EDSRNet(in_channels=1, out_channels=1, num_resblocks=2,
+                  num_features=16, upscale_factor=2)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 1)))
+    shape = (4, 24, 24)
+    blob_f, meta_f = export_serving(net, params, shape, 2)
+    blob_q, meta_q = export_serving(net, params, shape, 2, int8=True)
+    assert meta_q["int8"] and not meta_f["int8"]
+    assert len(blob_q) < 0.45 * len(blob_f)
+
+    p = tmp_path / "q.vsrx"
+    save_artifact(p, blob_q, meta_q)
+    served = ExportedServing(p)
+    x = jnp.asarray(np.round(rng.random(shape) * 255), jnp.float32)
+    _, sr_q = served(x)
+    _, sr_f = jax.jit(make_serving_fn(net, params, 2, "acdc"))(x)
+    # int8 weights: small deviation allowed, not exactness.
+    assert np.mean(np.abs(np.asarray(sr_q) - np.asarray(sr_f))) < 2.0
+
+
+def test_export_batchnorm_net(tmp_path, rng):
+    """BatchNorm nets (train_flag): batch_stats bake into the artifact."""
+    from vsr_tpu.models import TOFlowNet
+
+    net = TOFlowNet(in_channels=1, out_channels=1, num_frames=3,
+                    upscale_factor=2)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 3, 12, 12, 1)), train=False)
+    shape = (6, 24, 24)
+    blob, meta = export_serving(net, params, shape, 2, video_t=3,
+                                train_flag=True)
+    p = tmp_path / "toflow.vsrx"
+    save_artifact(p, blob, meta)
+    served = ExportedServing(p)
+    x = jnp.asarray(np.round(rng.random(shape) * 255), jnp.float32)
+    _, sr = served(x)
+    assert np.asarray(sr).shape == (6, 48, 48) or np.asarray(sr).shape[0] == 2
+    assert np.isfinite(np.asarray(sr)).all()

@@ -44,12 +44,14 @@ FORMAT_VERSION = 1
 
 
 def make_serving_fn(net, params, factor: int, dataset: str,
-                    video_t: int | None = None, train_flag: bool = False):
+                    video_t: int | None = None, train_flag: bool = False,
+                    int8: bool = False):
     """The fused HR-frames -> (lr, sr) pipeline, params closed over.
 
     Mirrors ``vsr_tpu.infer.make_pipeline`` (frame and whole-sequence
     modes) — kept separate so export does not drag the CLI's mesh/window
-    machinery into the artifact.
+    machinery into the artifact. ``int8``: bake per-channel-quantized int8
+    weights into the artifact (4x smaller) with in-program dequantization.
     """
     import jax.numpy as jnp
 
@@ -57,6 +59,13 @@ def make_serving_fn(net, params, factor: int, dataset: str,
 
     mean, std = DATASET_STATS[dataset]
     extra = {"train": False} if train_flag else {}
+    if int8:
+        from vsr_tpu.quantize import make_quantized_apply, quantize_params
+
+        qparams, scales = quantize_params(params)
+        net_apply = make_quantized_apply(net, qparams, scales, **extra)
+    else:
+        net_apply = lambda z: net.apply(params, z, **extra)
 
     def pipeline(hr_frames):
         lr = kspace_downscale_jax(hr_frames, factor)
@@ -64,7 +73,7 @@ def make_serving_fn(net, params, factor: int, dataset: str,
         if video_t:
             n, h, w, c = z.shape
             z = z.reshape(n // video_t, video_t, h, w, c)
-        sr = net.apply(params, z, **extra)
+        sr = net_apply(z)
         if isinstance(sr, tuple):
             sr = sr[0]
         if sr.ndim == 5:
@@ -86,6 +95,7 @@ def export_serving(
     dataset: str = "acdc",
     video_t: int | None = None,
     train_flag: bool = False,
+    int8: bool = False,
     platforms: Sequence[str] | None = None,
 ) -> tuple[bytes, dict]:
     """Serialize the fused serving program. Returns (blob, meta)."""
@@ -93,7 +103,7 @@ def export_serving(
     from jax import export as jexport
 
     fn = make_serving_fn(net, params, factor, dataset, video_t=video_t,
-                         train_flag=train_flag)
+                         train_flag=train_flag, int8=int8)
     spec = jax.ShapeDtypeStruct(tuple(frames_shape), jax.numpy.float32)
     kw = {"platforms": tuple(platforms)} if platforms else {}
     exp = jexport.export(jax.jit(fn), **kw)(spec)
@@ -103,6 +113,7 @@ def export_serving(
         "factor": factor,
         "dataset": dataset,
         "video_t": video_t,
+        "int8": int8,
         "platforms": list(exp.platforms),
         "created": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
@@ -168,7 +179,7 @@ def _cmd_export(args) -> None:
     blob, meta = export_serving(
         net, params, shape, args.factor, dataset=args.dataset,
         video_t=args.video_t or None, train_flag=train_flag,
-        platforms=platforms)
+        int8=getattr(args, "int8", False), platforms=platforms)
     meta.update({"net": args.net, "net_kwargs": net_kwargs
                  if not args.bf16 else {**net_kwargs, "dtype": "bfloat16"}})
     save_artifact(args.out, blob, meta)
@@ -233,6 +244,9 @@ def main() -> None:
     p.add_argument("--video-t", dest="video_t", type=int, default=0,
                    help="whole-sequence (VSR) serving with this T")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="bake int8-quantized weights into the artifact "
+                        "(4x smaller; <0.05 dB gated in tests)")
     p.add_argument("--platforms", default="",
                    help="lowering platforms, e.g. 'tpu' or 'tpu,cpu' "
                         "(default: current backend)")
