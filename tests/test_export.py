@@ -116,21 +116,27 @@ def test_export_int8_artifact(tmp_path, rng):
     assert np.mean(np.abs(np.asarray(sr_q) - np.asarray(sr_f))) < 2.0
 
 
-def test_export_batchnorm_net(tmp_path, rng):
-    """BatchNorm nets (train_flag): batch_stats bake into the artifact."""
+def test_export_batchnorm_misr_windows(tmp_path, rng):
+    """BatchNorm MISR net (TOFlow) exports in circular-window mode: one SR
+    frame per input frame (the reference MISR eval protocol — the same
+    program infer --windows serves), batch_stats baked into the artifact."""
     from vsr_tpu.models import TOFlowNet
 
     net = TOFlowNet(in_channels=1, out_channels=1, num_frames=3,
                     upscale_factor=2)
     params = net.init(jax.random.PRNGKey(0),
                       jnp.zeros((1, 3, 12, 12, 1)), train=False)
-    shape = (6, 24, 24)
-    blob, meta = export_serving(net, params, shape, 2, video_t=3,
+    shape = (6, 24, 24)  # 2 slices x 3 frames
+    window = (3, 3, "middle")
+    blob, meta = export_serving(net, params, shape, 2, window=window,
                                 train_flag=True)
     p = tmp_path / "toflow.vsrx"
     save_artifact(p, blob, meta)
     served = ExportedServing(p)
+    assert served.meta["window"] == [3, 3, "middle"]
     x = jnp.asarray(np.round(rng.random(shape) * 255), jnp.float32)
     _, sr = served(x)
-    assert np.asarray(sr).shape == (6, 48, 48) or np.asarray(sr).shape[0] == 2
-    assert np.isfinite(np.asarray(sr)).all()
+    assert np.asarray(sr).shape == (6, 24, 24)  # one SR frame per frame
+    _, ref = make_serving_fn(net, params, 2, "acdc", window=window,
+                             train_flag=True)(x)
+    np.testing.assert_array_equal(np.asarray(sr), np.asarray(ref))

@@ -27,7 +27,6 @@ CLI:
 from __future__ import annotations
 
 import argparse
-import io
 import json
 import logging
 import time
@@ -45,46 +44,19 @@ FORMAT_VERSION = 1
 
 def make_serving_fn(net, params, factor: int, dataset: str,
                     video_t: int | None = None, train_flag: bool = False,
-                    int8: bool = False):
-    """The fused HR-frames -> (lr, sr) pipeline, params closed over.
-
-    Mirrors ``vsr_tpu.infer.make_pipeline`` (frame and whole-sequence
-    modes) — kept separate so export does not drag the CLI's mesh/window
-    machinery into the artifact. ``int8``: bake per-channel-quantized int8
-    weights into the artifact (4x smaller) with in-program dequantization.
+                    int8: bool = False, window=None):
+    """The fused HR-frames -> (lr, sr) serving program — delegated to
+    ``vsr_tpu.infer.make_pipeline`` (mesh=None) so the exported artifact is
+    THE SAME program the CLI serves: frame, whole-sequence (``video_t``),
+    and circular MISR window (``window=(nf, seq_t, order)``) modes, int8
+    weight baking, feedback-net last-step selection. Returns a jitted
+    callable ``hr_frames -> (lr, sr)``.
     """
-    import jax.numpy as jnp
+    from vsr_tpu.infer import make_pipeline
 
-    from vsr_tpu.preprocess.kspace import kspace_downscale_jax
-
-    mean, std = DATASET_STATS[dataset]
-    extra = {"train": False} if train_flag else {}
-    if int8:
-        from vsr_tpu.quantize import make_quantized_apply, quantize_params
-
-        qparams, scales = quantize_params(params)
-        net_apply = make_quantized_apply(net, qparams, scales, **extra)
-    else:
-        net_apply = lambda z: net.apply(params, z, **extra)
-
-    def pipeline(hr_frames):
-        lr = kspace_downscale_jax(hr_frames, factor)
-        z = ((lr - mean) / (std + 1e-10))[..., None]
-        if video_t:
-            n, h, w, c = z.shape
-            z = z.reshape(n // video_t, video_t, h, w, c)
-        sr = net_apply(z)
-        if isinstance(sr, tuple):
-            sr = sr[0]
-        if sr.ndim == 5:
-            if video_t:
-                sr = sr.reshape(-1, *sr.shape[2:])
-            else:  # feedback nets stack steps on axis 0
-                sr = sr[-1]
-        sr = sr.astype(jnp.float32)[..., 0]
-        return lr, jnp.clip(jnp.round(sr * std + mean), 0.0, 255.0)
-
-    return pipeline
+    return make_pipeline(net, params, factor, dataset, int8=int8,
+                         video_t=video_t, mesh=None, window=window,
+                         train_flag=train_flag)
 
 
 def export_serving(
@@ -96,6 +68,7 @@ def export_serving(
     video_t: int | None = None,
     train_flag: bool = False,
     int8: bool = False,
+    window=None,
     platforms: Sequence[str] | None = None,
 ) -> tuple[bytes, dict]:
     """Serialize the fused serving program. Returns (blob, meta)."""
@@ -103,16 +76,17 @@ def export_serving(
     from jax import export as jexport
 
     fn = make_serving_fn(net, params, factor, dataset, video_t=video_t,
-                         train_flag=train_flag, int8=int8)
+                         train_flag=train_flag, int8=int8, window=window)
     spec = jax.ShapeDtypeStruct(tuple(frames_shape), jax.numpy.float32)
     kw = {"platforms": tuple(platforms)} if platforms else {}
-    exp = jexport.export(jax.jit(fn), **kw)(spec)
+    exp = jexport.export(fn, **kw)(spec)
     meta = {
         "format_version": FORMAT_VERSION,
         "frames_shape": list(frames_shape),
         "factor": factor,
         "dataset": dataset,
         "video_t": video_t,
+        "window": list(window) if window else None,
         "int8": int8,
         "platforms": list(exp.platforms),
         "created": time.strftime("%Y-%m-%d %H:%M:%S"),
@@ -146,20 +120,36 @@ class ExportedServing:
         return self._exp.call(hr_frames)
 
 
+def _enable_compile_cache() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def _cmd_export(args) -> None:
     import jax
     import jax.numpy as jnp
 
+    _enable_compile_cache()
     net_kwargs = json.loads(args.net_kwargs) if args.net_kwargs else {}
     if args.bf16:
         net_kwargs["dtype"] = jnp.bfloat16
     net = build("net", {"name": args.net, "kwargs": net_kwargs})
     shape = tuple(int(s) for s in args.shape.split(","))
     train_flag = args.net in ("TOFlowNet", "DUFNet")
+    windows = int(getattr(args, "windows", 0) or 0)
+    if windows and args.video_t:
+        raise SystemExit("--windows (MISR) and --video-t (VSR) are "
+                         "mutually exclusive")
 
     h, w = shape[-2], shape[-1]
     if args.video_t:
         example = jnp.zeros((1, 2, h // args.factor, w // args.factor, 1))
+    elif windows:
+        example = jnp.zeros((1, windows, h // args.factor,
+                             w // args.factor, 1))
     else:
         example = jnp.zeros((1, h // args.factor, w // args.factor, 1))
     init_kw = {"train": False} if train_flag else {}
@@ -175,11 +165,22 @@ def _cmd_export(args) -> None:
         state, _ = load_checkpoint(args.checkpoint)
         params = serialization.from_state_dict(params, state["params"])
 
+    # MISR window serving needs the per-slice sequence length (seq_t) to
+    # build circular windows on device: --seq-t, like infer's per-volume t.
+    window = None
+    if windows:
+        if not args.seq_t:
+            raise SystemExit("--windows needs --seq-t (frames per slice "
+                             "sequence in the serving geometry)")
+        window = (windows, args.seq_t,
+                  getattr(args, "window_order", "middle"))
+
     platforms = args.platforms.split(",") if args.platforms else None
     blob, meta = export_serving(
         net, params, shape, args.factor, dataset=args.dataset,
         video_t=args.video_t or None, train_flag=train_flag,
-        int8=getattr(args, "int8", False), platforms=platforms)
+        int8=getattr(args, "int8", False), window=window,
+        platforms=platforms)
     meta.update({"net": args.net, "net_kwargs": net_kwargs
                  if not args.bf16 else {**net_kwargs, "dtype": "bfloat16"}})
     save_artifact(args.out, blob, meta)
@@ -195,6 +196,7 @@ def _cmd_run(args) -> None:
     from vsr_tpu.preprocess.intensity import (center_crop_multiple,
                                               clip_outliers_minmax)
 
+    _enable_compile_cache()
     serving = ExportedServing(args.run)
     want = tuple(serving.meta["frames_shape"])
     paths = sorted(Path(args.input_dir).glob("**/*.nii*"))
@@ -243,6 +245,14 @@ def main() -> None:
                    help="HR frames shape N,H,W the artifact is specialized to")
     p.add_argument("--video-t", dest="video_t", type=int, default=0,
                    help="whole-sequence (VSR) serving with this T")
+    p.add_argument("--windows", type=int, default=0,
+                   help="MISR net (DUF/EDVR/RBPN/TOFlow): one circular "
+                        "N-frame window per output frame")
+    p.add_argument("--seq-t", dest="seq_t", type=int, default=0,
+                   help="with --windows: frames per slice sequence in the "
+                        "serving geometry")
+    p.add_argument("--window-order", dest="window_order",
+                   choices=["middle", "last"], default="middle")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="bake int8-quantized weights into the artifact "

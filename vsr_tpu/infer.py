@@ -232,12 +232,14 @@ def run(args) -> dict:
                         writer.append_data(sr_seq[:, :, di, ti].astype(np.uint8))
         if getattr(args, "psnr", False):
             # The pipeline degrades the input volume by --factor and
-            # super-resolves it back, so the input IS the ground truth:
-            # reference PSNR convention (max=255, 1e-10 eps; metrics.py).
-            from vsr_tpu.metrics import PSNR
-
-            val = float(np.asarray(PSNR()(jnp.asarray(sr_np),
-                                          jnp.asarray(hr_ref))))
+            # super-resolves it back, so the input IS the ground truth.
+            # Reference PSNR convention (max=255, 1e-10 eps; metrics.py:46),
+            # computed in numpy on the already-host arrays — never push
+            # volumes back through the (slow, erratic) device link inside
+            # the serving loop.
+            diff = sr_np.astype(np.float64) - hr_ref.astype(np.float64)
+            mse = np.mean(np.square(diff), axis=(1, 2))  # per frame
+            val = float(np.mean(10.0 * np.log10(255.0 ** 2 / (mse + 1e-10))))
             psnr_rows.append((str(rel), val))
             logging.info(f"{path.name}: PSNR {val:.3f} dB")
         logging.info(f"{path.name}: {d * t} frames -> {out_base}_sr.nii.gz")
