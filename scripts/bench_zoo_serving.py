@@ -74,7 +74,7 @@ def main(only: list[str]) -> None:
                   num_resblocks=10, dtype=bf16), {"vpc": 2}),
         ("TOFlowNet", 2, "misr",
          TOFlowNet(in_channels=1, out_channels=1, num_frames=5,
-                   upscale_factor=2, dtype=bf16), {"win": 5, "chunk": 30}),
+                   upscale_factor=2, dtype=bf16), {"win": 5, "chunk": 60}),
         ("DUFNet", 2, "misr",
          DUFNet(in_channels=1, out_channels=1, num_frames=7, size_filter=5,
                 upscale_factor=2, backbone="_DenseLayer16", dtype=bf16),
