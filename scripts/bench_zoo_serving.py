@@ -78,7 +78,7 @@ def main(only: list[str]) -> None:
         ("DUFNet", 2, "misr",
          DUFNet(in_channels=1, out_channels=1, num_frames=7, size_filter=5,
                 upscale_factor=2, backbone="_DenseLayer16", dtype=bf16),
-         {"win": 7, "chunk": 60}),
+         {"win": 7, "chunk": 100}),
         ("RBPNet", 2, "misr",
          RBPNet(in_channels=1, out_channels=1, base_filter=64, feat=64,
                 num_stages=3, num_resblocks=5, num_frames=5, upscale_factor=2,
