@@ -327,3 +327,47 @@ def test_infer_psnr_report(tmp_path, rng):
         rows = list(csv.reader(f))
     assert rows[0] == ["volume", "PSNR"] and len(rows) == 2
     assert abs(float(rows[1][1]) - stats["psnr_mean"]) < 1e-3
+
+
+def test_infer_chunked_equals_unchunked(tmp_path, rng):
+    """--chunk consumes frames/windows in lax.map chunks inside the program
+    — outputs bitwise equal to the unchunked pipeline, including a chunk
+    size that does NOT divide the frame count (edge-repeat pad + slice)."""
+    import json
+
+    vol = np.round(rng.random((24, 24, 2, 3)) * 255).astype(np.float32)
+    (tmp_path / "in").mkdir()
+    save_nifti(vol, tmp_path / "in" / "p1_4d.nii.gz")
+
+    kwargs = json.dumps(dict(in_channels=1, out_channels=1, num_steps=2,
+                             num_features=4, num_groups=2, upscale_factor=2))
+    run(_args(input_dir=tmp_path / "in", output_dir=tmp_path / "a",
+              net="SRFBNet", net_kwargs=kwargs, gif=False))
+    run(_args(input_dir=tmp_path / "in", output_dir=tmp_path / "b",
+              net="SRFBNet", net_kwargs=kwargs, gif=False, chunk=4))
+    a = load_nifti(tmp_path / "a" / "p1_4d_sr.nii.gz")
+    b = load_nifti(tmp_path / "b" / "p1_4d_sr.nii.gz")
+    np.testing.assert_array_equal(a, b)
+
+    # Window (MISR) mode too.
+    kwargs = json.dumps(dict(in_channels=1, out_channels=1, base_filter=8,
+                             feat=8, num_stages=2, num_resblocks=1,
+                             num_frames=3, upscale_factor=2))
+    run(_args(input_dir=tmp_path / "in", output_dir=tmp_path / "c",
+              net="RBPNet", net_kwargs=kwargs, gif=False, windows=3))
+    run(_args(input_dir=tmp_path / "in", output_dir=tmp_path / "d",
+              net="RBPNet", net_kwargs=kwargs, gif=False, windows=3, chunk=4))
+    c = load_nifti(tmp_path / "c" / "p1_4d_sr.nii.gz")
+    dd = load_nifti(tmp_path / "d" / "p1_4d_sr.nii.gz")
+    np.testing.assert_array_equal(c, dd)
+
+
+def test_infer_chunk_mesh_exclusive(tmp_path, rng):
+    import pytest
+
+    vol = np.round(rng.random((24, 24, 1, 2)) * 255).astype(np.float32)
+    (tmp_path / "in").mkdir()
+    save_nifti(vol, tmp_path / "in" / "p1_4d.nii.gz")
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        run(_args(input_dir=tmp_path / "in", output_dir=tmp_path / "out",
+                  chunk=2, mesh="data=2"))

@@ -44,7 +44,7 @@ FORMAT_VERSION = 1
 
 def make_serving_fn(net, params, factor: int, dataset: str,
                     video_t: int | None = None, train_flag: bool = False,
-                    int8: bool = False, window=None):
+                    int8: bool = False, window=None, chunk: int = 0):
     """The fused HR-frames -> (lr, sr) serving program — delegated to
     ``vsr_tpu.infer.make_pipeline`` (mesh=None) so the exported artifact is
     THE SAME program the CLI serves: frame, whole-sequence (``video_t``),
@@ -56,7 +56,7 @@ def make_serving_fn(net, params, factor: int, dataset: str,
 
     return make_pipeline(net, params, factor, dataset, int8=int8,
                          video_t=video_t, mesh=None, window=window,
-                         train_flag=train_flag)
+                         train_flag=train_flag, chunk=chunk)
 
 
 def export_serving(
@@ -69,6 +69,7 @@ def export_serving(
     train_flag: bool = False,
     int8: bool = False,
     window=None,
+    chunk: int = 0,
     platforms: Sequence[str] | None = None,
 ) -> tuple[bytes, dict]:
     """Serialize the fused serving program. Returns (blob, meta)."""
@@ -76,7 +77,8 @@ def export_serving(
     from jax import export as jexport
 
     fn = make_serving_fn(net, params, factor, dataset, video_t=video_t,
-                         train_flag=train_flag, int8=int8, window=window)
+                         train_flag=train_flag, int8=int8, window=window,
+                         chunk=chunk)
     spec = jax.ShapeDtypeStruct(tuple(frames_shape), jax.numpy.float32)
     kw = {"platforms": tuple(platforms)} if platforms else {}
     exp = jexport.export(fn, **kw)(spec)
@@ -87,6 +89,7 @@ def export_serving(
         "dataset": dataset,
         "video_t": video_t,
         "window": list(window) if window else None,
+        "chunk": chunk,
         "int8": int8,
         "platforms": list(exp.platforms),
         "created": time.strftime("%Y-%m-%d %H:%M:%S"),
@@ -180,7 +183,7 @@ def _cmd_export(args) -> None:
         net, params, shape, args.factor, dataset=args.dataset,
         video_t=args.video_t or None, train_flag=train_flag,
         int8=getattr(args, "int8", False), window=window,
-        platforms=platforms)
+        chunk=int(getattr(args, "chunk", 0) or 0), platforms=platforms)
     meta.update({"net": args.net, "net_kwargs": net_kwargs
                  if not args.bf16 else {**net_kwargs, "dtype": "bfloat16"}})
     save_artifact(args.out, blob, meta)
@@ -253,6 +256,10 @@ def main() -> None:
                         "serving geometry")
     p.add_argument("--window-order", dest="window_order",
                    choices=["middle", "last"], default="middle")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="bake lax.map chunking of this size into the "
+                        "artifact (memory-bounded serving; see BENCH.md "
+                        "for per-net optima)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="bake int8-quantized weights into the artifact "

@@ -34,7 +34,7 @@ from vsr_tpu.utils.normalize import DATASET_STATS
 def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
                   video_t: int | None = None, mesh=None,
                   window: tuple[int, int, str] | None = None,
-                  train_flag: bool = False):
+                  train_flag: bool = False, chunk: int = 0):
     """One jitted device program: HR float frames (N, H, W) ->
     (lr_frames, sr_frames) uint8-valued float32.
 
@@ -57,7 +57,14 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     ``acdc_misr_dataset.py:53-68``), built on device by a gather.
     ``order='middle'`` centers the window on the output frame, ``'last'``
     ends it there. ``train_flag``: pass ``train=False`` explicitly (the
-    BatchNorm nets, TOFlow/DUF)."""
+    BatchNorm nets, TOFlow/DUF).
+
+    ``chunk``: consume the frames/windows in ``lax.map`` chunks of this
+    size inside the one program (frame/window modes only — the VSR video
+    path is already sequence-batched). Bounds live activation memory AND
+    is faster for the heavy MISR nets (zoo bench: DUF chunk 100 = +45%,
+    TOFlow chunk 60 = +48% over chunk 30); the batch pads by edge-repeat
+    to a chunk multiple and slices back (exact — items are independent)."""
     import jax
     import jax.numpy as jnp
 
@@ -95,14 +102,30 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
             idx = (jnp.arange(seq_t)[:, None]
                    + jnp.arange(nf)[None, :] - shift) % seq_t
             z = jnp.take(seq, idx, axis=1).reshape(n, nf, h, w, c)
-        sr = net_apply(z)
-        if isinstance(sr, tuple):
-            sr = sr[0]
+        def apply_reduce(zb):
+            """net -> one frame-shaped output per item (last feedback step,
+            first tuple element) so chunked results stack cleanly."""
+            out = net_apply(zb)
+            if isinstance(out, tuple):
+                out = out[0]
+            if out.ndim == 5 and not video_t:
+                out = out[-1]  # feedback nets stack steps on axis 0
+            return out
+
+        if chunk and not video_t:
+            n_items = z.shape[0]
+            pad = (-n_items) % chunk
+            if pad:
+                z = jnp.concatenate(
+                    [z, jnp.repeat(z[-1:], pad, axis=0)], axis=0)
+            zc = z.reshape(-1, chunk, *z.shape[1:])
+            sr = jax.lax.map(apply_reduce, zc)
+            sr = sr.reshape(-1, *sr.shape[2:])[:n_items]
+        else:
+            sr = apply_reduce(z)
         if sr.ndim == 5:
             if video_t:  # whole-sequence SR: flatten frames back out
                 sr = sr.reshape(-1, *sr.shape[2:])
-            else:  # feedback nets (SRFBN/DRFSISR) stack steps on axis 0
-                sr = sr[-1]  # last refinement step (predictors.py:287)
         sr = sr.astype(jnp.float32)[..., 0]
         sr = jnp.clip(jnp.round(sr * std + mean), 0, 255)
         return lr, sr
@@ -163,6 +186,12 @@ def run(args) -> dict:
         if windows and video:
             raise SystemExit("--windows (MISR) and --video (VSR) are "
                              "mutually exclusive")
+        if getattr(args, "chunk", 0) and mesh is not None:
+            raise SystemExit("--chunk and --mesh are mutually exclusive "
+                             "(the mesh path shards the un-chunked batch)")
+        if getattr(args, "chunk", 0) and video:
+            raise SystemExit("--chunk applies to frame/window serving; the "
+                             "--video path is already sequence-batched")
         if getattr(args, "bucket_t", 0) and not video:
             raise SystemExit("--bucket-t requires --video (circular MISR "
                              "windows over a padded period are not exact, "
@@ -209,7 +238,8 @@ def run(args) -> dict:
                 mesh=mesh,
                 window=((windows, t, getattr(args, "window_order", "middle"))
                         if windows else None),
-                train_flag=train_flag)
+                train_flag=train_flag,
+                chunk=int(getattr(args, "chunk", 0) or 0))
         lr, sr = pipelines[key](frames if mesh is not None
                                 else jax.device_put(frames))
         sr_np = np.asarray(sr).astype(np.float32)
@@ -292,6 +322,11 @@ def main() -> None:
     parser.add_argument("--window-order", dest="window_order",
                         choices=["middle", "last"], default="middle",
                         help="window alignment relative to the output frame")
+    parser.add_argument("--chunk", type=int, default=0,
+                        help="consume frames/windows in lax.map chunks of "
+                             "this size inside the program (bounds live "
+                             "memory; faster for heavy MISR nets — see "
+                             "BENCH.md zoo table for per-net optima)")
     parser.add_argument("--bucket-t", dest="bucket_t", type=int, default=0,
                         help="with --video: round each sequence's T up to a "
                              "multiple of this (wrap-around pad, sliced back "
