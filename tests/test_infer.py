@@ -12,7 +12,8 @@ def _args(**kw):
     defaults = dict(net="Bicubic", net_kwargs='{"upscale_factor": 2}',
                     checkpoint="", factor=2, dataset="acdc", gif=True,
                     bf16=False, int8=False, video=False, fused_tail=False,
-                    mesh="", bucket_t=0)
+                    mesh="", bucket_t=0, windows=0, window_order="middle",
+                    chunk=0, psnr=False)
     defaults.update(kw)
     return argparse.Namespace(**defaults)
 

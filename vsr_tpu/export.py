@@ -146,6 +146,12 @@ def _cmd_export(args) -> None:
     if windows and args.video_t:
         raise SystemExit("--windows (MISR) and --video-t (VSR) are "
                          "mutually exclusive")
+    chunk = int(getattr(args, "chunk", 0) or 0)
+    if chunk < 0:
+        raise SystemExit("--chunk must be positive")
+    if chunk and args.video_t:
+        raise SystemExit("--chunk applies to frame/window serving; the "
+                         "--video-t path is already sequence-batched")
 
     h, w = shape[-2], shape[-1]
     if args.video_t:
@@ -183,7 +189,7 @@ def _cmd_export(args) -> None:
         net, params, shape, args.factor, dataset=args.dataset,
         video_t=args.video_t or None, train_flag=train_flag,
         int8=getattr(args, "int8", False), window=window,
-        chunk=int(getattr(args, "chunk", 0) or 0), platforms=platforms)
+        chunk=chunk, platforms=platforms)
     meta.update({"net": args.net, "net_kwargs": net_kwargs
                  if not args.bf16 else {**net_kwargs, "dtype": "bfloat16"}})
     save_artifact(args.out, blob, meta)

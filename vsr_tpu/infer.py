@@ -186,6 +186,8 @@ def run(args) -> dict:
         if windows and video:
             raise SystemExit("--windows (MISR) and --video (VSR) are "
                              "mutually exclusive")
+        if int(getattr(args, "chunk", 0) or 0) < 0:
+            raise SystemExit("--chunk must be positive")
         if getattr(args, "chunk", 0) and mesh is not None:
             raise SystemExit("--chunk and --mesh are mutually exclusive "
                              "(the mesh path shards the un-chunked batch)")
