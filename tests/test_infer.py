@@ -372,3 +372,24 @@ def test_infer_chunk_mesh_exclusive(tmp_path, rng):
     with pytest.raises(SystemExit, match="mutually exclusive"):
         run(_args(input_dir=tmp_path / "in", output_dir=tmp_path / "out",
                   chunk=2, mesh="data=2"))
+
+
+def test_infer_misr_flag_composition(tmp_path, rng):
+    """--windows + --chunk + --bf16 + --int8 compose in one program."""
+    import json
+
+    vol = np.round(rng.random((24, 24, 2, 3)) * 255).astype(np.float32)
+    (tmp_path / "in").mkdir()
+    save_nifti(vol, tmp_path / "in" / "p1_4d.nii.gz")
+    stats = run(_args(
+        input_dir=tmp_path / "in", output_dir=tmp_path / "out",
+        net="RBPNet",
+        net_kwargs=json.dumps(dict(in_channels=1, out_channels=1,
+                                   base_filter=8, feat=8, num_stages=2,
+                                   num_resblocks=1, num_frames=3,
+                                   upscale_factor=2)),
+        gif=False, windows=3, chunk=4, bf16=True, int8=True))
+    assert stats["frames"] == 6
+    sr = load_nifti(tmp_path / "out" / "p1_4d_sr.nii.gz")
+    assert sr.shape == (24, 24, 2, 3) and np.isfinite(sr).all()
+    assert sr.min() >= 0 and sr.max() <= 255
