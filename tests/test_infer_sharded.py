@@ -8,6 +8,7 @@ import argparse
 import json
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,15 @@ def test_parse_mesh_axes():
     assert parse_mesh_axes("data=2,spatial=4") == {"data": 2, "spatial": 4}
     assert parse_mesh_axes("data=-1") == {"data": -1}
     assert parse_mesh_axes(" data = 3 ") == {"data": 3}
+
+
+def test_parse_mesh_axes_rejects_bad_specs():
+    with pytest.raises(ValueError, match="explicit size"):
+        parse_mesh_axes("data")  # bare name is no longer a silent -1
+    with pytest.raises(ValueError, match="Unknown mesh axis"):
+        parse_mesh_axes("dta=2")  # typo'd axis name
+    with pytest.raises(ValueError, match="Empty"):
+        parse_mesh_axes(" , ")
 
 
 def test_sharded_pipeline_matches_unsharded(rng):

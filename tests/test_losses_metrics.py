@@ -194,3 +194,44 @@ def test_torch_builtin_loss_family_matches_torch(rng):
     with torch.no_grad():
         golden = float(tn.NLLLoss()(to(logp), torch.from_numpy(labels)))
     np.testing.assert_allclose(ours, golden, rtol=1e-5, err_msg="NLLLoss")
+
+
+def test_multi_margin_loss_family_matches_torch(rng):
+    """The last three torch.nn *Loss names (VERDICT r2 item #7): MultiMargin,
+    MultiLabelMargin, MultiLabelSoftMargin — all (output, target) callable."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tn
+
+    to = torch.from_numpy
+    scores = rng.standard_normal((8, 5)).astype(np.float32)
+    labels = rng.integers(0, 5, (8,))
+
+    for p in (1, 2):
+        ours = float(build("loss", {"name": "MultiMarginLoss",
+                                    "kwargs": {"p": p}})(scores, labels))
+        with torch.no_grad():
+            golden = float(tn.MultiMarginLoss(p=p)(to(scores),
+                                                   torch.from_numpy(labels)))
+        np.testing.assert_allclose(ours, golden, rtol=1e-5,
+                                   err_msg=f"MultiMarginLoss p={p}")
+
+    # MultiLabelMargin: per-row label prefixes of varying length, -1 padded
+    # (incl. one empty row — torch gives it zero loss).
+    ml_target = np.full((8, 5), -1, dtype=np.int64)
+    for b in range(8):
+        k = int(rng.integers(0, 4))  # 0..3 labels
+        ml_target[b, :k] = rng.choice(5, size=k, replace=False)
+    ours = float(build("loss", {"name": "MultiLabelMarginLoss",
+                                "kwargs": {}})(scores, ml_target))
+    with torch.no_grad():
+        golden = float(tn.MultiLabelMarginLoss()(to(scores), to(ml_target)))
+    np.testing.assert_allclose(ours, golden, rtol=1e-5,
+                               err_msg="MultiLabelMarginLoss")
+
+    binary = (rng.random((8, 5)) > 0.5).astype(np.float32)
+    ours = float(build("loss", {"name": "MultiLabelSoftMarginLoss",
+                                "kwargs": {}})(scores, binary))
+    with torch.no_grad():
+        golden = float(tn.MultiLabelSoftMarginLoss()(to(scores), to(binary)))
+    np.testing.assert_allclose(ours, golden, rtol=1e-5,
+                               err_msg="MultiLabelSoftMarginLoss")

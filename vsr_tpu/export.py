@@ -148,7 +148,7 @@ def _cmd_export(args) -> None:
                          "mutually exclusive")
     chunk = int(getattr(args, "chunk", 0) or 0)
     if chunk < 0:
-        raise SystemExit("--chunk must be positive")
+        raise SystemExit("--chunk must be >= 0 (0 = disabled)")
     if chunk and args.video_t:
         raise SystemExit("--chunk applies to frame/window serving; the "
                          "--video-t path is already sequence-batched")
@@ -234,6 +234,10 @@ def _cmd_run(args) -> None:
                    Path(str(out_base) + "_sr.nii.gz"))
         done += 1
     logging.info(f"Served {done}/{len(paths)} volumes from {args.run}")
+    if done == 0:
+        raise SystemExit(
+            f"All {len(paths)} volumes were skipped (shape != artifact "
+            f"geometry {want}) — nothing served")
 
 
 def main() -> None:

@@ -70,6 +70,12 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
 
     from vsr_tpu.preprocess.kspace import kspace_downscale_jax
 
+    if chunk < 0:
+        raise ValueError("chunk must be >= 0 (0 = disabled)")
+    if chunk and video_t:
+        raise ValueError(
+            "chunk applies to frame/window serving; the video_t (whole-"
+            "sequence) path is already sequence-batched")
     mean, std = DATASET_STATS[dataset]
 
     extra = {"train": False} if train_flag else {}
@@ -187,7 +193,7 @@ def run(args) -> dict:
             raise SystemExit("--windows (MISR) and --video (VSR) are "
                              "mutually exclusive")
         if int(getattr(args, "chunk", 0) or 0) < 0:
-            raise SystemExit("--chunk must be positive")
+            raise SystemExit("--chunk must be >= 0 (0 = disabled)")
         if getattr(args, "chunk", 0) and mesh is not None:
             raise SystemExit("--chunk and --mesh are mutually exclusive "
                              "(the mesh path shards the un-chunked batch)")

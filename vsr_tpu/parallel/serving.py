@@ -22,15 +22,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vsr_tpu.parallel.gspmd import _prune_spec
 
 
+#: Axis names the serving/GSPMD partition specs know about.
+KNOWN_AXES = ("data", "spatial")
+
+
 def parse_mesh_axes(spec: str) -> dict[str, int]:
-    """``"data=2,spatial=4"`` -> ``{"data": 2, "spatial": 4}`` (-1 allowed)."""
+    """``"data=2,spatial=4"`` -> ``{"data": 2, "spatial": 4}``.
+
+    ``-1`` means "all remaining devices" and must be written explicitly
+    (``data=-1``); a bare axis name without ``=size`` is rejected so typos
+    fail here instead of silently becoming a replicated no-op axis.  Axis
+    names are validated against :data:`KNOWN_AXES` for the same reason.
+    """
     axes: dict[str, int] = {}
     for part in spec.split(","):
         part = part.strip()
         if not part:
             continue
-        name, _, size = part.partition("=")
-        axes[name.strip()] = int(size) if size else -1
+        name, sep, size = part.partition("=")
+        name = name.strip()
+        if name not in KNOWN_AXES:
+            raise ValueError(
+                f"Unknown mesh axis {name!r} in {spec!r}; known axes: "
+                f"{', '.join(KNOWN_AXES)}")
+        if not sep or not size.strip():
+            raise ValueError(
+                f"Mesh axis {name!r} needs an explicit size, e.g. "
+                f"'{name}=2' (or '{name}=-1' for all remaining devices)")
+        axes[name] = int(size)
     if not axes:
         raise ValueError(f"Empty mesh spec: {spec!r}")
     return axes
@@ -72,8 +91,21 @@ def shard_pipeline(pipeline_fn, mesh: Mesh, batch_axis: str = "data",
                 [frames, np.tile(frames[-unit:], (pad // unit, 1, 1))])
         out = jitted(frames)
         if pad:
+            # Identify which outputs actually carry the batch axis by
+            # abstract-evaluating the pipeline at both batch sizes: a leaf
+            # is batched iff its leading dim tracks N.  (A pure shape match
+            # against n+pad would mis-slice any output whose leading dim
+            # coincidentally equals the padded batch.)
+            spec = jax.ShapeDtypeStruct(frames.shape, frames.dtype)
+            spec_unpadded = jax.ShapeDtypeStruct((n,) + frames.shape[1:],
+                                                 frames.dtype)
+            shapes_p = jax.eval_shape(pipeline_fn, spec)
+            shapes_u = jax.eval_shape(pipeline_fn, spec_unpadded)
             out = jax.tree_util.tree_map(
-                lambda a: a[:n] if a.ndim and a.shape[0] == n + pad else a, out)
+                lambda a, sp, su: a[:n]
+                if (a.ndim and sp.shape[:1] == (n + pad,)
+                    and su.shape[:1] == (n,)) else a,
+                out, shapes_p, shapes_u)
         return out
 
     return wrapped
