@@ -36,9 +36,14 @@ import pytest
 REF_ROOT = Path("/root/reference")
 
 _STUB_NAMES = [
-    "nibabel", "cv2", "SimpleITK", "box", "imageio", "scipy.misc",
+    "cv2", "SimpleITK", "imageio",
     "tensorboardX", "torchvision", "torchvision.utils", "tqdm",
 ]
+# nibabel / scipy.misc / box / ipdb get FUNCTIONAL shims from
+# tests/_refharness.py (the protocol-parity oracle needs the reference's
+# dataset/predictor IO to actually work); they are installed ahead of the
+# inert stubs below so the reference modules bind the functional versions
+# at their first import, whichever test file triggers it.
 
 _DCN_MOD = "src.model.nets.edvr_net.dcn.deform_conv"
 _DCN_CUDA_MOD = "src.model.nets.edvr_net.dcn.deform_conv_cuda"
@@ -132,13 +137,15 @@ def _dummy(*args, **kwargs):  # pragma: no cover
 
 
 def _install_stubs():
+    from tests._refharness import install_functional_shims
+
+    install_functional_shims()  # calls _install_inert_stubs itself
+
+
+def _install_inert_stubs():
     for name in _STUB_NAMES:
         try:
-            mod = importlib.import_module(name)
-            # Present but missing the torch-1.1-era symbol the reference
-            # imports (e.g. modern scipy.misc lost imsave): patch it in.
-            if name == "scipy.misc" and not hasattr(mod, "imsave"):
-                mod.imsave = _dummy
+            importlib.import_module(name)
         except Exception:
             parts = name.split(".")
             for i in range(len(parts)):
