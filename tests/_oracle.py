@@ -136,6 +136,15 @@ def _dummy(*args, **kwargs):  # pragma: no cover
     raise RuntimeError("reference-oracle stub attribute called")
 
 
+def _stub_getattr(attr):
+    # Dunders must genuinely be absent: introspection machinery (e.g.
+    # torch._dynamo scanning sys.modules for __file__) breaks if a module
+    # "has" a callable __file__.
+    if attr.startswith("__") and attr.endswith("__"):
+        raise AttributeError(attr)
+    return _dummy
+
+
 def _install_stubs():
     from tests._refharness import install_functional_shims
 
@@ -152,7 +161,7 @@ def _install_inert_stubs():
                 modname = ".".join(parts[: i + 1])
                 if modname not in sys.modules:
                     stub = types.ModuleType(modname)
-                    stub.__getattr__ = lambda attr: _dummy
+                    stub.__getattr__ = _stub_getattr
                     sys.modules[modname] = stub
     if _DCN_CUDA_MOD not in sys.modules:
         sys.modules[_DCN_CUDA_MOD] = types.ModuleType(_DCN_CUDA_MOD)

@@ -145,7 +145,37 @@ def install_functional_shims() -> None:
         misc.imsave = lambda path, img: imageio.imwrite(str(path), img)
         sys.modules["scipy.misc"] = misc
 
-    _install_inert_stubs()  # cv2 / SimpleITK / tensorboardX / torchvision
+    tv = sys.modules.get("torchvision.utils")
+    if tv is None or not tv.__dict__.get("_vsr_functional", False):
+        tv_pkg = types.ModuleType("torchvision")
+        tv = types.ModuleType("torchvision.utils")
+        tv._vsr_functional = True
+        tv.make_grid = _make_grid
+        tv_pkg.utils = tv
+        sys.modules["torchvision"] = tv_pkg
+        sys.modules["torchvision.utils"] = tv
+
+    _install_inert_stubs()  # cv2 / SimpleITK / tensorboardX (if needed)
+
+
+def _make_grid(tensor, nrow=8, normalize=False, scale_each=False,
+               pad_value=0, padding=2):
+    """Functional stand-in for torchvision.utils.make_grid: the reference
+    loggers only feed the result to TensorBoard's add_image, so any valid
+    (C, H, W) grid works — this stacks the batch in a single column with
+    per-image min-max normalization (the kwargs the loggers pass)."""
+    import torch
+
+    imgs = tensor if isinstance(tensor, (list, tuple)) else list(tensor)
+    rows = []
+    for img in imgs:
+        img = img.detach().float()
+        if normalize:
+            lo, hi = img.min(), img.max()
+            img = (img - lo) / (hi - lo + 1e-10)
+        rows.append(
+            torch.nn.functional.pad(img, (padding,) * 4, value=pad_value))
+    return torch.cat(rows, dim=-2)
 
 
 class _LogCapture(logging.Handler):

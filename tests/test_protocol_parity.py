@@ -20,7 +20,11 @@ with atol 5e-3 / rtol 1e-4 (raw losses, computed on unrounded floats, get
 
 from __future__ import annotations
 
+import ast
+import importlib
+import logging
 import pickle
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -33,6 +37,8 @@ import yaml  # noqa: E402
 
 from tests._oracle import load_ref_net, torch11_grid_sample  # noqa: E402
 from tests._refharness import (  # noqa: E402
+    Box,
+    _LogCapture,
     read_results_csv,
     run_reference_main,
 )
@@ -254,3 +260,162 @@ def test_vsr_protocol_parity(tree, tmp_path):
     assert len(ref_csv[1]) == 2 * 2 * 6  # per-frame rows for each sequence
     _assert_csv_match(ref_csv, our_csv)
     _assert_log_match(ref_log, our_log)
+
+
+# --------------------------------------------------------------------------
+# Trainer-side protocol parity: N epochs of the reference's OWN BaseTrainer
+# stack (real AcdcSISRTrainer + Monitor + AcdcSISRLogger + torch Adam) vs N
+# epochs of ours, from transplant-identical weights over the same files in
+# the same batch order (shuffle off, no random augments). Loss curves and
+# epoch metrics must agree — this pins the training step semantics: loss
+# weighting, optimizer update, denormalized metrics, epoch-mean accumulation
+# (``base_trainer.py:99-144``).
+# --------------------------------------------------------------------------
+
+
+def _parse_logs(lines, tag):
+    return [ast.literal_eval(l[len(tag):].rstrip("."))
+            for l in lines if l.startswith(tag)]
+
+
+@pytest.fixture(scope="module")
+def train_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_protocol")
+    # 12 samples per split; batch 4 -> even batches (the reference weights
+    # its running log by the CONFIGURED batch size, so ragged last batches
+    # would compare its quirk rather than the protocol).
+    make_processed_tree(root, types=("train", "valid"), patients_per_type=2,
+                        slices=1, frames=6, hr_size=24, factors=(2,), seed=3)
+    return root
+
+
+def test_train_protocol_parity(train_tree, tmp_path):
+    from vsr_tpu.models import EDSRNet
+    from vsr_tpu.registry import build
+
+    num_epochs = 2
+    Ref = load_ref_net("src.model.nets.edsr_net", "EDSRNet")
+    net = EDSRNet(in_channels=1, out_channels=1, num_resblocks=2,
+                  num_features=8, upscale_factor=2)
+    tnet = Ref(1, 1, 2, 8, 2)
+    example = jnp.zeros((1, 12, 12, 1), jnp.float32)
+    rng = np.random.default_rng(23)
+    variables = net.init(jax.random.PRNGKey(0), example)
+    variables = perturb_variables(variables, rng)
+    entries_f = flax_leaf_order(net, variables, example)
+    entries_t = torch_leaf_order(tnet.eval(), lambda m: m(torch.zeros(1, 1, 12, 12)))
+    transplant(variables, entries_f, entries_t)
+
+    # ---------------- reference side: its real trainer/monitor/logger stack
+    ds_mod = importlib.import_module("src.data.datasets")
+    dl_mod = importlib.import_module("src.data.dataloader")
+    tr_mod = importlib.import_module("src.runner.trainers")
+    lg_mod = importlib.import_module("src.callbacks.loggers")
+    mon_mod = importlib.import_module("src.callbacks.monitor")
+
+    transforms = [Box({"name": "Normalize",
+                       "kwargs": {"means": [54.089], "stds": [48.084]}}),
+                  Box({"name": "ToTensor"})]
+
+    def ref_loader(split):
+        # augments=[] (not None): the reference defaults augments to a bare
+        # ToTensor, which would feed tensors into Normalize; an empty
+        # Compose keeps train batches deterministic AND numpy.
+        ds = ds_mod.AcdcSISRDataset(
+            data_dir=Path(train_tree / "imgs"), type=split,
+            downscale_factor=2, transforms=transforms, augments=[])
+        assert len(ds) == 12
+        return dl_mod.Dataloader(ds, batch_size=4, shuffle=False, num_workers=0)
+
+    ref_trainer = tr_mod.AcdcSISRTrainer(
+        device=torch.device("cpu"),
+        train_dataloader=ref_loader("train"),
+        valid_dataloader=ref_loader("valid"),
+        net=tnet,
+        loss_fns=[torch.nn.L1Loss(), torch.nn.MSELoss()],
+        loss_weights=[1.0, 0.1],
+        metric_fns=[importlib.import_module("src.model.metrics").PSNR()],
+        optimizer=torch.optim.Adam(tnet.parameters(), lr=1e-3),
+        lr_scheduler=None,
+        logger=lg_mod.AcdcSISRLogger(
+            log_dir=tmp_path / "ref_log", net=tnet,
+            dummy_input=torch.randn(1, 1, 12, 12)),
+        monitor=mon_mod.Monitor(
+            checkpoints_dir=tmp_path / "ref_ckpt", mode="min", target="Loss",
+            saved_freq=1, early_stop=0),
+        num_epochs=num_epochs,
+    )
+    capture = _LogCapture()
+    root_logger = logging.getLogger()
+    root_logger.addHandler(capture)
+    old_level = root_logger.level
+    root_logger.setLevel(logging.INFO)
+    try:
+        with torch11_grid_sample():
+            ref_trainer.train()
+    finally:
+        root_logger.removeHandler(capture)
+        root_logger.setLevel(old_level)
+    ref_train_logs = _parse_logs(capture.lines, "Train log: ")
+    ref_valid_logs = _parse_logs(capture.lines, "Valid log: ")
+    assert len(ref_train_logs) == num_epochs
+
+    # ---------------- vsr_tpu side, identical weights / batches / hparams
+    def our_loader(split, shuffle=False):
+        ds = build("dataset", {
+            "name": "AcdcSISRDataset",
+            "kwargs": {"data_dir": str(train_tree / "imgs"),
+                       "downscale_factor": 2,
+                       "transforms": [dict(t) for t in transforms],
+                       "augments": []},
+        }, type=split)
+        return build("loader", {"name": "Dataloader",
+                                "kwargs": {"batch_size": 4, "shuffle": shuffle,
+                                           "num_workers": 0}}, ds)
+
+    our_trainer = build(
+        "trainer", {"name": "AcdcSISRTrainer", "kwargs": {"num_epochs": num_epochs}},
+        train_dataloader=our_loader("train"),
+        valid_dataloader=our_loader("valid"),
+        net=net,
+        loss_fns=[build("loss", {"name": "L1Loss"}),
+                  build("loss", {"name": "MSELoss"})],
+        loss_weights=[1.0, 0.1],
+        metric_fns=[build("metric", {"name": "PSNR"})],
+        optimizer=build("optimizer", {"name": "Adam", "kwargs": {"lr": 1e-3}}),
+        lr_scheduler=None,
+        logger=build("logger", {"name": "AcdcSISRLogger"},
+                     log_dir=tmp_path / "our_log"),
+        monitor=build("monitor", {"name": "Monitor",
+                                  "kwargs": {"mode": "min", "target": "Loss",
+                                             "saved_freq": 1}},
+                      checkpoints_dir=tmp_path / "our_ckpt"),
+    )
+    our_trainer._ensure_initialized()
+    our_trainer.params = jax.tree_util.tree_map(jnp.asarray, variables)
+    our_trainer.opt_state = our_trainer.tx.init(our_trainer.params["params"])
+
+    capture2 = _LogCapture()
+    root_logger.addHandler(capture2)
+    root_logger.setLevel(logging.INFO)
+    try:
+        our_trainer.train()
+    finally:
+        root_logger.removeHandler(capture2)
+        root_logger.setLevel(old_level)
+    our_train_logs = _parse_logs(capture2.lines, "Train log: ")
+    our_valid_logs = _parse_logs(capture2.lines, "Valid log: ")
+    assert len(our_train_logs) == num_epochs
+
+    for e in range(num_epochs):
+        for ref_log, our_log, which in [
+            (ref_train_logs[e], our_train_logs[e], "train"),
+            (ref_valid_logs[e], our_valid_logs[e], "valid"),
+        ]:
+            assert set(our_log) == set(ref_log)
+            for key in ref_log:
+                np.testing.assert_allclose(
+                    our_log[key], ref_log[key], rtol=2e-3, atol=2e-3,
+                    err_msg=f"epoch {e + 1} {which} {key}")
+    # The training actually moved: epoch-2 train loss improved on epoch-1.
+    assert our_train_logs[1]["Loss"] < our_train_logs[0]["Loss"]
