@@ -59,6 +59,7 @@ class Dataloader:
         drop_last: bool = False,
         prefetch: int = 2,
         collate_fn=None,
+        host_shard: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -67,9 +68,26 @@ class Dataloader:
         self.drop_last = bool(drop_last)
         self.prefetch = max(int(prefetch), 1)
         self.collate_fn = collate_fn or default_collate
+        # Host-sharded input (multi-host training): every process computes
+        # the SAME global epoch order (the RngTree seed is shared), splits it
+        # into global batches of batch_size * process_count, and loads only
+        # its own batch_size-slice of each — so the union of the per-process
+        # batches at step k is exactly the single-process batch at step k.
+        self.host_shard = bool(host_shard)
+
+    def _shard_info(self) -> tuple[int, int]:
+        """(process_count, process_index) when host-sharding, else (1, 0)."""
+        if not self.host_shard:
+            return 1, 0
+        from vsr_tpu.parallel.distributed import process_count, process_index
+
+        return process_count(), process_index()
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        nproc, _ = self._shard_info()
+        if nproc > 1:
+            return n // (self.batch_size * nproc)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -80,6 +98,13 @@ class Dataloader:
             if epoch_rng is None:
                 raise ValueError("shuffle=True requires epoch(rng_tree, epoch) iteration")
             epoch_rng.shuffle(order)
+        nproc, pid = self._shard_info()
+        if nproc > 1:
+            gbs = self.batch_size * nproc
+            return [
+                order[i + pid * self.batch_size : i + (pid + 1) * self.batch_size].tolist()
+                for i in range(0, len(order) - gbs + 1, gbs)
+            ]
         batches = [
             order[i : i + self.batch_size].tolist()
             for i in range(0, len(order), self.batch_size)

@@ -194,6 +194,15 @@ def main() -> None:
 
     config = load_config(args.config_path)
     logging.info(f'Loaded the config from "{args.config_path}".')
+
+    # Multi-host: connect the processes BEFORE any computation so every
+    # mesh below spans the full device set (config `main.distributed`,
+    # overridable per process via VSR_COORDINATOR_ADDRESS /
+    # VSR_NUM_PROCESSES / VSR_PROCESS_ID — see parallel/distributed.py).
+    from vsr_tpu.parallel.distributed import initialize_from_config
+
+    initialize_from_config(config.main.get("distributed"))
+
     if args.test:
         run_test(config)
     else:

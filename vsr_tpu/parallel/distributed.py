@@ -1,29 +1,46 @@
-"""Multi-host (multi-process) initialization.
+"""Multi-host (multi-process) training support.
 
-One call sets up `jax.distributed` for a multi-host TPU slice (or a GPU/CPU
-cluster), after which `jax.devices()` spans every host and the mesh helpers
-in this package build DCN-spanning meshes transparently. The data loader
-shards work per process via `process_shard` so each host reads only its part
-of the dataset (host-sharded input pipeline).
+`initialize` sets up ``jax.distributed`` so ``jax.devices()`` spans every
+host and the mesh helpers in this package build DCN-spanning meshes
+transparently (SURVEY.md §2.9's multi-host requirement). The pieces:
+
+- :func:`initialize_from_config` — called by ``vsr_tpu.main`` before any
+  jax computation; reads the ``main.distributed`` config section with
+  ``VSR_COORDINATOR_ADDRESS`` / ``VSR_NUM_PROCESSES`` / ``VSR_PROCESS_ID``
+  environment overrides (the same YAML is shared by every process; the
+  per-process identity comes from the environment, as on Cloud TPU).
+- :func:`host_shard_len` / the loader's ``host_shard=True`` — host-sharded
+  input: each process reads only its slice of every global batch.
+- :func:`host_local_to_global` / :func:`global_to_host_local` — convert the
+  per-process batch (leading axis = local batch) into one global array
+  sharded over the ``'data'`` mesh axis and back (gather only the
+  process-local shards for logging).
+
+On a single process every helper degrades to a no-op, so the same trainer
+code path serves 1 chip, 1 host x N chips, and M hosts x N chips.
 """
 
 from __future__ import annotations
 
 import logging
+import os
 
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """Initialize jax.distributed (no-op on a single process).
+    """Initialize jax.distributed.
 
-    On Cloud TPU the arguments are auto-detected from the environment;
-    elsewhere pass them explicitly.
+    On Cloud TPU the arguments are auto-detected from the environment
+    (pass nothing); elsewhere pass them explicitly. Explicit arguments that
+    fail to connect raise — a silently degraded single-process run would
+    train on a fraction of the data.
     """
     import jax
 
     if num_processes is not None and num_processes <= 1:
         return
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -34,15 +51,89 @@ def initialize(coordinator_address: str | None = None,
             f"jax.distributed: process {jax.process_index()}/{jax.process_count()}, "
             f"{jax.local_device_count()} local / {jax.device_count()} global devices"
         )
-    except Exception as exc:  # pragma: no cover - environment dependent
-        logging.warning(f"jax.distributed.initialize failed ({exc}); single-process mode")
+    except Exception as exc:
+        if explicit:
+            raise RuntimeError(
+                f"jax.distributed.initialize failed for explicit coordinator "
+                f"{coordinator_address!r}: {exc}") from exc
+        logging.warning(  # pragma: no cover - environment dependent
+            f"jax.distributed auto-initialize failed ({exc}); single-process mode")
+
+
+def initialize_from_config(dist_cfg) -> None:
+    """Wire ``main.distributed`` (+ env overrides) into :func:`initialize`.
+
+    Enabled when the config section exists or ``VSR_NUM_PROCESSES`` is set.
+    ``main.distributed: auto`` (or ``{}``) defers entirely to jax's Cloud
+    TPU auto-detection.
+    """
+    env = os.environ
+    if dist_cfg is None and "VSR_NUM_PROCESSES" not in env:
+        return
+    cfg = dict(dist_cfg) if isinstance(dist_cfg, dict) else {}
+    coord = env.get("VSR_COORDINATOR_ADDRESS", cfg.get("coordinator_address"))
+    nproc = env.get("VSR_NUM_PROCESSES", cfg.get("num_processes"))
+    pid = env.get("VSR_PROCESS_ID", cfg.get("process_id"))
+    initialize(
+        coordinator_address=coord,
+        num_processes=int(nproc) if nproc is not None else None,
+        process_id=int(pid) if pid is not None else None,
+    )
+
+
+def process_count() -> int:
+    import jax
+
+    return jax.process_count()
+
+
+def process_index() -> int:
+    import jax
+
+    return jax.process_index()
+
+
+def is_multiprocess() -> bool:
+    return process_count() > 1
+
+
+def is_primary() -> bool:
+    """True on the process that owns file writes (checkpoints, logs)."""
+    return process_index() == 0
 
 
 def process_shard(n_items: int) -> slice:
     """This process's contiguous shard of a dataset (host-sharded input)."""
-    import jax
-
-    per = n_items // jax.process_count()
-    start = jax.process_index() * per
-    end = start + per if jax.process_index() < jax.process_count() - 1 else n_items
+    per = n_items // process_count()
+    start = process_index() * per
+    end = start + per if process_index() < process_count() - 1 else n_items
     return slice(start, end)
+
+
+def host_shard_len(n_items: int, local_batch: int) -> int:
+    """Number of per-process batches a host-sharded loader yields: global
+    batches are ``local_batch * process_count`` samples; ragged tails are
+    dropped (they cannot be split identically across processes)."""
+    return n_items // (local_batch * process_count())
+
+
+def host_local_to_global(tree, mesh, spec):
+    """Per-process host-local arrays (leading axis = local batch) -> one
+    global jax.Array sharded by ``spec`` over ``mesh``. Identity when
+    single-process (the local batch IS the global batch)."""
+    if not is_multiprocess():
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.host_local_array_to_global_array(tree, mesh, spec)
+
+
+def global_to_host_local(tree, mesh, spec):
+    """Inverse of :func:`host_local_to_global` — materialize this process's
+    addressable shards as host-local arrays (used only for logging images,
+    never in the training math)."""
+    if not is_multiprocess():
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.global_array_to_host_local_array(tree, mesh, spec)

@@ -134,10 +134,26 @@ class BaseTrainer:
         #   reductions, so the math matches the unsharded step.
         self.mesh = None
         self._dp_train_step = self._dp_eval_step = None
+        from vsr_tpu.parallel.distributed import is_multiprocess
+
+        # Multi-host: every process runs this same trainer; batches are
+        # host-local and get assembled into global 'data'-sharded arrays
+        # before the step (parallel/distributed.py helpers).
+        self._multiprocess = is_multiprocess()
+        if self._multiprocess and not mesh_axes:
+            raise ValueError(
+                "multi-host training needs mesh_axes={'data': n} so the "
+                "processes train ONE model on the global batch; without a "
+                "mesh each process would train its own copy on its shard")
         if mesh_axes:
             from vsr_tpu.parallel.mesh import make_mesh
 
             self.mesh = make_mesh(dict(mesh_axes))
+            if self._multiprocess and "spatial" in self.mesh.shape:
+                raise NotImplementedError(
+                    "multi-host spatial (GSPMD) training is not wired yet — "
+                    "use a pure data mesh (mesh_axes={'data': n}) across "
+                    "hosts")
             if "spatial" in self.mesh.shape:
                 from vsr_tpu.parallel.gspmd import make_gspmd_step
 
@@ -277,7 +293,9 @@ class BaseTrainer:
         iterator = (
             loader.epoch(self.rng_tree, epoch) if training else loader.epoch(None, epoch)
         )
-        if self.prefetch_to_device:
+        if self.prefetch_to_device and not self._multiprocess:
+            # Multi-host batches must stay host-side until they are
+            # assembled into global arrays below.
             from vsr_tpu.data.prefetch import device_prefetch
 
             iterator = device_prefetch(iterator, depth=2)
@@ -287,10 +305,29 @@ class BaseTrainer:
         batch = outputs = None
         pbar = tqdm(iterator, total=len(loader), desc=mode, leave=False)
         n_data = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+        if self._multiprocess:
+            from vsr_tpu.parallel.distributed import (host_local_to_global,
+                                                      process_count)
+
+            # Each process contributes 1/P of every global batch; its local
+            # batch must still split over its local slice of the mesh.
+            n_data = max(n_data // process_count(), 1)
         for batch in pbar:
             inputs, targets = self._get_inputs_targets(batch)
             batch_n = batch["index"].shape[0]
             use_dp = self.mesh is not None and batch_n % n_data == 0
+            if self._multiprocess:
+                if not use_dp:
+                    raise RuntimeError(
+                        f"multi-host training requires every local batch "
+                        f"({batch_n}) to divide the local mesh slice "
+                        f"({n_data}); a non-DP fallback step would silently "
+                        f"train each process on different data")
+                from jax.sharding import PartitionSpec as P
+
+                inputs, targets = jax.tree_util.tree_map(
+                    lambda a: host_local_to_global(a, self.mesh, P("data")),
+                    (inputs, targets))
             if training:
                 step = self._dp_train_step if use_dp else self._train_step
                 if use_dp:
@@ -320,6 +357,16 @@ class BaseTrainer:
             if training and self._preempted:
                 break  # graceful stop at a batch boundary (signal received)
         log = {k: float(v) / count for k, v in (acc or {}).items()}
+        if self._multiprocess and outputs is not None:
+            # Keep only this process's addressable shards for the logging
+            # path (np.asarray on a multi-host global array would fail).
+            from jax.sharding import PartitionSpec as P
+
+            from vsr_tpu.parallel.distributed import global_to_host_local
+
+            outputs = jax.tree_util.tree_map(
+                lambda a: global_to_host_local(a, self.mesh, P("data")),
+                outputs)
         return log, batch, outputs
 
     def _install_preemption_handlers(self) -> dict:
@@ -438,6 +485,11 @@ class BaseTrainer:
     # ----------------------------------------------------------- checkpoint
 
     def save(self, path: str | Path, epoch: int | None = None) -> None:
+        from vsr_tpu.parallel.distributed import is_primary
+
+        if not is_primary():
+            # Params/opt state are replicated; process 0 owns the file.
+            return
         aux = {
             "epoch": self.epoch if epoch is None else epoch,
             "monitor": self.monitor.state_dict(),
