@@ -212,3 +212,136 @@ def test_device_trainer_data_parallel_mesh(tmp_path):
     trainer2._ensure_initialized()
     log1b, _, _ = trainer2._run_epoch("training", 1)
     assert abs(log1b["Loss"] - log1["Loss"]) < 1e-6
+
+
+# ------------------------------------------------------------------
+# 3D/4D volume device-epoch twins (VERDICT round-2 item #5): BASELINE
+# configs #2/#3 train at device-epoch rates, checkpoints interoperate
+# with the host-loop volume trainers.
+# ------------------------------------------------------------------
+
+
+def _vol_cfg(root, saved_dir, task, trainer_name, num_epochs=2,
+             loaded_path=None):
+    """task: '3d' (AcdcVolumeDataset/Volume3DSRNet) or '4d'."""
+    if task == "3d":
+        dataset = {"name": "AcdcVolumeDataset",
+                   "kwargs": {"data_dir": str(root / "videos"),
+                              "downscale_factor": 2,
+                              "transforms": [
+                                  {"name": "Normalize",
+                                   "kwargs": {"means": [54.089], "stds": [48.084]}},
+                                  {"name": "ToTensor"}]}}
+        net = {"name": "Volume3DSRNet",
+               "kwargs": {"in_channels": 1, "out_channels": 1,
+                          "num_resblocks": 1, "num_features": 4,
+                          "upscale_factor": 2}}
+        logger = "Acdc3DSRLogger"
+    else:
+        dataset = {"name": "AcdcVolumeVSRDataset",
+                   "kwargs": {"data_dir": str(root / "videos"),
+                              "downscale_factor": 2, "num_frames": 3,
+                              "transforms": [
+                                  {"name": "Normalize",
+                                   "kwargs": {"means": [54.089], "stds": [48.084]}},
+                                  {"name": "ToTensor"}]}}
+        net = {"name": "Volume4DSRNet",
+               "kwargs": {"in_channels": 1, "out_channels": 1,
+                          "num_features": 4, "num_resblocks": 1,
+                          "upscale_factor": 2}}
+        logger = "Acdc4DSRLogger"
+    cfg = {
+        "main": {"random_seed": "vsr", "saved_dir": str(saved_dir)},
+        "dataset": dataset,
+        "dataloader": {"name": "Dataloader",
+                       "kwargs": {"train_batch_size": 2, "valid_batch_size": 1,
+                                  "shuffle": True, "num_workers": 0}},
+        "net": net,
+        "losses": [{"name": "L1Loss", "weight": 1.0}],
+        "metrics": [{"name": "PSNR"}],
+        "optimizer": {"name": "Adam", "kwargs": {"lr": 1e-3, "weight_decay": 0}},
+        "logger": {"name": logger, "kwargs": {}},
+        "monitor": {"name": "Monitor",
+                    "kwargs": {"mode": "min", "target": "Loss",
+                               "saved_freq": 1, "early_stop": 0}},
+        "trainer": {"name": trainer_name,
+                    "kwargs": {"num_epochs": num_epochs}},
+    }
+    if trainer_name.endswith("DeviceTrainer"):
+        cfg["trainer"]["kwargs"].update(patch=8, ratio=2, steps_per_epoch=4)
+    if loaded_path:
+        cfg["main"]["loaded_path"] = str(loaded_path)
+    return cfg
+
+
+def _vol_tree(tmp_path):
+    return make_processed_tree(tmp_path / "data", types=("train", "valid"),
+                               patients_per_type=2, slices=2, frames=4,
+                               hr_size=16)
+
+
+def test_vol3d_device_trainer_cli_and_interop(tmp_path):
+    root = _vol_tree(tmp_path)
+    saved = tmp_path / "dev3d"
+    path = tmp_path / "dev3d.yaml"
+    _write_yaml(path, _vol_cfg(root, saved, "3d", "Acdc3DSRDeviceTrainer"))
+    run_train(load_config(path))
+    ckpt = saved / "checkpoints" / "model_2.ckpt"
+    assert ckpt.exists()
+
+    # Checkpoint interop: the HOST-loop volume trainer resumes from the
+    # device-trainer checkpoint (same params/opt_state/monitor structures).
+    saved_host = tmp_path / "host3d"
+    path2 = tmp_path / "host3d.yaml"
+    _write_yaml(path2, _vol_cfg(root, saved_host, "3d", "Acdc3DSRTrainer",
+                                num_epochs=3, loaded_path=ckpt))
+    run_train(load_config(path2))
+    assert (saved_host / "checkpoints" / "model_3.ckpt").exists()
+
+
+def test_vol4d_device_trainer_cli_and_interop(tmp_path):
+    root = _vol_tree(tmp_path)
+    saved = tmp_path / "dev4d"
+    path = tmp_path / "dev4d.yaml"
+    _write_yaml(path, _vol_cfg(root, saved, "4d", "Acdc4DSRDeviceTrainer"))
+    run_train(load_config(path))
+    ckpt = saved / "checkpoints" / "model_2.ckpt"
+    assert ckpt.exists()
+
+    saved_host = tmp_path / "host4d"
+    path2 = tmp_path / "host4d.yaml"
+    _write_yaml(path2, _vol_cfg(root, saved_host, "4d", "Acdc4DSRTrainer",
+                                num_epochs=3, loaded_path=ckpt))
+    run_train(load_config(path2))
+    assert (saved_host / "checkpoints" / "model_3.ckpt").exists()
+
+
+def test_vol_device_epoch_learns(tmp_path):
+    """The 3D device epoch actually reduces the loss over a few epochs."""
+    import ast as _ast
+    import logging as _logging
+
+    root = _vol_tree(tmp_path)
+    saved = tmp_path / "learn3d"
+    path = tmp_path / "learn3d.yaml"
+    cfg = _vol_cfg(root, saved, "3d", "Acdc3DSRDeviceTrainer", num_epochs=5)
+    cfg["trainer"]["kwargs"]["steps_per_epoch"] = 8
+    _write_yaml(path, cfg)
+
+    records = []
+
+    class Cap(_logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    h = Cap()
+    _logging.getLogger().addHandler(h)
+    _logging.getLogger().setLevel(_logging.INFO)
+    try:
+        run_train(load_config(path))
+    finally:
+        _logging.getLogger().removeHandler(h)
+    trains = [_ast.literal_eval(m.split("Train log: ", 1)[1].rstrip("."))
+              for m in records if "Train log: " in m]
+    assert len(trains) == 5
+    assert trains[-1]["Loss"] < trains[0]["Loss"]

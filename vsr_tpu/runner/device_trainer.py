@@ -45,8 +45,10 @@ def stack_dataset(dataset, limit: int | None = None) -> tuple[np.ndarray, np.nda
     lrs, hrs = [], []
     for i in range(n):
         s = dataset.__getitem__(i, rng=None)
-        lrs.append(s.get("lr_img", s.get("lr_imgs")))
-        hrs.append(s.get("hr_img", s.get("hr_imgs")))
+        lrs.append(next(s[k] for k in ("lr_img", "lr_imgs", "lr_vol", "lr_vols")
+                        if k in s))
+        hrs.append(next(s[k] for k in ("hr_img", "hr_imgs", "hr_vol", "hr_vols")
+                        if k in s))
     return np.stack(lrs), np.stack(hrs)
 
 
@@ -54,9 +56,11 @@ def sample_crop_flip(key, lr, hr, patch: int, ratio: int, stats):
     """Shared on-device augmentation: random paired crops + flips +
     normalization on an already-gathered (lr, hr) batch.
 
-    lr: (B, h, w, C) or (B, T, h, w, C); hr: same rank with spatial dims
-    ``x ratio`` (the temporal axis, if any, is never scaled — mirroring
-    RandomCropPatch, transforms.py).
+    lr: (B, ..., h, w, C) with any leading sample axes — (B, h, w, C) frames,
+    (B, T, h, w, C) windows, (B, D, h, w, C) volumes, (B, T, D, h, w, C) 4D
+    windows; hr: same rank with the LAST TWO spatial dims ``x ratio`` (the
+    temporal/depth axes are never scaled — mirroring RandomCropPatch,
+    transforms.py).
     """
     k_y, k_x, k_hf, k_vf = jax.random.split(key, 4)
     batch = lr.shape[0]
@@ -65,10 +69,10 @@ def sample_crop_flip(key, lr, hr, patch: int, ratio: int, stats):
     x0 = jax.random.randint(k_x, (batch,), 0, w - patch + 1)
 
     def crop(img, y, x, size):
-        if img.ndim == 4:  # (T, h, w, C)
-            return jax.lax.dynamic_slice(
-                img, (0, y, x, 0), (img.shape[0], size, size, img.shape[-1]))
-        return jax.lax.dynamic_slice(img, (y, x, 0), (size, size, img.shape[-1]))
+        lead = img.ndim - 3  # axes before (h, w, C): T and/or D, untouched
+        return jax.lax.dynamic_slice(
+            img, (0,) * lead + (y, x, 0),
+            img.shape[:lead] + (size, size, img.shape[-1]))
 
     lr_c = jax.vmap(lambda im, y, x: crop(im, y, x, patch))(lr, y0, x0)
     hr_c = jax.vmap(lambda im, y, x: crop(im, y, x, patch * ratio))(
@@ -278,11 +282,17 @@ class DeviceTrainerMixin:
         self._device_epoch = None
 
     # ------------------------------------------------------------- buffers
+    def _buffer_layout(self, lr: np.ndarray, hr: np.ndarray):
+        """Transpose stacked transform-layout buffers into the NET layout
+        (identity for the 2D tasks; volume twins move D before H)."""
+        return lr, hr
+
     def _ensure_buffers(self) -> None:
         if self.lr_buf is not None:
             return
         lr, hr = stack_dataset_raw(self.train_dataloader.dataset,
                                    limit=self.buffer_limit)
+        lr, hr = self._buffer_layout(lr, hr)
         self.batch_size = self.train_dataloader.batch_size
         n_data = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
         if self.mesh is not None and self.mesh.shape.get("spatial", 1) != 1:
@@ -347,10 +357,9 @@ class DeviceTrainerMixin:
     def _example_inputs(self):
         self._ensure_buffers()
         shape = self.lr_buf.shape
-        spatial = (self.patch, self.patch)
-        if self.lr_buf.ndim == 5:  # (M, T, h, w, C) windows
-            return jnp.zeros((self.batch_size, shape[1], *spatial, shape[-1]))
-        return jnp.zeros((self.batch_size, *spatial, shape[-1]))
+        # (M, [T,] [D,] h, w, C) -> a (B, [T,] [D,] patch, patch, C) example.
+        return jnp.zeros((self.batch_size, *shape[1:-3],
+                          self.patch, self.patch, shape[-1]))
 
     # ------------------------------------------------------------- sampling
     def _pack_device_targets(self, hr, inputs):
@@ -416,6 +425,8 @@ def _register_device_trainers() -> None:
         MISRTrainer,
         SISRSRFBTrainer,
         SISRTrainer,
+        Volume4DTrainer,
+        VolumeTrainer,
         VSRTrainer,
     )
 
@@ -441,11 +452,35 @@ def _register_device_trainers() -> None:
         cls = type(name, (DeviceTrainerMixin, base), {"dataset_stats": stats})
         register("trainer", name)(cls)
         globals()[name] = cls
+    class _DeviceVolumeBase(DeviceTrainerMixin, VolumeTrainer):
+        """3D volumetric twin (BASELINE config #2): buffers stored in the
+        net's (M, D, H, W, C) layout so the shared on-device paired crop
+        slices (h, w) at axes -3/-2 with D untouched — the device analogue
+        of RandomCropPatch's unscaled depth dim (transforms.py)."""
+
+        def _buffer_layout(self, lr, hr):
+            return np.moveaxis(lr, 3, 1), np.moveaxis(hr, 3, 1)
+
+    class _DeviceVolume4DBase(DeviceTrainerMixin, Volume4DTrainer):
+        """4D spatio-temporal twin (BASELINE config #3): (M, T, D, H, W, C)
+        buffers; targets carry the (hr, frame-mask) pair the VSR-style
+        step expects (all frames real in fixed training windows)."""
+
+        def _buffer_layout(self, lr, hr):
+            return np.moveaxis(lr, 4, 2), np.moveaxis(hr, 4, 2)
+
+        def _pack_device_targets(self, hr, inputs):
+            return hr, jnp.ones((hr.shape[0], hr.shape[1]), hr.dtype)
+
     for name, base, stats in [
         ("AcdcVSRDeviceTrainer", _DeviceVSRBase, "acdc"),
         ("Dsb15VSRDeviceTrainer", _DeviceVSRBase, "dsb15"),
         ("AcdcFRVSRDeviceTrainer", _DeviceFRVSRBase, "acdc"),
         ("Dsb15FRVSRDeviceTrainer", _DeviceFRVSRBase, "dsb15"),
+        ("Acdc3DSRDeviceTrainer", _DeviceVolumeBase, "acdc"),
+        ("Dsb153DSRDeviceTrainer", _DeviceVolumeBase, "dsb15"),
+        ("Acdc4DSRDeviceTrainer", _DeviceVolume4DBase, "acdc"),
+        ("Dsb154DSRDeviceTrainer", _DeviceVolume4DBase, "dsb15"),
     ]:
         cls = type(name, (base,), {"dataset_stats": stats})
         register("trainer", name)(cls)
