@@ -161,9 +161,38 @@ class BasePredictor:
 
 class ImagePredictor(BasePredictor):
     """Shared flow for SISR/MISR/SRFB: one HR frame per sample; GIFs are
-    assembled when the slice id changes (+ trailing flush)."""
+    assembled when the slice id changes (+ trailing flush).
+
+    Two dispatch modes:
+
+    - ``sequence_batch=True`` (default): frames of one slice sequence are
+      evaluated by ONE jitted program per sequence (``lax.map`` of the
+      batch-1 net + eval over the frames) — O(#sequences) dispatches
+      instead of O(#frames), the difference between ~300 and ~12 device
+      round trips per test volume. Sequences pad to ``t_bucket`` multiples
+      by edge-repeat (items are independent; padding is sliced off), so the
+      whole test set compiles O(#buckets) programs.
+    - ``sequence_batch=False``: the reference's literal batch-1 loop
+      (``acdc_sisr_predictor.py:52-100``), kept for A/B and as the
+      fallback when the loader shuffles.
+
+    Output parity between the modes: exported pixels (PNG/GIF bytes) are
+    BIT-identical, and every CSV/log value agrees to float32 round-off
+    (few ulps). Exact bit-identity of the raw-float loss columns is not
+    achievable: XLA unrolls short loops and re-fuses the loss reduction
+    into its neighbors differently per trip count, reassociating the f32
+    sum — measured: a `lax.map` body over 1 item and over 6 items yields
+    per-item means differing in the last ulp even with identical inputs
+    and an optimization_barrier around the net output. The net outputs
+    themselves ARE bit-identical across the modes (verified in
+    tests/test_predictors_more.py).
+    """
 
     input_key = "lr_img"
+
+    def __init__(self, *args, sequence_batch: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.sequence_batch = bool(sequence_batch)
 
     def _example_inputs(self, batch):
         return jnp.asarray(batch[self.input_key])
@@ -197,7 +226,133 @@ class ImagePredictor(BasePredictor):
 
         self._sample_eval = jax.jit(sample_eval)
 
+    # ------------------------------------------------- per-sequence batching
+    def _ensure_seq_eval(self) -> None:
+        """ONE jitted program per sequence: ``lax.map`` over frames of
+        [batch-1 net apply -> losses -> denormalize -> std metrics]. Each
+        iteration sees exactly the batch-1 shapes of the per-frame path, so
+        the results are BIT-IDENTICAL to it (a batched net apply would
+        reassociate conv reductions and drift in the last ulp)."""
+        if getattr(self, "_seq_eval", None) is not None:
+            return
+        self._std_cols, self._cardiac_cols = self._split_metric_cols()
+        std_fns = [self.metric_fns[i] for i in self._std_cols]
+        apply_kwargs = {"train": False} if self._net_train_kwarg else {}
+
+        def seq_eval(params, inputs, targets):
+            def one(args):
+                x, t = args
+                o = self.net.apply(params, x[None], **apply_kwargs)
+                if isinstance(o, tuple):
+                    o = o[0]
+                # The per-frame path runs net and eval as two separate jit
+                # programs; keep that boundary here so XLA cannot fuse the
+                # loss into the net epilogue (bit-identity with that path).
+                o = jax.lax.optimization_barrier(o)
+                t = t[None]
+                losses = (jnp.stack(self._sample_losses(o, t))
+                          if self.loss_fns else jnp.zeros((0,)))
+                d_out = self._denormalize(self._eval_output(o))
+                d_tgt = self._denormalize(t)
+                stds = (jnp.stack([fn(d_out, d_tgt) for fn in std_fns])
+                        if std_fns else jnp.zeros((0,)))
+                return losses, stds, d_out, d_tgt  # d_* keep the (1,...) dim
+
+            return jax.lax.map(one, (inputs, targets))
+
+        self._seq_eval = jax.jit(seq_eval)
+
+    def _sequence_groups(self, dataset) -> list[tuple[str, str, list[int]]]:
+        """Dataset-order runs of samples sharing (patient, slice id)."""
+        groups: list[tuple[str, str, list[int]]] = []
+        for i in range(len(dataset)):
+            patient, sid, _ = dataset.sample_name(i)
+            if not groups or (groups[-1][0], groups[-1][1]) != (patient, sid):
+                groups.append((patient, sid, []))
+            groups[-1][2].append(i)
+        return groups
+
+    def _predict_sequences(self) -> dict:
+        from vsr_tpu.data.loader import default_collate
+
+        self._ensure_initialized()
+        self._ensure_seq_eval()
+        dataset = self.test_dataloader.dataset
+        if self.exported:
+            results = [self._csv_header()]
+
+        log = self._init_log()
+        count = 0
+        groups = self._sequence_groups(dataset)
+        for patient, sid, indices in tqdm(groups, desc="testing"):
+            samples = [dataset.__getitem__(i, rng=None) for i in indices]
+            batch = default_collate(samples)
+            inputs = np.asarray(batch[self.input_key])
+            targets = np.asarray(batch["hr_img"])
+            t_real = inputs.shape[0]
+            tb = bucket_length(t_real, self.t_bucket)
+            if tb != t_real:  # edge-repeat pad; items are independent
+                pad = tb - t_real
+                inputs = np.concatenate(
+                    [inputs, np.repeat(inputs[-1:], pad, axis=0)])
+                targets = np.concatenate(
+                    [targets, np.repeat(targets[-1:], pad, axis=0)])
+
+            losses_v, stds_v, d_out_v, d_tgt_v = self._seq_eval(
+                self.params, jnp.asarray(inputs), jnp.asarray(targets))
+            frame_losses = np.asarray(losses_v)[:t_real]   # (T, nL)
+            frame_stds = np.asarray(stds_v)[:t_real]       # (T, nStd)
+            d_outs = np.asarray(d_out_v)[:t_real]          # (T, 1, H, W, C)
+            d_tgts = np.asarray(d_tgt_v)[:t_real]
+
+            sr_imgs = []
+            for k, i in enumerate(indices):
+                _, _, fid = dataset.sample_name(i)
+                losses = frame_losses[k]
+                loss = float((losses * self.loss_weights).sum()) \
+                    if self.loss_fns else 0.0
+                metrics = [0.0] * len(self.metric_fns)
+                for j, col in enumerate(self._std_cols):
+                    metrics[col] = frame_stds[k, j]
+                for col in self._cardiac_cols:
+                    metrics[col] = self._metric_value(
+                        self.metric_fns[col], d_outs[k], d_tgts[k], patient)
+
+                if self.exported:
+                    results.append(
+                        [f"{patient}_2d_slice{sid}_frame{fid}"]
+                        + [float(m) for m in metrics]
+                        + [float(l) for l in losses]
+                    )
+                    sr_imgs.append(d_outs[k][0, ..., 0].astype(np.uint8))
+                    out_dir = self.saved_dir / "imgs" / patient
+                    out_dir.mkdir(parents=True, exist_ok=True)
+                    _save_png(out_dir / f"slice{sid}_frame{fid}.png",
+                              sr_imgs[-1])
+
+                log["Loss"] += loss
+                for fn, l in zip(self.loss_fns, losses):
+                    log[fn.__class__.__name__] += float(l)
+                for fn, m in zip(self.metric_fns, metrics):
+                    log[fn.__class__.__name__] += float(m)
+                count += 1
+
+            if self.exported:
+                out_dir = self.saved_dir / "videos" / patient
+                out_dir.mkdir(parents=True, exist_ok=True)
+                _dump_video(out_dir / f"sequence{sid}.gif", sr_imgs)
+
+        if self.exported:
+            self._write_csv(results)
+        for key in log:
+            log[key] /= count
+        logging.info(f"Test log: {log}.")
+        return log
+
     def predict(self) -> dict:
+        if self.sequence_batch and not getattr(
+                self.test_dataloader, "shuffle", False):
+            return self._predict_sequences()
         self._ensure_initialized()
         self._ensure_sample_eval()
         dataset = self.test_dataloader.dataset
