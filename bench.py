@@ -225,12 +225,26 @@ def bench_jax() -> dict:
         trainer.train_epoch()
     dt = time.perf_counter() - t0
     steps_s = n_epochs * 200 / dt
+
+    # Training MFU: FLOPs of ONE fused train step (fwd + bwd + Adam update)
+    # from XLA cost_analysis of the standalone step program — the epoch fn
+    # wraps it in lax.scan, whose body cost_analysis would count once, so
+    # lower the per-step function directly (same rule as the serving MFU).
+    ex_in = jnp.zeros((16, 32, 32, 1), jnp.float32)
+    ex_tgt = jnp.zeros((16, 64, 64, 1), jnp.float32)
+    f_train = _flops_of(
+        jax.jit(lambda p, o, i, tgt: trainer._train_step(p, o, i, tgt)),
+        trainer.params, trainer.opt_state, ex_in, ex_tgt)
+    ttflops = f_train * steps_s / 1e12
     results["train_edsr_device"] = {
         "steps_per_sec": round(steps_s, 1),
         "samples_per_sec": round(steps_s * 16, 1),
+        "tflops": round(ttflops, 1),
+        "mfu_at_peak%d" % int(peak): round(ttflops / peak, 3),
     }
     _log(f"EDSR device training: {steps_s:.0f} steps/s "
-         f"({steps_s * 16:.0f} samples/s, batch 16 of 32->64 patches)")
+         f"({steps_s * 16:.0f} samples/s, batch 16 of 32->64 patches, "
+         f"{ttflops:.1f} TFLOP/s = {100 * ttflops / peak:.0f}% MFU)")
 
     return results
 

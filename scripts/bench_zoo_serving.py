@@ -18,6 +18,9 @@ Task shapes:
   chunks.
 
 Writes zoo_serving.json. Run: python scripts/bench_zoo_serving.py [net ...]
+``--subpixel``: serve the DBPN-ladder nets (SRFBN/DRFSISR/DRF/RBPN) with
+``subpixel_deconv=True`` (exact phase-conv deconvs, ops/subpixel.py) and
+write zoo_serving_subpixel.json instead — A/B against the default path.
 """
 
 from __future__ import annotations
@@ -35,6 +38,8 @@ MEAN, STD = 54.089, 48.084
 
 
 def main(only: list[str]) -> None:
+    subpixel = "--subpixel" in only
+    only = [n for n in only if n != "--subpixel"]
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -61,14 +66,17 @@ def main(only: list[str]) -> None:
                  dtype=bf16), {"vpc": 2}),
         ("SRFBNet", 2, "sisr",
          SRFBNet(in_channels=1, out_channels=1, num_steps=4, num_features=64,
-                 num_groups=6, upscale_factor=2, dtype=bf16), {"chunk": 60}),
+                 num_groups=6, upscale_factor=2, dtype=bf16,
+                 subpixel_deconv=subpixel), {"chunk": 60}),
         ("DRFSISRNet", 2, "sisr",
          DRFSISRNet(in_channels=1, out_channels=1, num_steps=4,
                     num_features=64, num_groups=6, upscale_factor=2,
-                    fused_tail=True, dtype=bf16), {"chunk": 60}),
+                    fused_tail=True, dtype=bf16,
+                    subpixel_deconv=subpixel), {"chunk": 60}),
         ("DRFNet", 2, "vsr",
          DRFNet(in_channels=1, out_channels=1, num_features=64, num_groups=6,
-                upscale_factor=2, fused_tail=True, dtype=bf16), {"vpc": 4}),
+                upscale_factor=2, fused_tail=True, dtype=bf16,
+                subpixel_deconv=subpixel), {"vpc": 4}),
         ("FRVSRNet", 4, "vsr",
          FRVSRNet(in_channels=1, out_channels=1, upscale_factor=4,
                   num_resblocks=10, dtype=bf16), {"vpc": 2}),
@@ -82,7 +90,8 @@ def main(only: list[str]) -> None:
         ("RBPNet", 2, "misr",
          RBPNet(in_channels=1, out_channels=1, base_filter=64, feat=64,
                 num_stages=3, num_resblocks=5, num_frames=5, upscale_factor=2,
-                dtype=bf16), {"win": 5, "chunk": 30}),
+                dtype=bf16, subpixel_deconv=subpixel),
+         {"win": 5, "chunk": 30}),
         ("EDVRNet", 4, "misr",
          EDVRNet(in_channels=1, out_channels=1, nf=64, nframes=5, groups=8,
                  front_RBs=5, back_RBs=10, dtype=bf16),
@@ -185,13 +194,14 @@ def main(only: list[str]) -> None:
             results[name] = {"error": str(exc)[:300]}
             print(f"{name:12s} FAIL: {str(exc)[:300]}", flush=True)
 
+    out_name = "zoo_serving_subpixel.json" if subpixel else "zoo_serving.json"
     if only:  # partial rerun: merge over the existing table
         try:
-            with open("zoo_serving.json") as f:
+            with open(out_name) as f:
                 results = {**json.load(f), **results}
         except FileNotFoundError:
             pass
-    with open("zoo_serving.json", "w") as f:
+    with open(out_name, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))
 

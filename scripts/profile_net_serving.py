@@ -1,0 +1,162 @@
+"""Device-trace profiles for the bottom of the zoo serving table.
+
+VERDICT round-2 weak #2: RBPN 0.42 / SRFBN 0.60 / DRFSISR 0.62 vol/s got no
+trace-driven attack. This captures a jax.profiler trace of ONE serving call
+per net at the exact zoo-bench protocol (scripts/bench_zoo_serving.py:
+chunked lax.map over 300 192^2-HR frames / windows, bf16) and prints the
+top device ops by self time — the evidence for what to rewrite or why the
+number is the ceiling.
+
+Run: python scripts/profile_net_serving.py SRFBNet DRFSISRNet RBPNet
+Traces land in /tmp/<net>_trace (inspect with tensorboard if needed).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+D, T, H, W = 10, 30, 192, 192
+MEAN, STD = 54.089, 48.084
+
+
+def summarize(outdir: str) -> None:
+    """Aggregate the XLA-op track by hlo_category and top tf_op sites,
+    with achieved TFLOP/s / GB/s per row (from the events' model_flops /
+    raw_bytes_accessed metadata)."""
+    import glob
+    import gzip
+    import json
+    from collections import defaultdict
+
+    paths = sorted(glob.glob(f"{outdir}/**/*.trace.json.gz", recursive=True))
+    if not paths:
+        print(f"no trace json under {outdir}; inspect with tensorboard")
+        return
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in trace.get("traceEvents", [])
+                 if e.get("ph") == "M" and e.get("name") == "process_name"
+                 and "args" in e}
+    dev_pids = {p for p, n in pid_names.items() if "TPU" in n}
+    ev = [e for e in trace["traceEvents"]
+          if e.get("ph") == "X" and "dur" in e and e.get("pid") in dev_pids
+          and e.get("args", {}).get("hlo_category")
+          and e["args"]["hlo_category"] != "while"]  # while = container
+    by_cat = defaultdict(lambda: [0.0, 0.0, 0.0])
+    by_site = defaultdict(lambda: [0.0, 0.0, 0.0])
+    total = 0.0
+    for e in ev:
+        a = e["args"]
+        fl = float(a.get("model_flops", 0) or 0)
+        byt = float(a.get("raw_bytes_accessed", 0) or 0)
+        for table, key in ((by_cat, a["hlo_category"]),
+                           (by_site, a.get("tf_op", e["name"])[:95])):
+            table[key][0] += e["dur"]
+            table[key][1] += fl
+            table[key][2] += byt
+        total += e["dur"]
+    for title, table, n in (("by category", by_cat, 10),
+                            ("top sites", by_site, 14)):
+        print(f"{title} (of {total / 1e3:.1f} ms op time):")
+        for k, (d, fl, byt) in sorted(table.items(), key=lambda kv: -kv[1][0])[:n]:
+            tf = fl / (d * 1e-6) / 1e12 if d else 0
+            gbs = byt / (d * 1e-6) / 1e9 if d else 0
+            print(f"  {d / 1e3:9.2f} ms {100 * d / max(total, 1):5.1f}%  "
+                  f"{tf:6.1f} TF/s {gbs:6.0f} GB/s  {k}")
+
+def main(names: list[str]) -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from vsr_tpu.models import DRFSISRNet, RBPNet, SRFBNet
+    from vsr_tpu.preprocess.kspace import kspace_downscale_jax
+
+    bf16 = jnp.bfloat16
+    cases = {
+        "SRFBNet": (
+            SRFBNet(in_channels=1, out_channels=1, num_steps=4,
+                    num_features=64, num_groups=6, upscale_factor=2,
+                    dtype=bf16), "sisr", 2, {"chunk": 60}),
+        "DRFSISRNet": (
+            DRFSISRNet(in_channels=1, out_channels=1, num_steps=4,
+                       num_features=64, num_groups=6, upscale_factor=2,
+                       fused_tail=True, dtype=bf16), "sisr", 2, {"chunk": 60}),
+        "RBPNet": (
+            RBPNet(in_channels=1, out_channels=1, base_filter=64, feat=64,
+                   num_stages=3, num_resblocks=5, num_frames=5,
+                   upscale_factor=2, dtype=bf16), "misr", 2,
+            {"win": 5, "chunk": 30}),
+    }
+    for name in names or list(cases):
+        net, task, factor, opts = cases[name]
+        h, w = H // factor, W // factor
+        chunk = opts.get("chunk")
+        win = opts.get("win")
+        example = (jnp.zeros((1, h, w, 1)) if task == "sisr"
+                   else jnp.zeros((1, win, h, w, 1)))
+        params = net.init(jax.random.PRNGKey(0), example)
+
+        def net_chunks(z):
+            n = z.shape[0]
+            zc = z.reshape(n // chunk, chunk, *z.shape[1:])
+
+            def one(c):
+                out = net.apply(params, c)
+                if isinstance(out, (tuple, list)):
+                    out = out[-1] if isinstance(out, list) else out[0]
+                if out.ndim == c.ndim + 1:
+                    out = out[-1]
+                return out
+
+            out = jax.lax.map(one, zc)
+            return out.reshape(n, *out.shape[2:])
+
+        @jax.jit
+        def pipeline(hr_frames):
+            lr = kspace_downscale_jax(hr_frames, factor)
+            z = ((lr - MEAN) / (STD + 1e-10))[..., None]
+            if task == "sisr":
+                sr = net_chunks(z)
+            else:
+                hh, ww = z.shape[1:3]
+                seq = z.reshape(D, T, hh, ww, 1)
+                idx = (jnp.arange(T)[:, None]
+                       + jnp.arange(win)[None, :] - win // 2) % T
+                wins = jnp.take(seq, idx, axis=1).reshape(D * T, win, hh, ww, 1)
+                sr = net_chunks(wins)
+            sr = sr.astype(jnp.float32)
+            out = jnp.clip(jnp.round(sr * STD + MEAN), 0, 255)[..., 0]
+            return out.astype(jnp.uint8)
+
+        rng = np.random.default_rng(7)
+        vol = jax.device_put(np.round(
+            rng.random((D * T, H, W)) * 255).astype(np.float32))
+        jax.block_until_ready(vol)
+        t0 = time.time()
+        jax.block_until_ready(pipeline(vol))
+        print(f"{name}: compile+first call {time.time() - t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        jax.block_until_ready(pipeline(vol))
+        dt = time.perf_counter() - t0
+        print(f"{name}: {1 / dt:.3f} vol/s ({D * T / dt:.1f} frames/s)",
+              flush=True)
+
+        outdir = f"/tmp/{name}_trace"
+        with jax.profiler.trace(outdir):
+            jax.block_until_ready(pipeline(vol))
+        print(f"\n===== {name} =====")
+        summarize(outdir)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

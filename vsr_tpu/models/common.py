@@ -76,12 +76,44 @@ class Conv(nn.Module):
         )(x)
 
 
+class _SubpixelConvTranspose(nn.ConvTranspose):
+    """nn.ConvTranspose with the forward swapped for the exact sub-pixel
+    decomposition (ops/subpixel.py): identical params (names, shapes,
+    layout), identical math to float round-off. NB: measured SLOWER end to
+    end (~0.87x, see ops/subpixel.py) — opt-in A/B path. Subclassing
+    keeps ``isinstance(m, nn.ConvTranspose)`` true, so weight transplant
+    and parity tooling see an ordinary deconv."""
+
+    torch_padding: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        from vsr_tpu.ops.subpixel import conv_transpose_subpixel
+
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (*self.kernel_size, x.shape[-1], self.features), self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        from flax.linen import dtypes as _dtypes
+
+        x, kernel, bias = _dtypes.promote_dtype(x, kernel, bias,
+                                                dtype=self.dtype)
+        return conv_transpose_subpixel(x, kernel, bias, self.strides[0],
+                                       self.torch_padding)
+
+
 class ConvTranspose(nn.Module):
     """2D transposed conv matching torch.nn.ConvTranspose2d geometry.
 
     torch output size = (in-1)*stride - 2*padding + kernel. Implemented with
     flax ConvTranspose (padding as ((kernel-1-p, kernel-1-p),...) equivalent
     is handled by computing the XLA padding directly).
+
+    ``subpixel=True`` computes the same map via one stride-1 phase conv +
+    depth-to-space (ops/subpixel.py) — same params and results; measured
+    ~0.87x end to end on TPU (recorded negative, see ops/subpixel.py);
+    checkpoints are interchangeable.
     """
 
     features: int
@@ -90,6 +122,7 @@ class ConvTranspose(nn.Module):
     padding: int = 1
     use_bias: bool = True
     dtype: Any = None
+    subpixel: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -98,6 +131,19 @@ class ConvTranspose(nn.Module):
         # XLA conv_transpose padding that reproduces torch geometry:
         # pad = kernel - 1 - torch_padding on both sides.
         xla_pad = [(k - 1 - p, k - 1 - p)] * 2
+        if self.subpixel:
+            return _SubpixelConvTranspose(
+                features=self.features,
+                kernel_size=(k, k),
+                strides=(s, s),
+                padding=xla_pad,
+                use_bias=self.use_bias,
+                kernel_init=torch_kernel_init,
+                bias_init=make_torch_bias_init(fan_in),
+                dtype=self.dtype,
+                torch_padding=p,
+                name="ConvTranspose_0",  # checkpoint-path parity
+            )(x)
         return nn.ConvTranspose(
             features=self.features,
             kernel_size=(k, k),

@@ -64,11 +64,13 @@ class _DRFStep(nn.Module):
     upscale_factor: int
     fused_tail: bool = False
     dtype: Any = None
+    subpixel_deconv: bool = False
 
     @nn.compact
     def __call__(self, hidden, in_feat):
         f = FBlock(self.num_features, self.num_groups, self.upscale_factor,
-                   dtype=self.dtype)(in_feat, hidden)
+                   dtype=self.dtype,
+                   subpixel_deconv=self.subpixel_deconv)(in_feat, hidden)
         out = _OutBlock(self.out_channels, self.upscale_factor,
                         fused=self.fused_tail, dtype=self.dtype)(
             in_feat + f
@@ -86,6 +88,7 @@ class DRFSISRNet(nn.Module):
     upscale_factor: int
     fused_tail: bool = False
     dtype: Any = None
+    subpixel_deconv: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -102,6 +105,7 @@ class DRFSISRNet(nn.Module):
         _, outputs = scan(
             self.num_features, self.num_groups, self.out_channels,
             self.upscale_factor, fused_tail=self.fused_tail, dtype=self.dtype,
+            subpixel_deconv=self.subpixel_deconv,
         )(in_feat, in_feat)
         return outputs  # (num_steps, N, H, W, C)
 
@@ -120,6 +124,7 @@ class DRFNet(nn.Module):
     remat: bool = False
     fused_tail: bool = False
     dtype: Any = None
+    subpixel_deconv: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -146,6 +151,7 @@ class DRFNet(nn.Module):
         _, outputs = scan(
             self.num_features, self.num_groups, self.out_channels,
             self.upscale_factor, fused_tail=self.fused_tail,
-            dtype=self.dtype, name="step",
+            dtype=self.dtype, subpixel_deconv=self.subpixel_deconv,
+            name="step",
         )(in_feats_t[0], in_feats_t)
         return jnp.moveaxis(outputs, 0, 1)  # (N, T, H, W, C)

@@ -66,6 +66,7 @@ class FBlock(nn.Module):
     num_groups: int
     upscale_factor: int
     dtype: Any = None
+    subpixel_deconv: bool = False
 
     @nn.compact
     def __call__(self, x, hidden):
@@ -80,12 +81,14 @@ class FBlock(nn.Module):
         for i in range(self.num_groups):
             concat_lr = jnp.concatenate(lr_list, axis=-1)
             if i == 0:
-                hr = ConvTranspose(f, k, s, p, dtype=self.dtype)(concat_lr)
+                hr = ConvTranspose(f, k, s, p, dtype=self.dtype,
+                                   subpixel=self.subpixel_deconv)(concat_lr)
                 hr = PReLU()(hr)
             else:
                 z = Conv(f, 1, padding=0, dtype=self.dtype)(concat_lr)
                 z = PReLU()(z)
-                hr = ConvTranspose(f, k, s, p, dtype=self.dtype)(z)
+                hr = ConvTranspose(f, k, s, p, dtype=self.dtype,
+                                   subpixel=self.subpixel_deconv)(z)
                 hr = PReLU()(hr)
             hr_list.append(hr)
 

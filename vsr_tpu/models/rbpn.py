@@ -62,11 +62,12 @@ class _DeconvP(nn.Module):
     pad: int
     act: bool = True
     dtype: Any = None
+    subpixel: bool = False
 
     @nn.compact
     def __call__(self, x):
         y = ConvTranspose(self.features, self.kernel, self.stride, self.pad,
-                          dtype=self.dtype)(x)
+                          dtype=self.dtype, subpixel=self.subpixel)(x)
         return _PReLU()(y) if self.act else y
 
 
@@ -93,15 +94,16 @@ class _UpBlock(nn.Module):
     stride: int
     pad: int
     dtype: Any = None
+    subpixel_deconv: bool = False
 
     @nn.compact
     def __call__(self, x):
         h0 = _DeconvP(self.features, self.kernel, self.stride, self.pad,
-                      dtype=self.dtype)(x)
+                      dtype=self.dtype, subpixel=self.subpixel_deconv)(x)
         l0 = _ConvP(self.features, self.kernel, self.stride, self.pad,
                     dtype=self.dtype)(h0)
         h1 = _DeconvP(self.features, self.kernel, self.stride, self.pad,
-                      dtype=self.dtype)(l0 - x)
+                      dtype=self.dtype, subpixel=self.subpixel_deconv)(l0 - x)
         return h1 + h0
 
 
@@ -111,13 +113,14 @@ class _DownBlock(nn.Module):
     stride: int
     pad: int
     dtype: Any = None
+    subpixel_deconv: bool = False
 
     @nn.compact
     def __call__(self, x):
         l0 = _ConvP(self.features, self.kernel, self.stride, self.pad,
                     dtype=self.dtype)(x)
         h0 = _DeconvP(self.features, self.kernel, self.stride, self.pad,
-                      dtype=self.dtype)(l0)
+                      dtype=self.dtype, subpixel=self.subpixel_deconv)(l0)
         l1 = _ConvP(self.features, self.kernel, self.stride, self.pad,
                     dtype=self.dtype)(h0 - x)
         return l1 + l0
@@ -130,17 +133,19 @@ class DBPNet(nn.Module):
     num_stages: int
     upscale_factor: int
     dtype: Any = None
+    subpixel_deconv: bool = False
 
     @nn.compact
     def __call__(self, x):
         k, s, p = PROJECTION_PARAMS[self.upscale_factor]
+        sp = self.subpixel_deconv
         x = _ConvP(self.feat, 1, 1, 0, dtype=self.dtype)(x)
-        h1 = _UpBlock(self.feat, k, s, p, dtype=self.dtype)(x)
-        h2 = _UpBlock(self.feat, k, s, p, dtype=self.dtype)(
-            _DownBlock(self.feat, k, s, p, dtype=self.dtype)(h1)
+        h1 = _UpBlock(self.feat, k, s, p, dtype=self.dtype, subpixel_deconv=sp)(x)
+        h2 = _UpBlock(self.feat, k, s, p, dtype=self.dtype, subpixel_deconv=sp)(
+            _DownBlock(self.feat, k, s, p, dtype=self.dtype, subpixel_deconv=sp)(h1)
         )
-        h3 = _UpBlock(self.feat, k, s, p, dtype=self.dtype)(
-            _DownBlock(self.feat, k, s, p, dtype=self.dtype)(h2)
+        h3 = _UpBlock(self.feat, k, s, p, dtype=self.dtype, subpixel_deconv=sp)(
+            _DownBlock(self.feat, k, s, p, dtype=self.dtype, subpixel_deconv=sp)(h2)
         )
         return _ConvP(self.feat, 1, 1, 0, act=False, dtype=self.dtype)(
             jnp.concatenate([h3, h2, h1], axis=-1)
@@ -170,6 +175,7 @@ class RBPNet(nn.Module):
     num_frames: int
     upscale_factor: int
     dtype: Any = None
+    subpixel_deconv: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -183,9 +189,11 @@ class RBPNet(nn.Module):
         feat0 = _ConvP(self.base_filter, 3, 1, 1, dtype=self.dtype)
         feat1 = _ConvP(self.base_filter, 3, 1, 1, dtype=self.dtype)
         dbp_net = DBPNet(self.feat, self.num_stages, self.upscale_factor,
-                         dtype=self.dtype)
+                         dtype=self.dtype,
+                         subpixel_deconv=self.subpixel_deconv)
         res1_chain = _ResChain(self.base_filter, self.num_resblocks, dtype=self.dtype)
-        res1_up = _DeconvP(self.feat, k, s, p, dtype=self.dtype)
+        res1_up = _DeconvP(self.feat, k, s, p, dtype=self.dtype,
+                           subpixel=self.subpixel_deconv)
         res2_chain = _ResChain(self.feat, self.num_resblocks, dtype=self.dtype)
         res2_conv = _ConvP(self.feat, 3, 1, 1, dtype=self.dtype)
         res3_chain = _ResChain(self.feat, self.num_resblocks, dtype=self.dtype)

@@ -36,11 +36,13 @@ class _RBlock(nn.Module):
     out_channels: int
     upscale_factor: int
     dtype: Any = None
+    subpixel_deconv: bool = False
 
     @nn.compact
     def __call__(self, x):
         k, s, p = PROJECTION_PARAMS[self.upscale_factor]
-        x = ConvTranspose(x.shape[-1], k, s, p, dtype=self.dtype)(x)
+        x = ConvTranspose(x.shape[-1], k, s, p, dtype=self.dtype,
+                          subpixel=self.subpixel_deconv)(x)
         x = PReLU()(x)
         return Conv(self.out_channels, 3, padding=1, dtype=self.dtype)(x)
 
@@ -51,12 +53,15 @@ class _SRFBStep(nn.Module):
     out_channels: int
     upscale_factor: int
     dtype: Any = None
+    subpixel_deconv: bool = False
 
     @nn.compact
     def __call__(self, hidden, feat, upscaled_input):
         f = FBlock(self.num_features, self.num_groups, self.upscale_factor,
-                   dtype=self.dtype)(feat, hidden)
-        residual = _RBlock(self.out_channels, self.upscale_factor, dtype=self.dtype)(f)
+                   dtype=self.dtype,
+                   subpixel_deconv=self.subpixel_deconv)(feat, hidden)
+        residual = _RBlock(self.out_channels, self.upscale_factor, dtype=self.dtype,
+                           subpixel_deconv=self.subpixel_deconv)(f)
         return f, upscaled_input + residual
 
 
@@ -69,6 +74,10 @@ class SRFBNet(nn.Module):
     num_groups: int
     upscale_factor: int
     dtype: Any = None
+    #: serve the k6s2-family deconvs as exact sub-pixel phase convs
+    #: (ops/subpixel.py) — same params/results; measured ~0.87x end to end
+    #: (recorded negative; A/B harness).
+    subpixel_deconv: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -87,5 +96,6 @@ class SRFBNet(nn.Module):
         _, outputs = scan(
             self.num_features, self.num_groups, self.out_channels,
             self.upscale_factor, dtype=self.dtype,
+            subpixel_deconv=self.subpixel_deconv,
         )(feat, feat, upscaled)
         return outputs  # (num_steps, N, H, W, C)
