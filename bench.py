@@ -210,9 +210,13 @@ def bench_jax() -> dict:
     hrbuf = np.round(rng.random((256, 64, 64, 1)) * 255).astype(np.float32)
     lrbuf = hrbuf[:, ::2, ::2]
     trainer = DeviceEpochTrainer(
+        # fused_tail also in TRAINING: the fold commutes with
+        # differentiation (same params, same math); the round-3 train trace
+        # showed the unfused shuffle's reshape/transpose (+grads) at ~13%
+        # of the step, and the fold measured +5% steps/s on the chip.
         net=EDSRNet(in_channels=1, out_channels=1, num_resblocks=BLOCKS,
                     num_features=FEATURES, upscale_factor=FACTOR,
-                    dtype=jnp.bfloat16),
+                    dtype=jnp.bfloat16, fused_tail=True),
         loss_fns=[__import__("vsr_tpu.losses", fromlist=["L1Loss"]).L1Loss()],
         loss_weights=[1.0], metric_fns=[], optimizer=optax.adam(1e-4),
         lr_data=lrbuf, hr_data=hrbuf, batch_size=16, patch=32, ratio=2,
