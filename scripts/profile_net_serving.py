@@ -145,11 +145,19 @@ def main(names: list[str]) -> None:
         t0 = time.time()
         jax.block_until_ready(pipeline(vol))
         print(f"{name}: compile+first call {time.time() - t0:.1f}s", flush=True)
+        # Chained serial timing (CLAUDE.md: block_until_ready can no-op
+        # through the relay): call i+1 consumes a scalar from call i's
+        # output; ONE readback at the end syncs the whole chain.
+        iters = 3
         t0 = time.perf_counter()
-        jax.block_until_ready(pipeline(vol))
-        dt = time.perf_counter() - t0
-        print(f"{name}: {1 / dt:.3f} vol/s ({D * T / dt:.1f} frames/s)",
-              flush=True)
+        carry = jnp.float32(0.0)
+        for _ in range(iters):
+            out = pipeline(vol + carry * 1e-12)
+            carry = out.astype(jnp.float32).ravel()[0] * 1e-12
+        float(carry)
+        dt = (time.perf_counter() - t0) / iters
+        print(f"{name}: {1 / dt:.3f} vol/s ({D * T / dt:.1f} frames/s, "
+              f"chained x{iters})", flush=True)
 
         outdir = f"/tmp/{name}_trace"
         with jax.profiler.trace(outdir):

@@ -42,7 +42,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _config(tree: Path, saved: Path, local_batch: int, host_shard: bool) -> dict:
+def _config(tree: Path, saved: Path, local_batch: int, host_shard: bool,
+            valid_batch: int | None = None) -> dict:
     return {
         "main": {"saved_dir": str(saved), "random_seed": "vsr"},
         "dataset": {
@@ -61,7 +62,7 @@ def _config(tree: Path, saved: Path, local_batch: int, host_shard: bool) -> dict
         "dataloader": {
             "name": "Dataloader",
             "kwargs": {"train_batch_size": local_batch,
-                       "valid_batch_size": local_batch,
+                       "valid_batch_size": valid_batch or local_batch,
                        "shuffle": False, "num_workers": 0,
                        "host_shard": host_shard},
         },
@@ -100,7 +101,10 @@ def mh_run(tmp_path_factory):
                         slices=1, frames=6, hr_size=24, factors=(2,), seed=5)
 
     saved = root / "dist_out"
-    cfg = _config(tree, saved, local_batch=6, host_shard=True)
+    # valid_batch=1 (the reference-style default) exercises the per-process
+    # shard-eval fallback + cross-process log reduction: 1 does not divide
+    # the 2-device local mesh slice, so validation cannot use the DP step.
+    cfg = _config(tree, saved, local_batch=6, host_shard=True, valid_batch=1)
     cfg_path = root / "dist.yaml"
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f)
@@ -160,7 +164,8 @@ def test_matches_single_process_run(mh_run, tmp_path):
     from vsr_tpu.utils.checkpoint import load_checkpoint
 
     single_saved = tmp_path / "single_out"
-    cfg = _config(root / "data", single_saved, local_batch=12, host_shard=False)
+    cfg = _config(root / "data", single_saved, local_batch=12,
+                  host_shard=False, valid_batch=1)
     run_train(Config(cfg))
 
     dist_state, _ = load_checkpoint(saved / "checkpoints" / "model_2.ckpt")

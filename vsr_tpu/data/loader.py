@@ -101,6 +101,12 @@ class Dataloader:
         nproc, pid = self._shard_info()
         if nproc > 1:
             gbs = self.batch_size * nproc
+            if len(order) < gbs:
+                raise ValueError(
+                    f"host-sharded loader: dataset has {len(order)} samples "
+                    f"but one global batch needs batch_size * process_count "
+                    f"= {self.batch_size} * {nproc} = {gbs}; shrink the "
+                    f"batch or the process count")
             return [
                 order[i + pid * self.batch_size : i + (pid + 1) * self.batch_size].tolist()
                 for i in range(0, len(order) - gbs + 1, gbs)

@@ -63,7 +63,6 @@ def subpixel_kernel(kernel: jnp.ndarray, s: int, p: int):
     k = kernel.shape[0]
     taps, offs, w, pad_lo = _phase_geometry(k, s, p)
     cin, cout = kernel.shape[2], kernel.shape[3]
-    bank = np.zeros((w, w, cin, s * s * cout), dtype=np.float32)
     bank = jnp.zeros((w, w, cin, s * s * cout), kernel.dtype)
     for ry in range(s):
         for rx in range(s):

@@ -40,7 +40,11 @@ def initialize(coordinator_address: str | None = None,
 
     if num_processes is not None and num_processes <= 1:
         return
-    explicit = coordinator_address is not None
+    # Any explicitly-requested multi-process identity must not silently
+    # degrade to a single-process run (each process would train its own
+    # model on a shard and race on the checkpoint dir).
+    explicit = (coordinator_address is not None or process_id is not None
+                or num_processes is not None)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

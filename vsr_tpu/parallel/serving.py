@@ -76,6 +76,7 @@ def shard_pipeline(pipeline_fn, mesh: Mesh, batch_axis: str = "data",
     unit = seq_len or 1
     in_sharding = NamedSharding(mesh, _prune_spec(mesh, P(batch_axis, spatial_axis)))
     jitted = jax.jit(pipeline_fn, in_shardings=(in_sharding,))
+    batched_leaf_cache: dict = {}  # (shape, pad) -> which outputs to slice
 
     def wrapped(hr_frames):
         frames = np.asarray(hr_frames)
@@ -95,17 +96,23 @@ def shard_pipeline(pipeline_fn, mesh: Mesh, batch_axis: str = "data",
             # abstract-evaluating the pipeline at both batch sizes: a leaf
             # is batched iff its leading dim tracks N.  (A pure shape match
             # against n+pad would mis-slice any output whose leading dim
-            # coincidentally equals the padded batch.)
-            spec = jax.ShapeDtypeStruct(frames.shape, frames.dtype)
-            spec_unpadded = jax.ShapeDtypeStruct((n,) + frames.shape[1:],
-                                                 frames.dtype)
-            shapes_p = jax.eval_shape(pipeline_fn, spec)
-            shapes_u = jax.eval_shape(pipeline_fn, spec_unpadded)
+            # coincidentally equals the padded batch.)  The decision depends
+            # only on the input geometry, so it is traced once per
+            # (shape, pad) and cached — not per serving call.
+            key = (frames.shape, pad)
+            if key not in batched_leaf_cache:
+                spec = jax.ShapeDtypeStruct(frames.shape, frames.dtype)
+                spec_unpadded = jax.ShapeDtypeStruct(
+                    (n,) + frames.shape[1:], frames.dtype)
+                shapes_p = jax.eval_shape(pipeline_fn, spec)
+                shapes_u = jax.eval_shape(pipeline_fn, spec_unpadded)
+                batched_leaf_cache[key] = jax.tree_util.tree_map(
+                    lambda sp_, su: bool(sp_.shape[:1] == (n + pad,)
+                                         and su.shape[:1] == (n,)),
+                    shapes_p, shapes_u)
             out = jax.tree_util.tree_map(
-                lambda a, sp, su: a[:n]
-                if (a.ndim and sp.shape[:1] == (n + pad,)
-                    and su.shape[:1] == (n,)) else a,
-                out, shapes_p, shapes_u)
+                lambda a, batched: a[:n] if (a.ndim and batched) else a,
+                out, batched_leaf_cache[key])
         return out
 
     return wrapped

@@ -284,9 +284,13 @@ class ImagePredictor(BasePredictor):
         log = self._init_log()
         count = 0
         groups = self._sequence_groups(dataset)
+        # Honor the loader's configured collation (falls back to the
+        # default stacker) so both dispatch modes see identical batches.
+        collate = getattr(self.test_dataloader, "collate_fn",
+                          None) or default_collate
         for patient, sid, indices in tqdm(groups, desc="testing"):
             samples = [dataset.__getitem__(i, rng=None) for i in indices]
-            batch = default_collate(samples)
+            batch = collate(samples)
             inputs = np.asarray(batch[self.input_key])
             targets = np.asarray(batch["hr_img"])
             t_real = inputs.shape[0]

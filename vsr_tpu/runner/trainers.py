@@ -312,22 +312,45 @@ class BaseTrainer:
             # Each process contributes 1/P of every global batch; its local
             # batch must still split over its local slice of the mesh.
             n_data = max(n_data // process_count(), 1)
+        local_eval = False  # multi-host: per-process shard eval happened
+        local_params = None
         for batch in pbar:
             inputs, targets = self._get_inputs_targets(batch)
             batch_n = batch["index"].shape[0]
             use_dp = self.mesh is not None and batch_n % n_data == 0
             if self._multiprocess:
-                if not use_dp:
+                if use_dp:
+                    from jax.sharding import PartitionSpec as P
+
+                    inputs, targets = jax.tree_util.tree_map(
+                        lambda a: host_local_to_global(a, self.mesh, P("data")),
+                        (inputs, targets))
+                elif training:
                     raise RuntimeError(
                         f"multi-host training requires every local batch "
                         f"({batch_n}) to divide the local mesh slice "
                         f"({n_data}); a non-DP fallback step would silently "
-                        f"train each process on different data")
-                from jax.sharding import PartitionSpec as P
+                        f"train each process on different data — make the "
+                        f"per-process train_batch_size a multiple of {n_data}")
+                else:
+                    # Validation fallback (e.g. the reference-style
+                    # valid_batch_size=1): each process evaluates ITS shard
+                    # with replicated params pulled host-local; the
+                    # accumulated logs are summed across processes below so
+                    # every process reports the identical global mean and
+                    # the Monitor decisions stay in lockstep.
+                    local_eval = True
+                    if local_params is None:
+                        def _localize(a):
+                            if (isinstance(a, jax.Array)
+                                    and not a.is_fully_addressable):
+                                return jnp.asarray(a.addressable_data(0))
+                            return a
 
-                inputs, targets = jax.tree_util.tree_map(
-                    lambda a: host_local_to_global(a, self.mesh, P("data")),
-                    (inputs, targets))
+                        local_params = jax.tree_util.tree_map(
+                            _localize, self.params)
+                        local_opt = jax.tree_util.tree_map(
+                            _localize, self.opt_state)
             if training:
                 step = self._dp_train_step if use_dp else self._train_step
                 if use_dp:
@@ -344,6 +367,11 @@ class BaseTrainer:
                     _, _, scalars, outputs = step(
                         self.params, self.opt_state, inputs, targets
                     )
+                elif local_eval:
+                    _, _, scalars, outputs = step(
+                        local_params, local_opt, inputs, targets,
+                        training=False
+                    )
                 else:
                     _, _, scalars, outputs = step(
                         self.params, self.opt_state, inputs, targets, training=False
@@ -356,10 +384,24 @@ class BaseTrainer:
             count += w
             if training and self._preempted:
                 break  # graceful stop at a batch boundary (signal received)
+        if local_eval and acc is not None:
+            # Per-process shard evaluation: sum the weighted accumulators
+            # and counts over all processes so every process reports the
+            # identical global mean (Monitor decisions stay in lockstep).
+            from jax.experimental import multihost_utils
+
+            keys = list(acc)
+            vec = jnp.asarray([float(acc[k]) for k in keys] + [count],
+                              jnp.float32)
+            summed = np.asarray(
+                multihost_utils.process_allgather(vec)).sum(axis=0)
+            acc = {k: jnp.asarray(summed[i]) for i, k in enumerate(keys)}
+            count = float(summed[-1])
         log = {k: float(v) / count for k, v in (acc or {}).items()}
-        if self._multiprocess and outputs is not None:
+        if self._multiprocess and outputs is not None and not local_eval:
             # Keep only this process's addressable shards for the logging
             # path (np.asarray on a multi-host global array would fail).
+            # (local_eval outputs are already host-local.)
             from jax.sharding import PartitionSpec as P
 
             from vsr_tpu.parallel.distributed import global_to_host_local
@@ -454,7 +496,11 @@ class BaseTrainer:
                 new_lr = self.lr_scheduler.step(metric)
                 self.opt_state = set_learning_rate(self.opt_state, new_lr)
 
-            if self.logger is not None:
+            from vsr_tpu.parallel.distributed import is_primary
+
+            if self.logger is not None and is_primary():
+                # Multi-host: process 0 owns every file write (logs AND
+                # checkpoints) — all processes hold identical state.
                 self.logger.write(
                     self.epoch, train_log, train_batch, np.asarray(train_outputs)
                     if not isinstance(train_outputs, tuple) else tuple(map(np.asarray, train_outputs)),
