@@ -20,7 +20,7 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-PEAK_TFLOPS = 394.0  # bf16 peak of the benched chip; same constant as bench.py
+PEAK_TFLOPS = 197.0  # bf16 peak (v5e), same constant as bench.py
 
 
 def summarize(outdir: str) -> None:
