@@ -39,7 +39,8 @@ MEAN, STD = 54.089, 48.084
 
 def main(only: list[str]) -> None:
     subpixel = "--subpixel" in only
-    only = [n for n in only if n != "--subpixel"]
+    fsq = "--fused-squeeze" in only
+    only = [n for n in only if not n.startswith("--")]
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -67,16 +68,17 @@ def main(only: list[str]) -> None:
         ("SRFBNet", 2, "sisr",
          SRFBNet(in_channels=1, out_channels=1, num_steps=4, num_features=64,
                  num_groups=6, upscale_factor=2, dtype=bf16,
-                 subpixel_deconv=subpixel), {"chunk": 60}),
+                 subpixel_deconv=subpixel, fused_squeeze=fsq), {"chunk": 60}),
         ("DRFSISRNet", 2, "sisr",
          DRFSISRNet(in_channels=1, out_channels=1, num_steps=4,
                     num_features=64, num_groups=6, upscale_factor=2,
                     fused_tail=True, dtype=bf16,
-                    subpixel_deconv=subpixel), {"chunk": 60}),
+                    subpixel_deconv=subpixel, fused_squeeze=fsq),
+         {"chunk": 60}),
         ("DRFNet", 2, "vsr",
          DRFNet(in_channels=1, out_channels=1, num_features=64, num_groups=6,
                 upscale_factor=2, fused_tail=True, dtype=bf16,
-                subpixel_deconv=subpixel), {"vpc": 4}),
+                subpixel_deconv=subpixel, fused_squeeze=fsq), {"vpc": 4}),
         ("FRVSRNet", 4, "vsr",
          FRVSRNet(in_channels=1, out_channels=1, upscale_factor=4,
                   num_resblocks=10, dtype=bf16), {"vpc": 2}),
@@ -194,7 +196,8 @@ def main(only: list[str]) -> None:
             results[name] = {"error": str(exc)[:300]}
             print(f"{name:12s} FAIL: {str(exc)[:300]}", flush=True)
 
-    out_name = "zoo_serving_subpixel.json" if subpixel else "zoo_serving.json"
+    out_name = ("zoo_serving_subpixel.json" if subpixel
+                else "zoo_serving_fsq.json" if fsq else "zoo_serving.json")
     if only:  # partial rerun: merge over the existing table
         try:
             with open(out_name) as f:

@@ -52,9 +52,23 @@ class Conv(nn.Module):
     use_bias: bool = True
     feature_group_count: int = 1
     dtype: Any = None
+    #: 1x1 convs only: __call__ takes a TUPLE of inputs and fuses the
+    #: channel concat into the conv (Pallas kernel, HBM concat eliminated).
+    fused_list: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.fused_list:
+            assert self.kernel_size == 1 and self.strides == 1
+            cin = sum(a.shape[-1] for a in x)
+            return _FusedSqueezeConv(
+                features=self.features,
+                kernel_size=(1, 1),
+                kernel_init=torch_kernel_init,
+                bias_init=make_torch_bias_init(cin),
+                dtype=self.dtype,
+                name="Conv_0",  # checkpoint-path parity with nn.Conv below
+            )(x)
         k = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size,) * 2
         s = self.strides if isinstance(self.strides, tuple) else (self.strides,) * 2
         if isinstance(self.padding, str):
@@ -74,6 +88,31 @@ class Conv(nn.Module):
             bias_init=make_torch_bias_init(fan_in),
             dtype=self.dtype,
         )(x)
+
+
+class _FusedSqueezeConv(nn.Conv):
+    """nn.Conv(1x1) whose forward takes a TUPLE of inputs and computes
+    ``concat(xs, -1) @ W + b`` via the Pallas fused-squeeze kernel
+    (ops/fused_squeeze.py) — the concat never materializes in HBM.
+    Identical params (kernel (1, 1, sum(C), F) + bias) to the nn.Conv it
+    stands in for; subclassing keeps transplant tooling's isinstance
+    checks working and the explicit name keeps checkpoint paths equal."""
+
+    @nn.compact
+    def __call__(self, xs):
+        from vsr_tpu.ops.fused_squeeze import concat_matmul
+
+        cin = sum(x.shape[-1] for x in xs)
+        kernel = self.param("kernel", self.kernel_init,
+                            (1, 1, cin, self.features), self.param_dtype)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          self.param_dtype)
+        from flax.linen import dtypes as _dtypes
+
+        xs = tuple(xs)
+        promoted = _dtypes.promote_dtype(*xs, kernel, bias, dtype=self.dtype)
+        xs, kernel, bias = (tuple(promoted[:-2]), promoted[-2], promoted[-1])
+        return concat_matmul(xs, kernel.reshape(cin, self.features), bias)
 
 
 class _SubpixelConvTranspose(nn.ConvTranspose):

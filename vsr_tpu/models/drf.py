@@ -65,12 +65,14 @@ class _DRFStep(nn.Module):
     fused_tail: bool = False
     dtype: Any = None
     subpixel_deconv: bool = False
+    fused_squeeze: bool = False
 
     @nn.compact
     def __call__(self, hidden, in_feat):
         f = FBlock(self.num_features, self.num_groups, self.upscale_factor,
                    dtype=self.dtype,
-                   subpixel_deconv=self.subpixel_deconv)(in_feat, hidden)
+                   subpixel_deconv=self.subpixel_deconv,
+                   fused_squeeze=self.fused_squeeze)(in_feat, hidden)
         out = _OutBlock(self.out_channels, self.upscale_factor,
                         fused=self.fused_tail, dtype=self.dtype)(
             in_feat + f
@@ -89,6 +91,7 @@ class DRFSISRNet(nn.Module):
     fused_tail: bool = False
     dtype: Any = None
     subpixel_deconv: bool = False
+    fused_squeeze: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -106,6 +109,7 @@ class DRFSISRNet(nn.Module):
             self.num_features, self.num_groups, self.out_channels,
             self.upscale_factor, fused_tail=self.fused_tail, dtype=self.dtype,
             subpixel_deconv=self.subpixel_deconv,
+            fused_squeeze=self.fused_squeeze,
         )(in_feat, in_feat)
         return outputs  # (num_steps, N, H, W, C)
 
@@ -125,6 +129,7 @@ class DRFNet(nn.Module):
     fused_tail: bool = False
     dtype: Any = None
     subpixel_deconv: bool = False
+    fused_squeeze: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -152,6 +157,7 @@ class DRFNet(nn.Module):
             self.num_features, self.num_groups, self.out_channels,
             self.upscale_factor, fused_tail=self.fused_tail,
             dtype=self.dtype, subpixel_deconv=self.subpixel_deconv,
+            fused_squeeze=self.fused_squeeze,
             name="step",
         )(in_feats_t[0], in_feats_t)
         return jnp.moveaxis(outputs, 0, 1)  # (N, T, H, W, C)

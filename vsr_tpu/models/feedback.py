@@ -67,43 +67,52 @@ class FBlock(nn.Module):
     upscale_factor: int
     dtype: Any = None
     subpixel_deconv: bool = False
+    #: fuse the ladder's concat+1x1 squeezes into one Pallas kernel each —
+    #: the concats never hit HBM (ops/fused_squeeze.py). Exact (same
+    #: params); opt-in for serving/training alike.
+    fused_squeeze: bool = False
+
+    def _squeeze(self, parts, f):
+        """concat(parts) -> 1x1 conv, fused or via materialized concat.
+        Creates the SAME Conv module either way (checkpoint parity)."""
+        if self.fused_squeeze and len(parts) > 1:
+            return Conv(f, 1, padding=0, dtype=self.dtype,
+                        fused_list=True)(tuple(parts))
+        return Conv(f, 1, padding=0, dtype=self.dtype)(
+            parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1))
 
     @nn.compact
     def __call__(self, x, hidden):
         f = self.num_features
         k, s, p = PROJECTION_PARAMS[self.upscale_factor]
 
-        feats = jnp.concatenate([x, hidden], axis=-1)
-        lr = Conv(f, 1, padding=0, dtype=self.dtype)(feats)
+        lr = self._squeeze([x, hidden], f)
         lr = PReLU()(lr)
 
         lr_list, hr_list = [lr], []
         for i in range(self.num_groups):
-            concat_lr = jnp.concatenate(lr_list, axis=-1)
             if i == 0:
                 hr = ConvTranspose(f, k, s, p, dtype=self.dtype,
-                                   subpixel=self.subpixel_deconv)(concat_lr)
+                                   subpixel=self.subpixel_deconv)(lr_list[0])
                 hr = PReLU()(hr)
             else:
-                z = Conv(f, 1, padding=0, dtype=self.dtype)(concat_lr)
+                z = self._squeeze(lr_list, f)
                 z = PReLU()(z)
                 hr = ConvTranspose(f, k, s, p, dtype=self.dtype,
                                    subpixel=self.subpixel_deconv)(z)
                 hr = PReLU()(hr)
             hr_list.append(hr)
 
-            concat_hr = jnp.concatenate(hr_list, axis=-1)
             if i == 0:
-                down = Conv(f, k, strides=s, padding=p, dtype=self.dtype)(concat_hr)
+                down = Conv(f, k, strides=s, padding=p, dtype=self.dtype)(hr_list[0])
                 down = PReLU()(down)
             else:
-                z = Conv(f, 1, padding=0, dtype=self.dtype)(concat_hr)
+                z = self._squeeze(hr_list, f)
                 z = PReLU()(z)
                 down = Conv(f, k, strides=s, padding=p, dtype=self.dtype)(z)
                 down = PReLU()(down)
             lr_list.append(down)
 
-        out = jnp.concatenate(lr_list[1:], axis=-1)
-        out = Conv(f, 1, padding=0, dtype=self.dtype)(out)
+        out = self._squeeze(lr_list[1:], f)
         out = PReLU()(out)
         return out

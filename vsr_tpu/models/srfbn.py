@@ -54,12 +54,14 @@ class _SRFBStep(nn.Module):
     upscale_factor: int
     dtype: Any = None
     subpixel_deconv: bool = False
+    fused_squeeze: bool = False
 
     @nn.compact
     def __call__(self, hidden, feat, upscaled_input):
         f = FBlock(self.num_features, self.num_groups, self.upscale_factor,
                    dtype=self.dtype,
-                   subpixel_deconv=self.subpixel_deconv)(feat, hidden)
+                   subpixel_deconv=self.subpixel_deconv,
+                   fused_squeeze=self.fused_squeeze)(feat, hidden)
         residual = _RBlock(self.out_channels, self.upscale_factor, dtype=self.dtype,
                            subpixel_deconv=self.subpixel_deconv)(f)
         return f, upscaled_input + residual
@@ -78,6 +80,8 @@ class SRFBNet(nn.Module):
     #: (ops/subpixel.py) — same params/results; measured ~0.87x end to end
     #: (recorded negative; A/B harness).
     subpixel_deconv: bool = False
+    #: fuse the FBlock ladder concat+1x1 squeezes (Pallas; exact).
+    fused_squeeze: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -97,5 +101,6 @@ class SRFBNet(nn.Module):
             self.num_features, self.num_groups, self.out_channels,
             self.upscale_factor, dtype=self.dtype,
             subpixel_deconv=self.subpixel_deconv,
+            fused_squeeze=self.fused_squeeze,
         )(feat, feat, upscaled)
         return outputs  # (num_steps, N, H, W, C)
