@@ -78,7 +78,8 @@ def main(names: list[str]) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
-    from vsr_tpu.models import DRFSISRNet, RBPNet, SRFBNet
+    from vsr_tpu.models import (DRFSISRNet, DUFNet, EDVRNet, FRVSRNet,
+                                RBPNet, SRFBNet, TOFlowNet)
     from vsr_tpu.preprocess.kspace import kspace_downscale_jax
 
     bf16 = jnp.bfloat16
@@ -96,22 +97,42 @@ def main(names: list[str]) -> None:
                    num_stages=3, num_resblocks=5, num_frames=5,
                    upscale_factor=2, dtype=bf16), "misr", 2,
             {"win": 5, "chunk": 30}),
+        "TOFlowNet": (
+            TOFlowNet(in_channels=1, out_channels=1, num_frames=5,
+                      upscale_factor=2, dtype=bf16), "misr", 2,
+            {"win": 5, "chunk": 60, "eval": True}),
+        "DUFNet": (
+            DUFNet(in_channels=1, out_channels=1, num_frames=7, size_filter=5,
+                   upscale_factor=2, backbone="_DenseLayer16", dtype=bf16),
+            "misr", 2, {"win": 7, "chunk": 100, "eval": True}),
+        "EDVRNet": (
+            EDVRNet(in_channels=1, out_channels=1, nf=64, nframes=5, groups=8,
+                    front_RBs=5, back_RBs=10, dtype=bf16), "misr", 4,
+            {"win": 5, "chunk": 30}),
+        "FRVSRNet": (
+            FRVSRNet(in_channels=1, out_channels=1, upscale_factor=4,
+                     num_resblocks=10, dtype=bf16), "vsr", 4, {}),
     }
     for name in names or list(cases):
         net, task, factor, opts = cases[name]
         h, w = H // factor, W // factor
         chunk = opts.get("chunk")
         win = opts.get("win")
-        example = (jnp.zeros((1, h, w, 1)) if task == "sisr"
-                   else jnp.zeros((1, win, h, w, 1)))
-        params = net.init(jax.random.PRNGKey(0), example)
+        extra = {"train": False} if opts.get("eval") else {}
+        if task == "sisr":
+            example = jnp.zeros((1, h, w, 1))
+        elif task == "vsr":
+            example = jnp.zeros((1, 2, h, w, 1))
+        else:
+            example = jnp.zeros((1, win, h, w, 1))
+        params = net.init(jax.random.PRNGKey(0), example, **extra)
 
         def net_chunks(z):
             n = z.shape[0]
             zc = z.reshape(n // chunk, chunk, *z.shape[1:])
 
             def one(c):
-                out = net.apply(params, c)
+                out = net.apply(params, c, **extra)
                 if isinstance(out, (tuple, list)):
                     out = out[-1] if isinstance(out, list) else out[0]
                 if out.ndim == c.ndim + 1:
@@ -127,6 +148,12 @@ def main(names: list[str]) -> None:
             z = ((lr - MEAN) / (STD + 1e-10))[..., None]
             if task == "sisr":
                 sr = net_chunks(z)
+            elif task == "vsr":
+                hh, ww = z.shape[1:3]
+                sr = net.apply(params, z.reshape(D, T, hh, ww, 1))
+                if isinstance(sr, tuple):  # FRVSR: (sr_frames, warped_lr)
+                    sr = sr[0]
+                sr = sr.reshape(D * T, *sr.shape[2:])
             else:
                 hh, ww = z.shape[1:3]
                 seq = z.reshape(D, T, hh, ww, 1)
