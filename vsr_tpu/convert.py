@@ -187,9 +187,90 @@ def _run_fn(name: str, x: np.ndarray):
     ])
 
 
+def _replace_adam_state(opt_state, mu, nu, count):
+    """Return ``opt_state`` with every ScaleByAdamState's moments swapped."""
+    import jax.numpy as jnp
+    import optax
+
+    def walk(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return node._replace(
+                count=jnp.asarray(count, node.count.dtype), mu=mu, nu=nu)
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+            return type(node)(*(walk(c) for c in node))
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(c) for c in node)
+        return node
+
+    replaced = walk(opt_state)
+    assert any(isinstance(leaf, optax.ScaleByAdamState)
+               for leaf in _iter_namedtuples(opt_state)), (
+        "optimizer state has no Adam moments to replace")
+    return replaced
+
+
+def _iter_namedtuples(node):
+    yield node
+    if isinstance(node, (list, tuple)):
+        for c in node:
+            yield from _iter_namedtuples(c)
+
+
+def _import_adam_moments(tx, new_vars, flax_entries, torch_entries, tnet,
+                         opt_sd):
+    """Build an opt_state carrying the torch Adam moments, or (None, why).
+
+    torch.optim state_dicts key per-param state by the param's position in
+    ``net.parameters()`` (the reference passes exactly that iterator,
+    ``/root/reference/src/main.py:73``); each Adam entry holds
+    ``step``/``exp_avg``/``exp_avg_sq``. Moments are elementwise, so they
+    transform to the flax layout with the same per-leaf transforms as the
+    weights (``interop.import_plan``).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vsr_tpu import interop
+
+    tstate = opt_sd.get("state") if isinstance(opt_sd, dict) else None
+    if not tstate:
+        return None, "the torch checkpoint has no optimizer state"
+    idx_of = {id(p): i for i, p in enumerate(tnet.parameters())}
+    param_items, _ = interop.import_plan(flax_entries, torch_entries)
+
+    def zeros_like_tree(tree):
+        if isinstance(tree, dict):
+            return {k: zeros_like_tree(v) for k, v in tree.items()}
+        return np.zeros_like(np.asarray(tree), dtype=np.float32)
+
+    params = new_vars["params"]
+    mu, nu = zeros_like_tree(params), zeros_like_tree(params)
+    steps = set()
+    for path, leaf, tparam, transform in param_items:
+        i = idx_of[id(tparam)]
+        st = tstate.get(i, tstate.get(str(i)))
+        if st is None or "exp_avg" not in st:
+            return None, f"torch param {i} has no Adam moments"
+        steps.add(int(st["step"]))
+        for tree, key in ((mu, "exp_avg"), (nu, "exp_avg_sq")):
+            sub = tree
+            for k in path:
+                sub = sub[k]
+            moment = transform(st[key].detach().cpu().numpy())
+            assert moment.shape == sub[leaf].shape, (moment.shape, sub[leaf].shape)
+            sub[leaf] = moment.astype(np.float32)
+    if len(steps) != 1:
+        return None, f"per-param step counts differ: {sorted(steps)[:5]}"
+    to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
+    opt_state = tx.init(to_jnp(params))
+    return _replace_adam_state(opt_state, to_jnp(mu), to_jnp(nu),
+                               steps.pop()), None
+
+
 def convert(config_path: str | Path, torch_ckpt: str | Path,
             out_path: str | Path, ref_root: str | Path = "/root/reference",
-            with_opt_template: bool = False) -> dict:
+            with_opt_template: bool = False, import_opt: bool = False) -> dict:
     """Run the conversion; returns the new variables dict."""
     import jax
     import jax.numpy as jnp
@@ -228,11 +309,25 @@ def convert(config_path: str | Path, torch_ckpt: str | Path,
     new_vars = interop.import_torch_state(variables, flax_entries, torch_entries)
 
     state = {"params": new_vars}
-    if with_opt_template:
+    if with_opt_template or import_opt:
         from vsr_tpu.registry import build
 
         tx = build("optimizer", config.optimizer)
-        state["opt_state"] = tx.init(new_vars["params"])
+        opt_state = None
+        if import_opt:
+            opt_sd = payload.get("optimizer") if isinstance(payload, dict) else None
+            opt_state, why = _import_adam_moments(
+                tx, new_vars, flax_entries, torch_entries, tnet, opt_sd or {})
+            if opt_state is None:
+                logging.warning(
+                    "Optimizer moments not imported (%s); storing a fresh "
+                    "optimizer state instead.", why)
+            else:
+                logging.info("Imported torch Adam moments (step=%d).",
+                             int(opt_sd["state"][next(iter(opt_sd["state"]))]["step"]))
+        if opt_state is None:
+            opt_state = tx.init(new_vars["params"])
+        state["opt_state"] = opt_state
     aux = {
         "epoch": int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0,
         "monitor": {"best": None, "best_sign": 1, "not_improved_count": 0},
@@ -262,9 +357,15 @@ def main(argv=None) -> None:
     ap.add_argument("--with-opt-template", action="store_true",
                     help="also store a fresh optimizer state so the trainer "
                          "can resume from this checkpoint")
+    ap.add_argument("--import-opt", action="store_true",
+                    help="like --with-opt-template, but import the torch "
+                         "Adam moments (exp_avg/exp_avg_sq/step) so training "
+                         "continues exactly where the reference left off; "
+                         "falls back to a fresh state with a warning for "
+                         "non-Adam optimizers or moment-less checkpoints")
     args = ap.parse_args(argv)
     convert(args.config, args.torch_ckpt, args.out, args.ref_root,
-            args.with_opt_template)
+            args.with_opt_template, args.import_opt)
 
 
 if __name__ == "__main__":

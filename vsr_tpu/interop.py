@@ -277,49 +277,91 @@ def _like(template, value: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(value).astype(template.dtype)
 
 
-def _import_conv(sub, tmod):
-    w = _np(tmod.weight)  # (Cout, Cin, *window)
-    nd = w.ndim
-    axes = tuple(range(2, nd)) + (1, 0)
-    sub["kernel"] = _like(sub["kernel"], w.transpose(axes))
-    if sub.get("bias") is not None and tmod.bias is not None:
-        sub["bias"] = _like(sub["bias"], _np(tmod.bias))
+def _ident(a):
+    return a
 
 
-def _import_deconv(sub, tmod):
-    w = _np(tmod.weight)  # (Cin, Cout, kh, kw), spatial-flipped vs flax
-    sub["kernel"] = _like(sub["kernel"], w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
-    if "bias" in sub and tmod.bias is not None:
-        sub["bias"] = _like(sub["bias"], _np(tmod.bias))
+def _conv_t(w):
+    nd = w.ndim  # (Cout, Cin, *window) -> (*window, Cin, Cout)
+    return w.transpose(tuple(range(2, nd)) + (1, 0))
 
 
-def _import_prelu(sub, tmod):
-    sub["alpha"] = _like(sub["alpha"], _np(tmod.weight))
+def _deconv_t(w):
+    # (Cin, Cout, kh, kw) spatial-flipped vs flax -> (kh, kw, Cin, Cout)
+    return w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
 
 
-def _import_bn(psub, ssub, tmod):
-    psub["scale"] = _like(psub["scale"], _np(tmod.weight))
-    psub["bias"] = _like(psub["bias"], _np(tmod.bias))
-    ssub["mean"] = _like(ssub["mean"], _np(tmod.running_mean))
-    ssub["var"] = _like(ssub["var"], _np(tmod.running_var))
+def _pack_main_t(w):
+    return w.transpose(2, 3, 1, 0)  # (Cout, Cin, k, k) -> (k, k, Cin, Cout)
 
 
-def _import_pack(sub, tmod, with_mask):
-    w = _np(tmod.weight)  # (Cout, Cin, k, k)
-    sub["weight"] = _like(sub["weight"], w.transpose(2, 3, 1, 0))
-    if sub.get("bias") is not None and tmod.bias is not None:
-        sub["bias"] = _like(sub["bias"], _np(tmod.bias))
-    inner = getattr(tmod, "conv_offset_mask", None) or getattr(tmod, "conv_offset")
-    off = sub["Conv_0"]
-    k2 = tmod.kernel_size[0] * tmod.kernel_size[1]
-    perm = dcn_offset_perm(tmod.deformable_groups, k2, with_mask)
-    hwio = _np(inner.weight).transpose(2, 3, 1, 0)  # (k, k, Cin, Cout_torch)
-    kernel = np.empty_like(hwio)
-    kernel[..., perm] = hwio  # inverse of the export-side kernel[..., perm]
-    off["kernel"] = _like(off["kernel"], kernel)
-    bias = np.empty_like(_np(inner.bias))
-    bias[perm] = _np(inner.bias)
-    off["bias"] = _like(off["bias"], bias)
+def _offset_w_t(perm):
+    def t(w):
+        hwio = w.transpose(2, 3, 1, 0)  # (k, k, Cin, Cout_torch)
+        kernel = np.empty_like(hwio)
+        kernel[..., perm] = hwio  # inverse of the export-side [..., perm]
+        return kernel
+
+    return t
+
+
+def _offset_b_t(perm):
+    def t(b):
+        out = np.empty_like(b)
+        out[perm] = b
+        return out
+
+    return t
+
+
+def import_plan(flax_entries, torch_entries):
+    """Per-leaf torch->flax transfer plan for the aligned primitives.
+
+    Returns ``(param_items, stat_items)``:
+
+    - param_items: (flax_path, leaf_name, torch_param, transform) for every
+      trainable leaf — shared by the weight import and the optimizer-moment
+      import (Adam moments are elementwise, so they transform exactly like
+      their weights);
+    - stat_items: (flax_path, leaf_name, torch_buffer, transform) for
+      BatchNorm running stats (batch_stats collection, not optimized).
+    """
+    _assert_aligned(flax_entries, torch_entries)
+    param_items = []
+    stat_items = []
+    for (kind, path), (_, tmod) in zip(flax_entries, torch_entries):
+        if kind == "conv":
+            param_items.append((path, "kernel", tmod.weight, _conv_t))
+            if tmod.bias is not None:
+                param_items.append((path, "bias", tmod.bias, _ident))
+        elif kind == "deconv":
+            param_items.append((path, "kernel", tmod.weight, _deconv_t))
+            if tmod.bias is not None:
+                param_items.append((path, "bias", tmod.bias, _ident))
+        elif kind == "prelu":
+            param_items.append((path, "alpha", tmod.weight, _ident))
+        elif kind == "bn":
+            param_items.append((path, "scale", tmod.weight, _ident))
+            param_items.append((path, "bias", tmod.bias, _ident))
+            stat_items.append((path, "mean", tmod.running_mean, _ident))
+            stat_items.append((path, "var", tmod.running_var, _ident))
+        elif kind in ("mdcn", "dcn"):
+            param_items.append((path, "weight", tmod.weight, _pack_main_t))
+            if tmod.bias is not None:
+                param_items.append((path, "bias", tmod.bias, _ident))
+            inner = (getattr(tmod, "conv_offset_mask", None)
+                     or getattr(tmod, "conv_offset"))
+            k2 = tmod.kernel_size[0] * tmod.kernel_size[1]
+            perm = dcn_offset_perm(
+                tmod.deformable_groups, k2, with_mask=(kind == "mdcn"))
+            off_path = path + ("Conv_0",)
+            param_items.append(
+                (off_path, "kernel", inner.weight, _offset_w_t(perm)))
+            param_items.append(
+                (off_path, "bias", inner.bias, _offset_b_t(perm)))
+        else:  # pragma: no cover
+            raise AssertionError(kind)
+    return param_items, stat_items
 
 
 def import_torch_state(variables, flax_entries, torch_entries):
@@ -327,11 +369,10 @@ def import_torch_state(variables, flax_entries, torch_entries):
 
     The inverse of :func:`transplant`: every aligned primitive's torch
     weights are converted to the flax layout and written over a deep copy
-    of ``variables`` (params + batch_stats leaves it does not cover — e.g.
-    nothing, by the alignment assertion — stay untouched)."""
+    of ``variables``."""
     import jax
 
-    _assert_aligned(flax_entries, torch_entries)
+    param_items, stat_items = import_plan(flax_entries, torch_entries)
 
     # Deep-copy to plain nested dicts of numpy arrays we can mutate.
     def to_mutable(tree):
@@ -340,22 +381,10 @@ def import_torch_state(variables, flax_entries, torch_entries):
         return np.asarray(tree)
 
     new_vars = to_mutable(jax.tree_util.tree_map(np.asarray, dict(variables)))
-    params = new_vars["params"]
-    stats = new_vars.get("batch_stats", {})
-    for (kind, path), (_, tmod) in zip(flax_entries, torch_entries):
-        sub = _get(params, path)
-        if kind == "conv":
-            _import_conv(sub, tmod)
-        elif kind == "deconv":
-            _import_deconv(sub, tmod)
-        elif kind == "prelu":
-            _import_prelu(sub, tmod)
-        elif kind == "bn":
-            _import_bn(sub, _get(stats, path), tmod)
-        elif kind == "mdcn":
-            _import_pack(sub, tmod, with_mask=True)
-        elif kind == "dcn":
-            _import_pack(sub, tmod, with_mask=False)
-        else:  # pragma: no cover
-            raise AssertionError(kind)
+    for path, name, tparam, transform in param_items:
+        sub = _get(new_vars["params"], path)
+        sub[name] = _like(sub[name], transform(_np(tparam)))
+    for path, name, tbuf, transform in stat_items:
+        sub = _get(new_vars["batch_stats"], path)
+        sub[name] = _like(sub[name], transform(_np(tbuf)))
     return new_vars
