@@ -156,3 +156,37 @@ def test_warp_border_exact_boundary_gradient(rng):
         g_matmul = jax.grad(lambda v: f("matmul", v))(var)
         np.testing.assert_allclose(np.asarray(g_matmul), np.asarray(g_gather),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_warp_transposed_lane_layout_agrees(rng):
+    """Narrow-lane shapes (W*C <= 256, P >= 4*W*C) take the transposed MXU
+    layout inside hat_sample_chunk (lanes = P instead of W*C, 1.35x on the
+    FRVSR HR warp). Values, grid grads, and image grads must match the
+    gather oracle exactly like the baseline layout does."""
+    import jax
+    import jax.numpy as jnp
+
+    from vsr_tpu.ops.warp import grid_sample_bilinear
+
+    # w*c = 12 <= 256 and P = ho*wo = 192 >= 48: transposed path active.
+    img = jnp.asarray(rng.random((2, 16, 12, 1)), jnp.float32)
+    gy = jnp.asarray((rng.random((2, 12, 16)) - 0.3) * 20, jnp.float32)
+    gx = jnp.asarray((rng.random((2, 12, 16)) - 0.3) * 16, jnp.float32)
+
+    for mode in ("zeros", "border"):
+        def out_of(method, im, g):
+            return grid_sample_bilinear(im, g, gx, padding_mode=mode,
+                                        method=method)
+
+        out_g = out_of("gather", img, gy)
+        out_m = out_of("matmul", img, gy)
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_g),
+                                   rtol=1e-5, atol=1e-5)
+        for argnum, operand in ((0, "img"), (1, "grid")):
+            gg = jax.grad(lambda im, g: jnp.sum(out_of("gather", im, g) ** 2),
+                          argnums=argnum)(img, gy)
+            gm = jax.grad(lambda im, g: jnp.sum(out_of("matmul", im, g) ** 2),
+                          argnums=argnum)(img, gy)
+            np.testing.assert_allclose(
+                np.asarray(gm), np.asarray(gg), rtol=1e-4, atol=1e-4,
+                err_msg=f"{mode}/{operand}")

@@ -94,7 +94,7 @@ def hat_sample_chunk(img, gy, gx, border: bool = False):
     the boundary rows so exactly-boundary gradients match the gather/torch
     semantics: both corners equal -> forward difference 0).
     """
-    h, w = img.shape[1], img.shape[2]
+    b, h, w, c = img.shape
     prec = matmul_precision(img.dtype)
     iota_h = jnp.arange(h, dtype=jnp.float32)
     iota_w = jnp.arange(w, dtype=jnp.float32)
@@ -107,10 +107,23 @@ def hat_sample_chunk(img, gy, gx, border: bool = False):
         # measured -24% on FRVSR serving).
         ry = ry + hat(gy - h)[..., None] * (iota_h == h - 1)
         rx = rx + hat(gx - w)[..., None] * (iota_w == w - 1)
-    rows = jnp.einsum("nph,nhwc->npwc", ry.astype(img.dtype), img,
-                      precision=prec)
-    return jnp.einsum("npw,npwc->npc", rx.astype(img.dtype), rows,
-                      precision=prec)
+    ry = ry.astype(img.dtype)
+    rx = rx.astype(img.dtype)
+    p = gy.shape[1]
+    if w * c <= 256 and p >= 4 * w * c:
+        # Narrow-lane shapes (the C=1 image warps: FRVSR HR/LR, TOFlow):
+        # with W*C on the MXU lanes the row contraction packs only ~1.5 of
+        # the 128-wide lane tiles, measured 51 TF/s on the FRVSR HR warp.
+        # Transposing the contraction so the LARGE P dim rides the lanes
+        # (img^T @ ry^T) measured 68.8 TF/s = 1.35x
+        # (scripts/probe_warp_formulations.py; materializing ry/rx via
+        # optimization_barrier instead was 0.61x — negative result).
+        imt = jnp.swapaxes(img.reshape(b, h, w * c), 1, 2)  # (B, WC, H)
+        rows_t = jnp.einsum("nkh,nph->nkp", imt, ry, precision=prec)
+        rows_t = rows_t.reshape(b, w, c, p)
+        return jnp.einsum("npw,nwcp->npc", rx, rows_t, precision=prec)
+    rows = jnp.einsum("nph,nhwc->npwc", ry, img, precision=prec)
+    return jnp.einsum("npw,npwc->npc", rx, rows, precision=prec)
 
 
 def _sample_matmul(img, grid_y, grid_x, padding_mode):
