@@ -47,14 +47,8 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _flops_of(jitted, *args) -> float:
-    try:
-        cost = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0))
-    except Exception:
-        return 0.0
+from vsr_tpu.utils.profiling import compiled_flops as _flops_of  # noqa: E402
+
 
 
 # --------------------------------------------------------------------- jax

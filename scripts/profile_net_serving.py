@@ -24,51 +24,8 @@ D, T, H, W = 10, 30, 192, 192
 MEAN, STD = 54.089, 48.084
 
 
-def summarize(outdir: str) -> None:
-    """Aggregate the XLA-op track by hlo_category and top tf_op sites,
-    with achieved TFLOP/s / GB/s per row (from the events' model_flops /
-    raw_bytes_accessed metadata)."""
-    import glob
-    import gzip
-    import json
-    from collections import defaultdict
+from vsr_tpu.utils.profiling import summarize_trace as summarize  # noqa: E402
 
-    paths = sorted(glob.glob(f"{outdir}/**/*.trace.json.gz", recursive=True))
-    if not paths:
-        print(f"no trace json under {outdir}; inspect with tensorboard")
-        return
-    with gzip.open(paths[-1], "rt") as f:
-        trace = json.load(f)
-    pid_names = {e["pid"]: e["args"].get("name", "")
-                 for e in trace.get("traceEvents", [])
-                 if e.get("ph") == "M" and e.get("name") == "process_name"
-                 and "args" in e}
-    dev_pids = {p for p, n in pid_names.items() if "TPU" in n}
-    ev = [e for e in trace["traceEvents"]
-          if e.get("ph") == "X" and "dur" in e and e.get("pid") in dev_pids
-          and e.get("args", {}).get("hlo_category")
-          and e["args"]["hlo_category"] != "while"]  # while = container
-    by_cat = defaultdict(lambda: [0.0, 0.0, 0.0])
-    by_site = defaultdict(lambda: [0.0, 0.0, 0.0])
-    total = 0.0
-    for e in ev:
-        a = e["args"]
-        fl = float(a.get("model_flops", 0) or 0)
-        byt = float(a.get("raw_bytes_accessed", 0) or 0)
-        for table, key in ((by_cat, a["hlo_category"]),
-                           (by_site, a.get("tf_op", e["name"])[:95])):
-            table[key][0] += e["dur"]
-            table[key][1] += fl
-            table[key][2] += byt
-        total += e["dur"]
-    for title, table, n in (("by category", by_cat, 10),
-                            ("top sites", by_site, 14)):
-        print(f"{title} (of {total / 1e3:.1f} ms op time):")
-        for k, (d, fl, byt) in sorted(table.items(), key=lambda kv: -kv[1][0])[:n]:
-            tf = fl / (d * 1e-6) / 1e12 if d else 0
-            gbs = byt / (d * 1e-6) / 1e9 if d else 0
-            print(f"  {d / 1e3:9.2f} ms {100 * d / max(total, 1):5.1f}%  "
-                  f"{tf:6.1f} TF/s {gbs:6.0f} GB/s  {k}")
 
 def main(names: list[str]) -> None:
     import jax

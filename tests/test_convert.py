@@ -263,3 +263,37 @@ def test_convert_imports_adam_moments(tmp_path, rng):
     # And nothing is left at zero except genuine zero-moment leaves.
     nonzero = sum(np.any(v) for v in flat_mu.values())
     assert nonzero == len([p for p in tparams])
+
+
+def test_convert_import_opt_non_adam_falls_back(tmp_path, rng, caplog):
+    """--import-opt with a non-Adam optimizer in the target config must fall
+    back to a fresh optimizer state with a warning (documented behavior),
+    not crash, even when the torch checkpoint carries Adam moments."""
+    import logging
+
+    from vsr_tpu.convert import convert
+
+    Ref = load_ref_net("src.model.nets.edsr_net", "EDSRNet")
+    tnet = Ref(1, 1, 2, 8, 2)
+    opt = torch.optim.Adam(tnet.parameters(), lr=1e-3)
+    x = torch.from_numpy(rng.random((2, 1, 8, 8), np.float32))
+    y = torch.from_numpy(rng.random((2, 1, 16, 16), np.float32))
+    opt.zero_grad()
+    torch.nn.functional.l1_loss(tnet(x), y).backward()
+    opt.step()
+    ckpt_path = tmp_path / "ref.pth"
+    torch.save({"net": tnet.state_dict(), "optimizer": opt.state_dict(),
+                "epoch": 1}, ckpt_path)
+
+    cfg = {"net": {"name": "EDSRNet",
+                   "kwargs": dict(in_channels=1, out_channels=1,
+                                  num_resblocks=2, num_features=8,
+                                  upscale_factor=2)},
+           "optimizer": {"name": "SGD", "kwargs": {"lr": 1e-2}}}
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out_path = tmp_path / "converted.ckpt"
+    with caplog.at_level(logging.WARNING):
+        convert(cfg_path, ckpt_path, out_path, import_opt=True)
+    assert out_path.exists()
+    assert any("not imported" in r.message for r in caplog.records)

@@ -116,7 +116,11 @@ def mh_run(tmp_path_factory):
             os.environ,
             JAX_PLATFORMS="cpu",
             XLA_FLAGS="--xla_force_host_platform_device_count=2",
-            JAX_COMPILATION_CACHE_DIR="/tmp/vsr_tpu_jax_cache_cpu",
+            # NOT the suite's cache dir: these workers run with different
+            # XLA machine flags (2 virtual devices vs the suite's 8), and
+            # mixed-flag writers can poison a shared CPU cache into
+            # entries that deadlock later runs (CLAUDE.md round-3 gotcha).
+            JAX_COMPILATION_CACHE_DIR="/tmp/vsr_tpu_jax_cache_cpu_mh2",
             PYTHONPATH=str(REPO),
             VSR_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
             VSR_NUM_PROCESSES="2",

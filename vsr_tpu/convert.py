@@ -230,6 +230,7 @@ def _import_adam_moments(tx, new_vars, flax_entries, torch_entries, tnet,
     import jax
     import jax.numpy as jnp
     import numpy as np
+    import optax
 
     from vsr_tpu import interop
 
@@ -264,6 +265,10 @@ def _import_adam_moments(tx, new_vars, flax_entries, torch_entries, tnet,
         return None, f"per-param step counts differ: {sorted(steps)[:5]}"
     to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
     opt_state = tx.init(to_jnp(params))
+    if not any(isinstance(leaf, optax.ScaleByAdamState)
+               for leaf in _iter_namedtuples(opt_state)):
+        return None, ("the configured optimizer has no Adam moment state "
+                      "(non-Adam optimizer in the target config)")
     return _replace_adam_state(opt_state, to_jnp(mu), to_jnp(nu),
                                steps.pop()), None
 

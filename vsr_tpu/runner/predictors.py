@@ -296,11 +296,8 @@ class ImagePredictor(BasePredictor):
             t_real = inputs.shape[0]
             tb = bucket_length(t_real, self.t_bucket)
             if tb != t_real:  # edge-repeat pad; items are independent
-                pad = tb - t_real
-                inputs = np.concatenate(
-                    [inputs, np.repeat(inputs[-1:], pad, axis=0)])
-                targets = np.concatenate(
-                    [targets, np.repeat(targets[-1:], pad, axis=0)])
+                inputs = pad_time_edge(inputs, tb, axis=0)
+                targets = pad_time_edge(targets, tb, axis=0)
 
             losses_v, stds_v, d_out_v, d_tgt_v = self._seq_eval(
                 self.params, jnp.asarray(inputs), jnp.asarray(targets))
@@ -394,7 +391,8 @@ class ImagePredictor(BasePredictor):
                     + [float(m) for m in metrics]
                     + [float(l) for l in losses]
                 )
-                if tmp_sid is not None and sid != tmp_sid:
+                if tmp_sid is not None and (sid, patient) != (tmp_sid,
+                                                              tmp_patient):
                     out_dir = videos_dir / tmp_patient
                     out_dir.mkdir(parents=True, exist_ok=True)
                     _dump_video(out_dir / f"sequence{tmp_sid}.gif", sr_imgs)

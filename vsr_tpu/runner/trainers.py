@@ -314,7 +314,7 @@ class BaseTrainer:
             n_data = max(n_data // process_count(), 1)
         local_eval = False  # multi-host: per-process shard eval happened
         local_params = None
-        for batch in pbar:
+        for step_i, batch in enumerate(pbar):
             inputs, targets = self._get_inputs_targets(batch)
             batch_n = batch["index"].shape[0]
             use_dp = self.mesh is not None and batch_n % n_data == 0
@@ -382,7 +382,7 @@ class BaseTrainer:
                 jnp.add, acc, weighted
             )
             count += w
-            if training and self._preempted:
+            if training and self._agreed_preempted(step_i):
                 break  # graceful stop at a batch boundary (signal received)
         if local_eval and acc is not None:
             # Per-process shard evaluation: sum the weighted accumulators
@@ -410,6 +410,35 @@ class BaseTrainer:
                 lambda a: global_to_host_local(a, self.mesh, P("data")),
                 outputs)
         return log, batch, outputs
+
+    #: Multi-host preemption votes happen every this many train batches.
+    _PREEMPT_SYNC_EVERY = 8
+
+    def _agreed_preempted(self, step_i: int) -> bool:
+        """Cross-process agreement on the graceful-stop flag.
+
+        A SIGTERM can land on one host only (or on different batch
+        boundaries); breaking out of the epoch on the local flag alone
+        would leave the other processes blocked forever in the next
+        collective of the process-spanning train step. All processes
+        therefore vote at fixed batch indices (every
+        ``_PREEMPT_SYNC_EVERY`` batches) and stop only on the agreed OR —
+        the vote points are deterministic, so either every process breaks
+        at the same boundary or none does. Single-process runs keep the
+        immediate per-batch check.
+        """
+        if not self._multiprocess:
+            return self._preempted
+        if step_i % self._PREEMPT_SYNC_EVERY:
+            return False
+        from jax.experimental import multihost_utils
+
+        flags = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray([1.0 if self._preempted else 0.0], jnp.float32)))
+        if bool(flags.sum() > 0):
+            self._preempted = True  # adopt the cluster decision locally
+            return True
+        return False
 
     def _install_preemption_handlers(self) -> dict:
         """SIGTERM/SIGINT request a graceful stop: the current batch
