@@ -143,6 +143,7 @@ def _sample_taps_matmul(
     stride: int,
     padding: int,
     dilation: int,
+    scan_major: bool = False,
 ) -> jnp.ndarray:
     """Offset-driven bilinear im2col as hat-weighted MXU contractions.
 
@@ -173,6 +174,10 @@ def _sample_taps_matmul(
         return None, hat_sample_chunk(xg, gy_t, gx_t)
 
     _, taps = jax.lax.scan(one_tap, None, (gy, gx))  # (k2, dg*N, Ho*Wo, cg)
+    if scan_major:
+        # (k2, dg, N, P, cg) — the DCN contraction can consume this
+        # directly; measured SLOWER end to end on EDVR (see deform_conv2d).
+        return taps.reshape(k2, dg, n, ho * wo, cg)
     taps = jnp.moveaxis(taps, 0, 2)  # (dg*N, Ho*Wo, k2, cg)
     taps = taps.reshape(dg, n, ho, wo, k2, cg)
     taps = jnp.moveaxis(taps, 0, 4)  # (N, Ho, Wo, k2, dg, cg)
@@ -189,6 +194,7 @@ def deform_conv2d(
     padding: int = 1,
     dilation: int = 1,
     method: str = "matmul",
+    scan_major: bool = False,
 ) -> jnp.ndarray:
     """Deformable conv: v1 when ``mask is None``, modulated v2 otherwise.
 
@@ -196,23 +202,44 @@ def deform_conv2d(
     ``method``: ``"matmul"`` (hat-weighted MXU contractions, default) or
     ``"gather"`` (4 fused corner gathers — the CUDA-shaped path).
     """
+    from vsr_tpu.ops.warp import matmul_precision
+
     kh, kw, cin, cout = weight.shape
-    sampler = (_sample_taps_matmul if method == "matmul" else _sample_taps)
-    col = sampler(x, offsets, (kh, kw), stride, padding, dilation)
-    if mask is not None:
-        n, ho, wo, dg, k2 = mask.shape
-        cg = cin // dg
-        m = jnp.repeat(mask, cg, axis=3)  # (N,Ho,Wo,C,k2) ordered dg-major
-        # mask layout must match col channel order (dg, cg): repeat on dg axis
-        # after moving k2 forward.
-        m = jnp.moveaxis(m, 4, 3)  # (N, Ho, Wo, k2, C)
-        col = col * m
-    out = jnp.einsum(
-        "nhwkc,kco->nhwo",
-        col,
-        weight.reshape(kh * kw, cin, cout),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    n, ho, wo, dg, k2 = offsets.shape[:5]
+    cg = cin // dg
+    # The main GEMM follows the compute dtype like every other conv
+    # (HIGHEST on f32 for parity; bf16 rides the MXU single-pass).
+    prec = matmul_precision(x.dtype)
+    if method == "matmul" and scan_major:
+        # Contract the scan-major taps (k2, dg, N, P, cg) in place. A/B on
+        # the chip: 0.88x end to end on EDVR — XLA folds the post-scan
+        # moveaxis chain into the GEMM operand read anyway, and the
+        # k-major reduction layout tiles worse. Kept as an opt-in A/B path.
+        col = _sample_taps_matmul(x, offsets, (kh, kw), stride, padding,
+                                  dilation, scan_major=True)
+        if mask is not None:
+            m = mask.reshape(n, ho * wo, dg, k2)
+            m = jnp.transpose(m, (3, 2, 0, 1))[..., None]  # (k2,dg,n,P,1)
+            col = col * m.astype(col.dtype)
+        w = weight.reshape(kh * kw, dg, cg, cout)
+        out = jnp.einsum("kdnpc,kdco->npo", col, w, precision=prec)
+        out = out.reshape(n, ho, wo, cout)
+    else:
+        sampler = (_sample_taps_matmul if method == "matmul"
+                   else _sample_taps)
+        col = sampler(x, offsets, (kh, kw), stride, padding, dilation)
+        if mask is not None:
+            mm = jnp.repeat(mask, cg, axis=3)  # (N,Ho,Wo,C,k2) dg-major
+            # mask layout must match col channel order (dg, cg): repeat on
+            # dg axis after moving k2 forward.
+            mm = jnp.moveaxis(mm, 4, 3)  # (N, Ho, Wo, k2, C)
+            col = col * mm
+        out = jnp.einsum(
+            "nhwkc,kco->nhwo",
+            col,
+            weight.reshape(kh * kw, cin, cout),
+            precision=prec,
+        )
     if bias is not None:
         out = out + bias
     return out
