@@ -44,14 +44,14 @@ def conv(x, w, **kw):
         dimension_numbers=DN, **kw)
 
 
-def time_chained(step, carry0):
-    carry = step(carry0)
+def time_chained(step, carry0, *operands):
+    carry = step(carry0, *operands)
     jax.block_until_ready(carry)
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            carry = step(carry)
+            carry = step(carry, *operands)
         final = float(carry)
         times.append(time.perf_counter() - t0)
     assert np.isfinite(final)
@@ -77,13 +77,16 @@ def main():
 
     flops = 2 * N * H * W * K * K * C * C / 1e12  # TFLOP per conv
 
+    # Inputs are explicit arguments (a large closure-captured operand gets
+    # embedded into the serialized HLO and trips the remote-compile body
+    # limit at bf16 sizes — HTTP 413).
     @jax.jit
-    def step_bf16(carry):
+    def step_bf16(carry, xb, wb):
         out = conv(xb + (carry * 1e-12).astype(xb.dtype), wb)
         return jnp.mean(out.astype(jnp.float32))
 
     @jax.jit
-    def step_int8(carry):
+    def step_int8(carry, xq, wq):
         # Serial dependency without touching the int8 operand values:
         # roll by a data-dependent 0 so the conv consumes the carry.
         x = jnp.roll(xq, (carry.astype(jnp.int32) & 0), axis=0)
@@ -91,14 +94,26 @@ def main():
         return jnp.mean(out.astype(jnp.float32))
 
     @jax.jit
-    def step_int8_deq(carry):
+    def step_int8_deq(carry, xq, wq):
         x = jnp.roll(xq, (carry.astype(jnp.int32) & 0), axis=0)
         out = conv(x, wq, preferred_element_type=jnp.int32)
         out = (out.astype(jnp.float32) * scale).astype(jnp.bfloat16)
         return jnp.mean(out.astype(jnp.float32))
 
     @jax.jit
-    def step_int8_dot(carry):
+    def step_qdq(carry, xb, wq):
+        # The full W8A8 layer a real quantized net runs: quantize the bf16
+        # activation per-tensor, int8 conv, dequantize to bf16.
+        xs = jnp.float32(0.05)
+        x = xb + (carry * 1e-12).astype(xb.dtype)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / xs), -127, 127)
+        q = q.astype(jnp.int8)
+        out = conv(q, wq, preferred_element_type=jnp.int32)
+        out = (out.astype(jnp.float32) * (scale * xs)).astype(jnp.bfloat16)
+        return jnp.mean(out.astype(jnp.float32))
+
+    @jax.jit
+    def step_int8_dot(carry, xq, wq):
         x = jnp.roll(xq, (carry.astype(jnp.int32) & 0), axis=0)
         out = jax.lax.dot_general(
             x.reshape(-1, C), wq[0, 0],
@@ -107,12 +122,14 @@ def main():
         return jnp.mean(out.astype(jnp.float32))
 
     c0 = jnp.float32(0.0)
-    for name, step, f in [("bf16      ", step_bf16, flops),
-                          ("int8      ", step_int8, flops),
-                          ("int8+deq  ", step_int8_deq, flops),
-                          ("int8 dot  ", step_int8_dot, flops / (K * K))]:
+    for name, step, f, ops in [
+            ("bf16      ", step_bf16, flops, (xb, wb)),
+            ("int8      ", step_int8, flops, (xq, wq)),
+            ("int8+deq  ", step_int8_deq, flops, (xq, wq)),
+            ("w8a8 qdq  ", step_qdq, flops, (xb, wq)),
+            ("int8 dot  ", step_int8_dot, flops / (K * K), (xq, wq))]:
         try:
-            dt = time_chained(step, c0)
+            dt = time_chained(step, c0, *ops)
         except Exception as e:  # unsupported lowering shows up here
             print(f"{name}: FAILED — {type(e).__name__}: {str(e)[:200]}")
             continue
