@@ -34,7 +34,8 @@ from vsr_tpu.utils.normalize import DATASET_STATS
 def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
                   video_t: int | None = None, mesh=None,
                   window: tuple[int, int, str] | None = None,
-                  train_flag: bool = False, chunk: int = 0):
+                  train_flag: bool = False, chunk: int = 0,
+                  w8a8=False):
     """One jitted device program: HR float frames (N, H, W) ->
     (lr_frames, sr_frames) uint8-valued float32.
 
@@ -79,7 +80,17 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     mean, std = DATASET_STATS[dataset]
 
     extra = {"train": False} if train_flag else {}
-    if int8:
+    if int8 and w8a8:
+        raise ValueError("int8 (weight-only HBM residency) and w8a8 (int8 "
+                         "MXU compute) are separate paths; pick one")
+    if w8a8:
+        from vsr_tpu.quantize import make_w8a8_apply
+
+        # True -> dynamic per-call activation scales (universal); a dict
+        # from calibrate_w8a8 bakes static scales (faster).
+        scales = w8a8 if isinstance(w8a8, dict) else "dynamic"
+        net_apply = make_w8a8_apply(net, params, act_scales=scales, **extra)
+    elif int8:
         from vsr_tpu.quantize import make_quantized_apply, quantize_params
 
         qparams, scales = quantize_params(params)
@@ -242,6 +253,7 @@ def run(args) -> dict:
             pipelines[key] = make_pipeline(
                 net, params, args.factor, args.dataset,
                 int8=getattr(args, "int8", False),
+                w8a8=getattr(args, "w8a8", False),
                 video_t=t_eff if video else None,
                 mesh=mesh,
                 window=((windows, t, getattr(args, "window_order", "middle"))
@@ -320,6 +332,10 @@ def main() -> None:
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--int8", action="store_true",
                         help="int8 weight quantization for serving")
+    parser.add_argument("--w8a8", action="store_true",
+                        help="int8 weights AND activations on the double-"
+                             "rate int8 MXU (wide convs only; head/tail "
+                             "stay full precision — see quantize.py)")
     parser.add_argument("--video", action="store_true",
                         help="sequence (VSR) net: SR every slice's whole "
                              "time series as one sequence")

@@ -97,3 +97,224 @@ def make_quantized_apply(net, qparams, scales, compute_dtype=jnp.float32,
 
 def quantized_nbytes(qparams) -> int:
     return sum(np.asarray(l).nbytes for l in jax.tree_util.tree_leaves(qparams))
+
+
+# ---------------------------------------------------------------------------
+# W8A8: run the convs themselves on the double-rate int8 MXU.
+#
+# The v5e MXU multiplies int8 at 2x the bf16 rate, and the zoo's 64-channel
+# conv component measures the full 1.97x (scripts/probe_int8_conv.py, round
+# 3) — the bf16 ceiling at this class is bandwidth-bound and int8 halves the
+# bytes. Weight-only int8 (above) never touches the MXU dtype; this path
+# quantizes the ACTIVATIONS too and issues s8 x s8 -> s32 convolutions.
+#
+# Design (TPU-first):
+#   - flax method interception swaps eligible ``nn.Conv.__call__``s for the
+#     quantized computation — zero model-code changes, any net in the zoo.
+#   - eligibility: exact-type nn.Conv with min(C_in, C_out) >= min_channels.
+#     The quality-critical image head/tail convs are naturally narrow
+#     (C=1..4) and stay full precision — which is also exactly the class
+#     where int8 cannot win (the MXU is idle on narrow channels anyway).
+#   - weights: per-output-channel symmetric scales, quantized INLINE in the
+#     traced program from the dense params (kernels are KB-sized; the
+#     runtime cost is noise and there is a single source of truth).
+#   - activations: per-tensor symmetric scales. ``act_scales="dynamic"``
+#     computes max|x|/127 inline (works for any net, incl. scan bodies);
+#     a dict from :func:`calibrate_w8a8` bakes STATIC scales, which XLA can
+#     fuse into the producing epilogue (no extra reduction pass — the
+#     faster serving configuration).
+#   - accumulation in int32 (``preferred_element_type``), dequant + bias in
+#     f32, cast back to the dtype the bf16 pipeline expects.
+#
+# No reference counterpart (the reference serves fp32 torch); this is the
+# round-3 TPU serving lever. Accuracy is gated in tests/test_quantize.py.
+# ---------------------------------------------------------------------------
+
+_CONV_DIM_NUMBERS = {
+    1: ("NWC", "WIO", "NWC"),
+    2: ("NHWC", "HWIO", "NHWC"),
+    3: ("NDHWC", "DHWIO", "NDHWC"),
+}
+
+
+def _tuple_of(v, rank: int, default: int = 1) -> tuple:
+    if v is None:
+        return (default,) * rank
+    if isinstance(v, int):
+        return (v,) * rank
+    return tuple(v)
+
+
+def _canonical_padding(padding, rank: int):
+    """flax nn.Conv padding -> lax.conv_general_dilated padding (or a str
+    sentinel for the modes we fall back to full precision on)."""
+    if isinstance(padding, str):
+        return padding.upper()
+    if isinstance(padding, int):
+        return [(padding, padding)] * rank
+    out = []
+    for e in padding:
+        out.append((e, e) if isinstance(e, int) else tuple(e))
+    if len(out) == 1 and rank > 1:
+        out = out * rank
+    return out
+
+
+def _conv_eligible(mod, method_name: str, args, min_channels: int) -> bool:
+    import flax.linen as nn
+
+    if type(mod) is not nn.Conv or method_name != "__call__":
+        return False
+    if not args or not hasattr(args[0], "shape"):
+        return False
+    x = args[0]
+    # The zoo always builds nn.Conv with a kernel_size tuple (models/common
+    # Conv/Conv3D); an int (flax 1D shorthand) stays full precision.
+    rank = len(mod.kernel_size) if isinstance(mod.kernel_size, (tuple, list)) else 0
+    if rank not in _CONV_DIM_NUMBERS:
+        return False
+    if x.ndim < rank + 1 or not jnp.issubdtype(x.dtype, jnp.floating):
+        return False
+    if getattr(mod, "mask", None) is not None:
+        return False
+    pad = _canonical_padding(mod.padding, rank)
+    if isinstance(pad, str) and pad not in ("SAME", "VALID"):
+        return False  # CIRCULAR / CAUSAL: let flax handle it in full precision
+    if min(int(x.shape[-1]), int(mod.features)) < min_channels:
+        return False
+    return True
+
+
+def _w8a8_conv(mod, x, act_scale):
+    """The intercepted body: s8 x s8 -> s32 conv + f32 dequant/bias."""
+    from flax.linen import dtypes as _dtypes
+
+    rank = len(mod.kernel_size)
+    variables = mod.variables["params"]
+    kernel = variables["kernel"]
+    bias = variables.get("bias") if mod.use_bias else None
+    out_dtype = _dtypes.canonicalize_dtype(x, kernel, bias, dtype=mod.dtype)
+
+    # Mirror flax's batch-dim handling: add a batch dim for unbatched input,
+    # flatten extra leading dims into one.
+    orig_shape = x.shape
+    if x.ndim == rank + 1:
+        x = x[None]
+    elif x.ndim > rank + 2:
+        x = x.reshape((-1,) + x.shape[-(rank + 1):])
+
+    # Per-tensor activation scale: static (baked) or dynamic (inline max).
+    if act_scale is None:
+        amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
+        xs = jnp.maximum(amax, 1e-8) / 127.0
+    else:
+        xs = jnp.float32(act_scale)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs), -127, 127)
+    xq = xq.astype(jnp.int8)
+
+    # Per-output-channel weight scales, quantized inline (kernels are tiny;
+    # XLA hoists the constant-shaped arithmetic off the activation path).
+    kf = kernel.astype(jnp.float32)
+    amax_w = jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1)), keepdims=True)
+    ws = jnp.where(amax_w > 0, amax_w / 127.0, 1.0)
+    wq = jnp.clip(jnp.round(kf / ws), -127, 127).astype(jnp.int8)
+
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel.shape, _CONV_DIM_NUMBERS[rank])
+    out = jax.lax.conv_general_dilated(
+        xq, wq,
+        window_strides=_tuple_of(mod.strides, rank),
+        padding=_canonical_padding(mod.padding, rank),
+        lhs_dilation=_tuple_of(mod.input_dilation, rank),
+        rhs_dilation=_tuple_of(mod.kernel_dilation, rank),
+        dimension_numbers=dn,
+        feature_group_count=mod.feature_group_count,
+        preferred_element_type=jnp.int32,
+    )
+    out = out.astype(jnp.float32) * (ws.reshape((1,) * (rank + 1) + (-1,)) * xs)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    out = out.astype(out_dtype)
+    if len(orig_shape) == rank + 1:
+        out = out[0]
+    elif len(orig_shape) > rank + 2:
+        out = out.reshape(orig_shape[:-(rank + 1)] + out.shape[-(rank + 1):])
+    return out
+
+
+def make_w8a8_apply(net, params, act_scales="dynamic", min_channels=16,
+                    **apply_kwargs):
+    """Returns ``apply(x)`` serving eligible convs as int8 x int8 -> int32.
+
+    ``act_scales``: ``"dynamic"`` (per-call max|x| scales — universal) or a
+    ``{module_path: scale}`` dict from :func:`calibrate_w8a8` (static scales
+    that fuse into the producer — faster; uncalibrated convs fall back to
+    full precision). Params stay the dense tree — combine with the
+    weight-only path via ``dequantize_params`` upstream if int8 HBM
+    residency is also wanted.
+    """
+    import flax.linen as nn
+
+    static = None if act_scales == "dynamic" else dict(act_scales)
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if not _conv_eligible(mod, context.method_name, args, min_channels):
+            return next_fun(*args, **kwargs)
+        if static is None:
+            scale = None
+        else:
+            scale = static.get("/".join(mod.path))
+            if scale is None:  # uncalibrated (e.g. new branch): stay exact
+                return next_fun(*args, **kwargs)
+        return _w8a8_conv(mod, args[0], scale)
+
+    def apply(x, **kw):
+        with nn.intercept_methods(interceptor):
+            return net.apply(params, x, **apply_kwargs, **kw)
+
+    return apply
+
+
+def calibrate_w8a8(net, params, sample_inputs, min_channels=16,
+                   **apply_kwargs):
+    """Run calibration forwards and return static per-conv activation scales
+    ``{module_path: float}`` (symmetric abs-max / 127) for
+    :func:`make_w8a8_apply`.
+
+    One jitted dispatch + one readback per sample (the stats dict is the
+    jit output — no per-conv readbacks through the axon relay). Convs inside
+    ``lax.scan`` bodies cannot export their abs-max from the traced body;
+    they are simply absent from the dict and serve full precision (use
+    ``act_scales="dynamic"`` for scan-heavy nets).
+    """
+    import flax.linen as nn
+
+    def run(x):
+        stats = {}
+
+        def interceptor(next_fun, args, kwargs, context):
+            mod = context.module
+            if _conv_eligible(mod, context.method_name, args, min_channels):
+                path = "/".join(mod.path)
+                amax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                prev = stats.get(path)
+                stats[path] = amax if prev is None else jnp.maximum(prev, amax)
+            return next_fun(*args, **kwargs)
+
+        with nn.intercept_methods(interceptor):
+            net.apply(params, x, **apply_kwargs)
+        return stats
+
+    merged: dict[str, float] = {}
+    jitted = jax.jit(run)
+    for x in sample_inputs:
+        try:
+            stats = jax.device_get(jitted(jnp.asarray(x)))
+        except Exception:
+            # Tracer leak from a scan body (or similar): retry eagerly so the
+            # convs OUTSIDE the scan still get calibrated.
+            stats = jax.device_get(run(jnp.asarray(x)))
+        for k, v in stats.items():
+            merged[k] = max(merged.get(k, 0.0), float(v))
+    return {k: max(v, 1e-8) / 127.0 for k, v in merged.items()}
