@@ -14,9 +14,10 @@ preprocessing is single-threaded by construction. Re-measured 2026-08-16:
 volumes/s depending on run-to-run variance.
 
 Secondary figures (stderr + bench_details.json): the FLAGSHIP DRFNet
-end-to-end serving rate, the int8-weight serving variant, the device-trainer
-training step rate, and an MFU estimate from XLA's own cost analysis
-(compiled.cost_analysis() FLOPs / elapsed / chip peak).
+end-to-end serving rate, the int8-weight serving variant, the W8A8
+(calibrated int8-MXU) variant — 1.34x the bf16 headline — the
+device-trainer training step rate, and an MFU estimate from XLA's own cost
+analysis (compiled.cost_analysis() FLOPs / elapsed / chip peak).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -138,6 +139,24 @@ def bench_jax() -> dict:
     vps_q = _timed_pipeline(qpipe, pairs, JAX_VOLUMES)
     results["edsr_int8w"] = {"volumes_per_sec": round(vps_q, 3)}
     _log(f"EDSR int8-weights: {vps_q:.2f} vol/s")
+
+    # ---- EDSR W8A8 (calibrated static scales -> double-rate int8 MXU) ----
+    # scripts/probe_w8a8_serving.py: static scales fuse the act-quantize
+    # into the producing epilogue => 1.34x the bf16 pipeline on the chip;
+    # DYNAMIC scales measure 0.89x (the per-conv max reductions break
+    # fusion). Accuracy: 54.5 dB vs the bf16 SR at this exact shape,
+    # <0.5 dB PSNR gate on trained nets in tests/test_quantize.py.
+    from vsr_tpu.quantize import calibrate_w8a8, make_w8a8_apply
+
+    z_cal = jax.jit(lambda v: ((kspace_downscale_jax(v, FACTOR)
+                                - mean) / (std + 1e-10))[..., None])(pairs[0])
+    act_scales = calibrate_w8a8(edsr, eparams, [z_cal])
+    wpipe = make_pipeline(make_w8a8_apply(edsr, eparams, act_scales=act_scales))
+    vps_w = _timed_pipeline(wpipe, pairs, JAX_VOLUMES)
+    results["edsr_w8a8"] = {"volumes_per_sec": round(vps_w, 3),
+                            "calibrated_convs": len(act_scales)}
+    _log(f"EDSR W8A8 (static scales): {vps_w:.2f} vol/s "
+         f"({vps_w / vps:.2f}x bf16)")
 
     # ---- Flagship DRFNet serving ------------------------------------------
     # Whole sequences: each volume = D slice-sequences of T frames. Four
@@ -318,7 +337,8 @@ def main() -> None:
         "value": round(jax_vps, 4),
         "unit": ("volumes/s (D10xT30x192^2, kspace x2 + EDSR x2 bf16, "
                  "HBM-resident; dev-tunnel transfers excluded; see "
-                 "bench_details.json for flagship/int8/training figures)"),
+                 "bench_details.json for flagship/int8/w8a8/training "
+                 "figures — W8A8 serves 1.34x this)"),
         "vs_baseline": round(jax_vps / torch_vps, 2),
     }))
 

@@ -44,6 +44,14 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     weight footprint/traffic; accuracy gated at <0.05 dB PSNR delta in
     tests/test_quantize.py.
 
+    ``w8a8``: serve the wide convs as s8 x s8 -> s32 on the double-rate
+    int8 MXU (vsr_tpu/quantize.py). ``True`` calibrates static activation
+    scales on the first batch (1.34x bf16 on the chip at the EDSR bench
+    shape); a ``{path: scale}`` dict bakes precomputed scales; ``"dynamic"``
+    uses per-call scales (universal but measured 0.89x — avoid). Accuracy
+    gated at <0.5 dB in tests/test_quantize.py; narrow head/tail convs stay
+    full precision.
+
     ``video_t``: for sequence (VSR) nets — the N frames are D*video_t
     slice-sequences; the net sees (D, T, h, w, 1) and every SR frame is
     kept (frame order preserved).
@@ -83,13 +91,23 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     if int8 and w8a8:
         raise ValueError("int8 (weight-only HBM residency) and w8a8 (int8 "
                          "MXU compute) are separate paths; pick one")
+    if w8a8 and mesh is not None:
+        raise ValueError("w8a8 lazy calibration is not supported under "
+                         "--mesh yet; pass precomputed act_scales")
     if w8a8:
         from vsr_tpu.quantize import make_w8a8_apply
 
-        # True -> dynamic per-call activation scales (universal); a dict
-        # from calibrate_w8a8 bakes static scales (faster).
-        scales = w8a8 if isinstance(w8a8, dict) else "dynamic"
-        net_apply = make_w8a8_apply(net, params, act_scales=scales, **extra)
+        # A dict (from calibrate_w8a8) bakes static scales directly;
+        # w8a8=True calibrates LAZILY on the first batch below — static
+        # scales fuse the act-quantize into the producer and measure 1.34x
+        # bf16 on the chip, where dynamic per-call scales measure 0.89x
+        # (scripts/probe_w8a8_serving.py). "dynamic" forces the latter.
+        if isinstance(w8a8, dict) or w8a8 == "dynamic":
+            scales = w8a8 if isinstance(w8a8, dict) else "dynamic"
+            net_apply = make_w8a8_apply(net, params, act_scales=scales,
+                                        **extra)
+        else:
+            net_apply = None  # resolved at first call
     elif int8:
         from vsr_tpu.quantize import make_quantized_apply, quantize_params
 
@@ -98,7 +116,8 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     else:
         net_apply = lambda z: net.apply(params, z, **extra)
 
-    def pipeline(hr_frames):
+    def prep(hr_frames):
+        """HR frames -> (lr, z) where z is the net-input batch."""
         lr = kspace_downscale_jax(hr_frames, factor)
         z = (lr - mean) / (std + 1e-10)
         z = z[..., None]
@@ -119,34 +138,62 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
             idx = (jnp.arange(seq_t)[:, None]
                    + jnp.arange(nf)[None, :] - shift) % seq_t
             z = jnp.take(seq, idx, axis=1).reshape(n, nf, h, w, c)
-        def apply_reduce(zb):
-            """net -> one frame-shaped output per item (last feedback step,
-            first tuple element) so chunked results stack cleanly."""
-            out = net_apply(zb)
-            if isinstance(out, tuple):
-                out = out[0]
-            if out.ndim == 5 and not video_t:
-                out = out[-1]  # feedback nets stack steps on axis 0
-            return out
+        return lr, z
 
-        if chunk and not video_t:
-            n_items = z.shape[0]
-            pad = (-n_items) % chunk
-            if pad:
-                z = jnp.concatenate(
-                    [z, jnp.repeat(z[-1:], pad, axis=0)], axis=0)
-            zc = z.reshape(-1, chunk, *z.shape[1:])
-            sr = jax.lax.map(apply_reduce, zc)
-            sr = sr.reshape(-1, *sr.shape[2:])[:n_items]
-        else:
-            sr = apply_reduce(z)
-        if sr.ndim == 5:
-            if video_t:  # whole-sequence SR: flatten frames back out
-                sr = sr.reshape(-1, *sr.shape[2:])
-        sr = sr.astype(jnp.float32)[..., 0]
-        sr = jnp.clip(jnp.round(sr * std + mean), 0, 255)
-        return lr, sr
+    def make_fn(net_apply):
+        def pipeline(hr_frames):
+            lr, z = prep(hr_frames)
+            def apply_reduce(zb):
+                """net -> one frame-shaped output per item (last feedback
+                step, first tuple element) so chunked results stack
+                cleanly."""
+                out = net_apply(zb)
+                if isinstance(out, tuple):
+                    out = out[0]
+                if out.ndim == 5 and not video_t:
+                    out = out[-1]  # feedback nets stack steps on axis 0
+                return out
 
+            if chunk and not video_t:
+                n_items = z.shape[0]
+                pad = (-n_items) % chunk
+                if pad:
+                    z = jnp.concatenate(
+                        [z, jnp.repeat(z[-1:], pad, axis=0)], axis=0)
+                zc = z.reshape(-1, chunk, *z.shape[1:])
+                sr = jax.lax.map(apply_reduce, zc)
+                sr = sr.reshape(-1, *sr.shape[2:])[:n_items]
+            else:
+                sr = apply_reduce(z)
+            if sr.ndim == 5:
+                if video_t:  # whole-sequence SR: flatten frames back out
+                    sr = sr.reshape(-1, *sr.shape[2:])
+            sr = sr.astype(jnp.float32)[..., 0]
+            sr = jnp.clip(jnp.round(sr * std + mean), 0, 255)
+            return lr, sr
+
+        return pipeline
+
+    if net_apply is None:
+        # w8a8=True: calibrate static activation scales on the FIRST batch
+        # served (its normalized LR inputs), then serve every batch with
+        # the baked-scale program. Scan-body convs (recurrent nets) cannot
+        # be calibrated and stay full precision — exactness preserved.
+        from vsr_tpu.quantize import calibrate_w8a8, make_w8a8_apply
+
+        state: dict = {}
+
+        def lazy(hr_frames):
+            if "fn" not in state:
+                z = jax.jit(lambda h: prep(h)[1])(jnp.asarray(hr_frames))
+                act_scales = calibrate_w8a8(net, params, [z], **extra)
+                state["fn"] = jax.jit(make_fn(make_w8a8_apply(
+                    net, params, act_scales=act_scales, **extra)))
+            return state["fn"](hr_frames)
+
+        return lazy
+
+    pipeline = make_fn(net_apply)
     if mesh is not None:
         from vsr_tpu.parallel.serving import shard_pipeline
 
