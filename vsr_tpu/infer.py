@@ -230,6 +230,12 @@ def run(args) -> dict:
     if not paths:
         raise SystemExit(f"No NIfTI volumes under {args.input_dir}")
 
+    w8a8_arg = getattr(args, "w8a8", False)
+    scales_path = getattr(args, "w8a8_scales", "")
+    if scales_path:  # precomputed static scales imply --w8a8
+        with open(scales_path) as f:
+            w8a8_arg = {k: float(v) for k, v in json.load(f).items()}
+
     params = None
     pipelines: dict = {}
     n_frames = 0
@@ -300,7 +306,7 @@ def run(args) -> dict:
             pipelines[key] = make_pipeline(
                 net, params, args.factor, args.dataset,
                 int8=getattr(args, "int8", False),
-                w8a8=getattr(args, "w8a8", False),
+                w8a8=w8a8_arg,
                 video_t=t_eff if video else None,
                 mesh=mesh,
                 window=((windows, t, getattr(args, "window_order", "middle"))
@@ -382,7 +388,15 @@ def main() -> None:
     parser.add_argument("--w8a8", action="store_true",
                         help="int8 weights AND activations on the double-"
                              "rate int8 MXU (wide convs only; head/tail "
-                             "stay full precision — see quantize.py)")
+                             "stay full precision — see quantize.py); "
+                             "static activation scales are calibrated on "
+                             "the first served batch")
+    parser.add_argument("--w8a8-scales", dest="w8a8_scales", default="",
+                        help="JSON file of precomputed {module_path: scale} "
+                             "activation scales (vsr_tpu.quantize."
+                             "calibrate_w8a8 / scripts/calibrate_zoo_net.py "
+                             "— required to quantize scan-body convs of "
+                             "the recurrent nets); implies --w8a8")
     parser.add_argument("--video", action="store_true",
                         help="sequence (VSR) net: SR every slice's whole "
                              "time series as one sequence")

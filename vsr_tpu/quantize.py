@@ -277,18 +277,51 @@ def make_w8a8_apply(net, params, act_scales="dynamic", min_channels=16,
 
 
 def calibrate_w8a8(net, params, sample_inputs, min_channels=16,
-                   **apply_kwargs):
+                   method: str = "outputs", **apply_kwargs):
     """Run calibration forwards and return static per-conv activation scales
     ``{module_path: float}`` (symmetric abs-max / 127) for
     :func:`make_w8a8_apply`.
 
-    One jitted dispatch + one readback per sample (the stats dict is the
-    jit output — no per-conv readbacks through the axon relay). Convs inside
-    ``lax.scan`` bodies cannot export their abs-max from the traced body;
-    they are simply absent from the dict and serve full precision (use
-    ``act_scales="dynamic"`` for scan-heavy nets).
+    ``method="outputs"`` (default): one jitted dispatch + one readback per
+    sample — the stats dict is the jit output (no per-conv readbacks through
+    the axon relay). Convs inside ``lax.scan``/``nn.scan`` bodies cannot
+    export their abs-max from the traced body; they are simply absent from
+    the dict and serve full precision.
+
+    ``method="callback"``: records abs-max via ``jax.debug.callback``, which
+    DOES fire inside scan bodies (once per executed iteration; merged by
+    max) — calibrates the recurrent nets' step convs too. Every conv site
+    pays a device->host scalar callback, so run this on the CPU backend
+    (scales are backend-independent), not through the axon relay.
     """
     import flax.linen as nn
+
+    if method == "callback":
+        host: dict[str, float] = {}
+
+        def record(path, a):
+            host[path] = max(host.get(path, 0.0), float(a))
+
+        def run_cb(x):
+            def interceptor(next_fun, args, kwargs, context):
+                mod = context.module
+                if _conv_eligible(mod, context.method_name, args,
+                                  min_channels):
+                    path = "/".join(mod.path)
+                    amax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                    jax.debug.callback(
+                        lambda a, path=path: record(path, a), amax)
+                return next_fun(*args, **kwargs)
+
+            with nn.intercept_methods(interceptor):
+                net.apply(params, x, **apply_kwargs)
+            return 0
+
+        jitted_cb = jax.jit(run_cb)
+        for x in sample_inputs:
+            jax.block_until_ready(jitted_cb(jnp.asarray(x)))
+        jax.effects_barrier()
+        return {k: max(v, 1e-8) / 127.0 for k, v in host.items()}
 
     def run(x):
         stats = {}
@@ -299,22 +332,32 @@ def calibrate_w8a8(net, params, sample_inputs, min_channels=16,
                 path = "/".join(mod.path)
                 amax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
                 prev = stats.get(path)
-                stats[path] = amax if prev is None else jnp.maximum(prev, amax)
+                if prev is not None:
+                    # nn.scan traces its body more than once; a prev stat
+                    # from a closed body trace raises on use — start fresh.
+                    try:
+                        amax = jnp.maximum(prev, amax)
+                    except Exception:
+                        pass
+                stats[path] = amax
             return next_fun(*args, **kwargs)
 
         with nn.intercept_methods(interceptor):
             net.apply(params, x, **apply_kwargs)
-        return stats
+
+        # A stat recorded inside a scan body belongs to the (now closed)
+        # body trace and would leak if returned — keep only stats created
+        # at THIS jit trace level (inner-scan convs serve full precision;
+        # use method="callback" to calibrate them too).
+        outer = jnp.max(x.astype(jnp.float32)) * 0  # outer-trace probe
+        outer_trace = getattr(outer, "_trace", None)
+        return {k: v for k, v in stats.items()
+                if getattr(v, "_trace", None) is outer_trace}
 
     merged: dict[str, float] = {}
     jitted = jax.jit(run)
     for x in sample_inputs:
-        try:
-            stats = jax.device_get(jitted(jnp.asarray(x)))
-        except Exception:
-            # Tracer leak from a scan body (or similar): retry eagerly so the
-            # convs OUTSIDE the scan still get calibrated.
-            stats = jax.device_get(run(jnp.asarray(x)))
+        stats = jax.device_get(jitted(jnp.asarray(x)))
         for k, v in stats.items():
             merged[k] = max(merged.get(k, 0.0), float(v))
     return {k: max(v, 1e-8) / 127.0 for k, v in merged.items()}
