@@ -116,6 +116,87 @@ def test_export_int8_artifact(tmp_path, rng):
     assert np.mean(np.abs(np.asarray(sr_q) - np.asarray(sr_f))) < 2.0
 
 
+def test_export_w8a8_artifact(tmp_path, rng):
+    """--w8a8 bakes static-scale int8-MXU convs in: the artifact output
+    equals the direct W8A8 pipeline exactly, and lazy calibration
+    (w8a8=True) is rejected — export is a static program."""
+    from vsr_tpu.infer import make_prep
+    from vsr_tpu.quantize import calibrate_w8a8
+
+    net = EDSRNet(in_channels=1, out_channels=1, num_resblocks=2,
+                  num_features=16, upscale_factor=2)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 1)))
+    shape = (4, 24, 24)
+    x = jnp.asarray(np.round(rng.random(shape) * 255), jnp.float32)
+    z = jax.jit(lambda h: make_prep(2, "acdc")(h)[1])(x)
+    cal = calibrate_w8a8(net, params, [z])
+    assert cal
+
+    blob, meta = export_serving(net, params, shape, 2, w8a8=cal)
+    assert meta["w8a8_convs"] == len(cal)
+    p = tmp_path / "w8a8.vsrx"
+    save_artifact(p, blob, meta)
+    served = ExportedServing(p)
+    _, sr = served(x)
+    _, ref = jax.jit(make_serving_fn(net, params, 2, "acdc", w8a8=cal))(x)
+    np.testing.assert_array_equal(np.asarray(sr), np.asarray(ref))
+    # ... and the W8A8 program really differs from full precision.
+    _, full = jax.jit(make_serving_fn(net, params, 2, "acdc"))(x)
+    assert not np.array_equal(np.asarray(ref), np.asarray(full))
+
+    with pytest.raises(ValueError, match="static"):
+        make_serving_fn(net, params, 2, "acdc", w8a8=True)
+
+
+def test_export_w8a8_cli_calibrates_from_volumes(tmp_path, rng):
+    """The CLI surface: --w8a8 --calib <dir> calibrates activation scales
+    from sample NIfTI volumes at export time; --w8a8-scales <json> bakes
+    precomputed ones — both produce artifacts that serve."""
+    import argparse
+
+    from vsr_tpu.export import _cmd_export, _cmd_run
+    from vsr_tpu.io.nifti import load_nifti, save_nifti
+
+    vol = np.round(rng.random((24, 24, 2, 3)) * 255).astype(np.float32)
+    (tmp_path / "in").mkdir()
+    save_nifti(vol, tmp_path / "in" / "p1_4d.nii.gz")
+
+    kwargs = json.dumps(dict(in_channels=1, out_channels=1, num_resblocks=1,
+                             num_features=16, upscale_factor=2))
+    art = tmp_path / "edsr_w8a8.vsrx"
+    _cmd_export(argparse.Namespace(
+        net="EDSRNet", net_kwargs=kwargs, checkpoint="", factor=2,
+        dataset="acdc", shape="6,24,24", video_t=0, bf16=False,
+        platforms="", out=str(art), w8a8=True, w8a8_scales="",
+        calib=str(tmp_path / "in"), calib_method="outputs"))
+    served = ExportedServing(art)
+    assert served.meta["w8a8_convs"] > 0
+    _cmd_run(argparse.Namespace(run=str(art), input_dir=tmp_path / "in",
+                                output_dir=tmp_path / "out"))
+    sr = load_nifti(tmp_path / "out" / "p1_4d_sr.nii.gz")
+    assert sr.shape == (24, 24, 2, 3) and np.isfinite(sr).all()
+
+    # Precomputed-scales file path.
+    scales = {"EDSR_0/Conv_0/Conv_0": 0.05}
+    sf = tmp_path / "scales.json"
+    sf.write_text(json.dumps(scales))
+    art2 = tmp_path / "edsr_scales.vsrx"
+    _cmd_export(argparse.Namespace(
+        net="EDSRNet", net_kwargs=kwargs, checkpoint="", factor=2,
+        dataset="acdc", shape="6,24,24", video_t=0, bf16=False,
+        platforms="", out=str(art2), w8a8=False, w8a8_scales=str(sf),
+        calib="", calib_method="outputs"))
+    assert ExportedServing(art2).meta["w8a8_convs"] == 1
+
+    # --w8a8 without scales or calib volumes is a hard error.
+    with pytest.raises(SystemExit, match="scales"):
+        _cmd_export(argparse.Namespace(
+            net="EDSRNet", net_kwargs=kwargs, checkpoint="", factor=2,
+            dataset="acdc", shape="6,24,24", video_t=0, bf16=False,
+            platforms="", out=str(tmp_path / "x.vsrx"), w8a8=True,
+            w8a8_scales="", calib="", calib_method="outputs"))
+
+
 def test_export_batchnorm_misr_windows(tmp_path, rng):
     """BatchNorm MISR net (TOFlow) exports in circular-window mode: one SR
     frame per input frame (the reference MISR eval protocol — the same

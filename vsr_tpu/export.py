@@ -44,19 +44,27 @@ FORMAT_VERSION = 1
 
 def make_serving_fn(net, params, factor: int, dataset: str,
                     video_t: int | None = None, train_flag: bool = False,
-                    int8: bool = False, window=None, chunk: int = 0):
+                    int8: bool = False, window=None, chunk: int = 0,
+                    w8a8=False):
     """The fused HR-frames -> (lr, sr) serving program — delegated to
     ``vsr_tpu.infer.make_pipeline`` (mesh=None) so the exported artifact is
     THE SAME program the CLI serves: frame, whole-sequence (``video_t``),
     and circular MISR window (``window=(nf, seq_t, order)``) modes, int8
-    weight baking, feedback-net last-step selection. Returns a jitted
-    callable ``hr_frames -> (lr, sr)``.
+    weight baking, W8A8 int8-MXU convs (``w8a8``: a ``{path: scale}`` dict
+    of static activation scales — export is a static program, so lazy
+    ``w8a8=True`` calibration is rejected here), feedback-net last-step
+    selection. Returns a jitted callable ``hr_frames -> (lr, sr)``.
     """
     from vsr_tpu.infer import make_pipeline
 
+    if w8a8 is True:
+        raise ValueError(
+            "export needs static W8A8 activation scales (a {path: scale} "
+            "dict from vsr_tpu.quantize.calibrate_w8a8) — lazy first-batch "
+            "calibration cannot be serialized")
     return make_pipeline(net, params, factor, dataset, int8=int8,
                          video_t=video_t, mesh=None, window=window,
-                         train_flag=train_flag, chunk=chunk)
+                         train_flag=train_flag, chunk=chunk, w8a8=w8a8)
 
 
 def export_serving(
@@ -70,6 +78,7 @@ def export_serving(
     int8: bool = False,
     window=None,
     chunk: int = 0,
+    w8a8=False,
     platforms: Sequence[str] | None = None,
 ) -> tuple[bytes, dict]:
     """Serialize the fused serving program. Returns (blob, meta)."""
@@ -78,7 +87,7 @@ def export_serving(
 
     fn = make_serving_fn(net, params, factor, dataset, video_t=video_t,
                          train_flag=train_flag, int8=int8, window=window,
-                         chunk=chunk)
+                         chunk=chunk, w8a8=w8a8)
     spec = jax.ShapeDtypeStruct(tuple(frames_shape), jax.numpy.float32)
     kw = {"platforms": tuple(platforms)} if platforms else {}
     exp = jexport.export(fn, **kw)(spec)
@@ -91,6 +100,7 @@ def export_serving(
         "window": list(window) if window else None,
         "chunk": chunk,
         "int8": int8,
+        "w8a8_convs": len(w8a8) if isinstance(w8a8, dict) else 0,
         "platforms": list(exp.platforms),
         "created": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
@@ -184,12 +194,33 @@ def _cmd_export(args) -> None:
         window = (windows, args.seq_t,
                   getattr(args, "window_order", "middle"))
 
+    w8a8: Any = False
+    scales_path = getattr(args, "w8a8_scales", "")
+    if scales_path:
+        with open(scales_path) as f:
+            w8a8 = {k: float(v) for k, v in json.load(f).items()}
+    elif getattr(args, "w8a8", False):
+        if not args.calib:
+            raise SystemExit(
+                "--w8a8 export needs static activation scales: pass "
+                "--w8a8-scales <json> (vsr_tpu.quantize.calibrate_w8a8 / "
+                "scripts/calibrate_zoo_net.py) or --calib <nifti dir> to "
+                "calibrate from sample volumes here")
+        w8a8 = _calibrate_from_volumes(
+            net, params, Path(args.calib), shape, args.factor, args.dataset,
+            args.video_t or None, window, train_flag, args.calib_method)
+        logging.info(f"Calibrated {len(w8a8)} conv activation scales "
+                     f"from {args.calib} (method={args.calib_method})")
+    if w8a8 and getattr(args, "int8", False):
+        raise SystemExit("--int8 (weight-only) and --w8a8 (int8 MXU "
+                         "compute) are separate paths; pick one")
+
     platforms = args.platforms.split(",") if args.platforms else None
     blob, meta = export_serving(
         net, params, shape, args.factor, dataset=args.dataset,
         video_t=args.video_t or None, train_flag=train_flag,
         int8=getattr(args, "int8", False), window=window,
-        chunk=chunk, platforms=platforms)
+        chunk=chunk, w8a8=w8a8, platforms=platforms)
     meta.update({"net": args.net, "net_kwargs": net_kwargs
                  if not args.bf16 else {**net_kwargs, "dtype": "bfloat16"}})
     save_artifact(args.out, blob, meta)
@@ -198,12 +229,57 @@ def _cmd_export(args) -> None:
                  f"({Path(args.out).stat().st_size / 1e6:.1f} MB)")
 
 
+def _load_hr_frames(path: Path) -> tuple[np.ndarray, tuple[int, ...]]:
+    """One NIfTI volume -> (frames (d*t, h, w) float, (h, w, d, t)) with the
+    serving preprocessing (outlier clip + /12 center crop) applied — the
+    same frames `vsr_tpu.infer` feeds the pipeline."""
+    from vsr_tpu.io.nifti import load_nifti
+    from vsr_tpu.preprocess.intensity import (center_crop_multiple,
+                                              clip_outliers_minmax)
+
+    data = clip_outliers_minmax(load_nifti(path))
+    if data.ndim == 3:
+        data = data[..., None]
+    h0, hn, w0, wn = center_crop_multiple(data.shape[:2])
+    data = data[h0:hn, w0:wn]
+    h, w, d, t = data.shape
+    return np.moveaxis(data.reshape(h, w, d * t), -1, 0), (h, w, d, t)
+
+
+def _calibrate_from_volumes(net, params, calib_dir: Path, want, factor,
+                            dataset, video_t, window, train_flag,
+                            method: str, max_volumes: int = 4) -> dict:
+    """Export-time W8A8 calibration: build net-input batches from sample
+    NIfTI volumes of the artifact geometry (via the SAME prep stage the
+    artifact will run, ``infer.make_prep``) and return static activation
+    scales. ``method="callback"`` also reaches ``nn.scan``-body convs
+    (recurrent nets) — run it on the CPU backend (see quantize.py)."""
+    import jax
+
+    from vsr_tpu.infer import make_prep
+    from vsr_tpu.quantize import calibrate_w8a8
+
+    prep = jax.jit(lambda h: make_prep(factor, dataset, video_t=video_t,
+                                       window=window)(h)[1])
+    zs = []
+    for path in sorted(Path(calib_dir).glob("**/*.nii*")):
+        frames, _ = _load_hr_frames(path)
+        if frames.shape == tuple(want):
+            zs.append(prep(frames.astype(np.float32)))
+        if len(zs) >= max_volumes:
+            break
+    if not zs:
+        raise SystemExit(
+            f"--calib: no NIfTI volume under {calib_dir} matches the "
+            f"artifact geometry {tuple(want)}")
+    extra = {"train": False} if train_flag else {}
+    return calibrate_w8a8(net, params, zs, method=method, **extra)
+
+
 def _cmd_run(args) -> None:
     import jax
 
-    from vsr_tpu.io.nifti import load_nifti, save_nifti
-    from vsr_tpu.preprocess.intensity import (center_crop_multiple,
-                                              clip_outliers_minmax)
+    from vsr_tpu.io.nifti import save_nifti
 
     _enable_compile_cache()
     serving = ExportedServing(args.run)
@@ -213,13 +289,7 @@ def _cmd_run(args) -> None:
         raise SystemExit(f"No NIfTI volumes under {args.input_dir}")
     done = 0
     for path in paths:
-        data = clip_outliers_minmax(load_nifti(path))
-        if data.ndim == 3:
-            data = data[..., None]
-        h0, hn, w0, wn = center_crop_multiple(data.shape[:2])
-        data = data[h0:hn, w0:wn]
-        h, w, d, t = data.shape
-        frames = np.moveaxis(data.reshape(h, w, d * t), -1, 0)
+        frames, (h, w, d, t) = _load_hr_frames(path)
         if frames.shape != want:
             logging.warning(
                 f"{path.name}: shape {frames.shape} != artifact {want} — "
@@ -274,6 +344,24 @@ def main() -> None:
     p.add_argument("--int8", action="store_true",
                    help="bake int8-quantized weights into the artifact "
                         "(4x smaller; <0.05 dB gated in tests)")
+    p.add_argument("--w8a8", action="store_true",
+                   help="bake W8A8 int8-MXU convs into the artifact "
+                        "(double-rate MXU — see BENCH.md zoo table for "
+                        "which nets win); needs --w8a8-scales or --calib")
+    p.add_argument("--w8a8-scales", dest="w8a8_scales", default="",
+                   help="JSON file of precomputed {module_path: scale} "
+                        "activation scales (vsr_tpu.quantize.calibrate_w8a8"
+                        " / scripts/calibrate_zoo_net.py); implies --w8a8")
+    p.add_argument("--calib", default="",
+                   help="with --w8a8: directory of sample NIfTI volumes of "
+                        "the artifact geometry to calibrate activation "
+                        "scales from at export time")
+    p.add_argument("--calib-method", dest="calib_method",
+                   choices=["outputs", "callback"], default="outputs",
+                   help="calibration recorder: 'callback' also reaches "
+                        "nn.scan-body convs (recurrent nets) but runs one "
+                        "host callback per conv per step — use on the CPU "
+                        "backend (scales are backend-independent)")
     p.add_argument("--platforms", default="",
                    help="lowering platforms, e.g. 'tpu' or 'tpu,cpu' "
                         "(default: current backend)")

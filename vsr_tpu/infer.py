@@ -31,6 +31,46 @@ from vsr_tpu.registry import build
 from vsr_tpu.utils.normalize import DATASET_STATS
 
 
+def make_prep(factor: int, dataset: str, video_t: int | None = None,
+              window: tuple[int, int, str] | None = None):
+    """The serving pipeline's input stage as a standalone traceable fn:
+    HR float frames (N, H, W) -> (lr_frames, z) where ``z`` is the
+    net-input batch (frames / ``video_t`` sequences / circular MISR
+    windows). Shared by :func:`make_pipeline` and export-time W8A8
+    calibration (vsr_tpu/export.py) so the calibration inputs are exactly
+    the batches the artifact will see."""
+    import jax.numpy as jnp
+
+    from vsr_tpu.preprocess.kspace import kspace_downscale_jax
+
+    mean, std = DATASET_STATS[dataset]
+
+    def prep(hr_frames):
+        lr = kspace_downscale_jax(hr_frames, factor)
+        z = (lr - mean) / (std + 1e-10)
+        z = z[..., None]
+        if video_t:
+            n, h, w, c = z.shape
+            z = z.reshape(n // video_t, video_t, h, w, c)
+        elif window:
+            from vsr_tpu.data.datasets import misr_target_index
+
+            nf, seq_t, order = window
+            n, h, w, c = z.shape
+            seq = z.reshape(n // seq_t, seq_t, h, w, c)
+            # Place output frame t at the net's target slot: the dataset
+            # convention (datasets.py:misr_target_index) is nf//2 for odd
+            # windows and nf//2 - 1 for even ones — nf//2 here would shift
+            # every even-window SR sequence by one frame.
+            shift = misr_target_index(nf) if order == "middle" else nf - 1
+            idx = (jnp.arange(seq_t)[:, None]
+                   + jnp.arange(nf)[None, :] - shift) % seq_t
+            z = jnp.take(seq, idx, axis=1).reshape(n, nf, h, w, c)
+        return lr, z
+
+    return prep
+
+
 def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
                   video_t: int | None = None, mesh=None,
                   window: tuple[int, int, str] | None = None,
@@ -77,8 +117,6 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     import jax
     import jax.numpy as jnp
 
-    from vsr_tpu.preprocess.kspace import kspace_downscale_jax
-
     if chunk < 0:
         raise ValueError("chunk must be >= 0 (0 = disabled)")
     if chunk and video_t:
@@ -116,29 +154,7 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     else:
         net_apply = lambda z: net.apply(params, z, **extra)
 
-    def prep(hr_frames):
-        """HR frames -> (lr, z) where z is the net-input batch."""
-        lr = kspace_downscale_jax(hr_frames, factor)
-        z = (lr - mean) / (std + 1e-10)
-        z = z[..., None]
-        if video_t:
-            n, h, w, c = z.shape
-            z = z.reshape(n // video_t, video_t, h, w, c)
-        elif window:
-            from vsr_tpu.data.datasets import misr_target_index
-
-            nf, seq_t, order = window
-            n, h, w, c = z.shape
-            seq = z.reshape(n // seq_t, seq_t, h, w, c)
-            # Place output frame t at the net's target slot: the dataset
-            # convention (datasets.py:misr_target_index) is nf//2 for odd
-            # windows and nf//2 - 1 for even ones — nf//2 here would shift
-            # every even-window SR sequence by one frame.
-            shift = misr_target_index(nf) if order == "middle" else nf - 1
-            idx = (jnp.arange(seq_t)[:, None]
-                   + jnp.arange(nf)[None, :] - shift) % seq_t
-            z = jnp.take(seq, idx, axis=1).reshape(n, nf, h, w, c)
-        return lr, z
+    prep = make_prep(factor, dataset, video_t=video_t, window=window)
 
     def make_fn(net_apply):
         def pipeline(hr_frames):
