@@ -67,6 +67,34 @@ def test_sharded_pipeline_matches_unsharded(rng):
     np.testing.assert_allclose(lr_sh, lr_ref, atol=1e-3)
 
 
+def test_sharded_w8a8_pipeline(rng):
+    """W8A8 with precomputed static scales composes with mesh sharding
+    (lazy w8a8=True calibration is rejected — it cannot trace under the
+    partitioner); the sharded int8 output matches the unsharded one."""
+    from vsr_tpu.infer import make_prep
+    from vsr_tpu.quantize import calibrate_w8a8
+
+    net = EDSRNet(in_channels=1, out_channels=1, num_resblocks=2,
+                  num_features=16, upscale_factor=2)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 1)))
+    frames = np.round(rng.random((5, 24, 24)) * 255).astype(np.float32)
+    z = jax.jit(lambda h: make_prep(2, "acdc")(h)[1])(frames)
+    cal = calibrate_w8a8(net, params, [z])
+    assert cal
+
+    mesh = make_mesh({"data": 2})
+    ref = make_pipeline(net, params, 2, "acdc", w8a8=cal)
+    sh = make_pipeline(net, params, 2, "acdc", w8a8=cal, mesh=mesh)
+    _, sr_ref = jax.tree_util.tree_map(np.asarray, ref(frames))
+    _, sr_sh = jax.tree_util.tree_map(np.asarray, sh(frames))
+    assert sr_sh.shape == sr_ref.shape == (5, 24, 24)
+    assert np.abs(sr_sh - sr_ref).max() <= 1
+    assert (sr_sh == sr_ref).mean() > 0.99
+
+    with pytest.raises(ValueError, match="lazy"):
+        make_pipeline(net, params, 2, "acdc", w8a8=True, mesh=mesh)
+
+
 def test_sharded_video_pipeline(rng):
     """Whole-sequence (VSR) serving shards by sequences: padding happens in
     whole-T units so the internal (D, T, ...) reshape stays aligned."""

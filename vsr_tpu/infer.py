@@ -90,7 +90,8 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     shape); a ``{path: scale}`` dict bakes precomputed scales; ``"dynamic"``
     uses per-call scales (universal but measured 0.89x — avoid). Accuracy
     gated at <0.5 dB in tests/test_quantize.py; narrow head/tail convs stay
-    full precision.
+    full precision. Composes with ``mesh`` when the scales are static
+    (dict/"dynamic"); only the lazy ``True`` form is mesh-incompatible.
 
     ``video_t``: for sequence (VSR) nets — the N frames are D*video_t
     slice-sequences; the net sees (D, T, h, w, 1) and every SR frame is
@@ -129,9 +130,11 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     if int8 and w8a8:
         raise ValueError("int8 (weight-only HBM residency) and w8a8 (int8 "
                          "MXU compute) are separate paths; pick one")
-    if w8a8 and mesh is not None:
-        raise ValueError("w8a8 lazy calibration is not supported under "
-                         "--mesh yet; pass precomputed act_scales")
+    if w8a8 is True and mesh is not None:
+        raise ValueError(
+            "w8a8 lazy (first-batch) calibration is not supported under "
+            "--mesh; pass precomputed static scales (--w8a8-scales / a "
+            "{path: scale} dict from calibrate_w8a8)")
     if w8a8:
         from vsr_tpu.quantize import make_w8a8_apply
 
