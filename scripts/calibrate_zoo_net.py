@@ -31,10 +31,11 @@ from bench_zoo_serving import D, T, H, W, build_cases, make_build_z  # noqa: E40
 def main(argv: list[str]) -> None:
     subpixel = "--subpixel" in argv
     fsq = "--fused-squeeze" in argv
+    deconv = "--deconv" in argv  # also calibrate nn.ConvTranspose sites
     names = [a for a in argv if not a.startswith("--")]
     if len(names) != 1:
         raise SystemExit("usage: calibrate_zoo_net.py <NetName> "
-                         "[--subpixel] [--fused-squeeze]")
+                         "[--subpixel] [--fused-squeeze] [--deconv]")
     name = names[0]
 
     import jax
@@ -76,7 +77,8 @@ def main(argv: list[str]) -> None:
     # (vsr — the scan needs the full T) / a handful of frames or windows.
     z = z[:1] if task == "vsr" else z[:8]
 
-    cal = calibrate_w8a8(net, params, [z], method="callback", **extra)
+    cal = calibrate_w8a8(net, params, [z], method="callback",
+                         quantize_deconvs=deconv, **extra)
     print(json.dumps(cal))
 
 

@@ -342,3 +342,83 @@ def test_w8a8_callback_matches_outputs_method_outside_scan(rng):
     assert set(a) == set(b)
     for k in a:
         np.testing.assert_allclose(a[k], b[k], rtol=1e-6)
+
+
+def test_w8a8_deconv_exact_and_default_off(rng):
+    """nn.ConvTranspose interception (quantize_deconvs=True) reproduces the
+    full-precision transposed conv exactly under lossless settings; with the
+    default (off) the deconv is untouched (int8 conv_transpose measured
+    1.03x bf16 on chip — scripts/probe_int8_deconv.py — so it is opt-in)."""
+    from vsr_tpu.models.common import ConvTranspose
+
+    class Up(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return ConvTranspose(32, kernel_size=6, strides=2, padding=2)(x)
+
+    net = Up()
+    x = jnp.asarray(rng.integers(-127, 128, (2, 12, 12, 16)), jnp.float32)
+    params = _snap_kernels(net.init(jax.random.PRNGKey(0), x))
+    base = net.apply(params, x)
+    assert base.shape == (2, 24, 24, 32)  # torch (in-1)*s - 2p + k geometry
+
+    path = "ConvTranspose_0/ConvTranspose_0"
+    cal = calibrate_w8a8(net, params, [x], quantize_deconvs=True)
+    assert path in cal
+    out = jax.jit(make_w8a8_apply(net, params, act_scales={path: 1.0},
+                                  quantize_deconvs=True))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=0, atol=1e-4)
+
+    # Default: deconvs are not calibrated and not intercepted.
+    assert calibrate_w8a8(net, params, [x]) == {}
+    untouched = jax.jit(make_w8a8_apply(net, params,
+                                        act_scales={path: 1.0}))(x)
+    np.testing.assert_array_equal(np.asarray(untouched), np.asarray(base))
+
+
+def test_w8a8_conv_filter_selects_subset(rng):
+    """conv_filter restricts calibration/interception to matching convs;
+    filtered-out convs serve full precision."""
+    from vsr_tpu.models.common import Conv
+
+    class Two(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = Conv(24, 3, padding=1)(x)
+            return Conv(24, 1, padding=0)(x)
+
+    net = Two()
+    x = jnp.asarray(rng.integers(-127, 128, (1, 8, 8, 16)), jnp.float32)
+    params = _snap_kernels(net.init(jax.random.PRNGKey(0), x))
+    only_3x3 = lambda mod: mod.kernel_size[0] == 3
+    cal = calibrate_w8a8(net, params, [x], conv_filter=only_3x3)
+    assert set(cal) == {"Conv_0/Conv_0"}
+    base = net.apply(params, x)
+    out = jax.jit(make_w8a8_apply(net, params,
+                                  act_scales={"Conv_0/Conv_0": 1.0},
+                                  conv_filter=only_3x3))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=0, atol=1e-4)
+
+
+def test_kernel_shapes_matches_calibration_keys(rng):
+    """kernel_shapes' key space covers calibrate_w8a8's paths, enabling
+    geometry-based filtering of a cached calibration."""
+    from vsr_tpu.models.common import Conv
+    from vsr_tpu.quantize import kernel_shapes
+
+    class Two(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = Conv(24, 3, padding=1)(x)
+            return Conv(24, 1, padding=0)(x)
+
+    net = Two()
+    x = jnp.asarray(rng.random((1, 8, 8, 16)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    shapes = kernel_shapes(params)
+    cal = calibrate_w8a8(net, params, [x])
+    assert set(cal) <= set(shapes)
+    assert shapes["Conv_0/Conv_0"] == (3, 3, 16, 24)
+    assert shapes["Conv_1/Conv_0"] == (1, 1, 24, 24)

@@ -95,6 +95,28 @@ def make_quantized_apply(net, qparams, scales, compute_dtype=jnp.float32,
     return apply
 
 
+def kernel_shapes(params) -> dict:
+    """``{module_path: kernel_shape}`` for every kernel leaf.
+
+    The key space matches the ``act_scales`` dicts from
+    :func:`calibrate_w8a8` (flax module paths joined by ``/``), so a cached
+    calibration can be filtered by conv geometry — e.g. keep only 3x3 convs
+    — without re-calibrating: the selective-W8A8 A/B workflow.
+    """
+    out: dict = {}
+
+    def walk(node, path):
+        for k, v in node.items():
+            if k in _KERNEL_NAMES and hasattr(v, "shape"):
+                out["/".join(path)] = tuple(v.shape)
+            elif hasattr(v, "items"):
+                walk(v, path + [k])
+
+    tree = params["params"] if "params" in params else params
+    walk(tree, [])
+    return out
+
+
 def quantized_nbytes(qparams) -> int:
     return sum(np.asarray(l).nbytes for l in jax.tree_util.tree_leaves(qparams))
 
@@ -160,10 +182,19 @@ def _canonical_padding(padding, rank: int):
     return out
 
 
-def _conv_eligible(mod, method_name: str, args, min_channels: int) -> bool:
+def _conv_eligible(mod, method_name: str, args, min_channels: int,
+                   conv_filter=None, quantize_deconvs: bool = False) -> bool:
     import flax.linen as nn
 
-    if type(mod) is not nn.Conv or method_name != "__call__":
+    is_conv = type(mod) is nn.Conv
+    # Exact type: excludes _SubpixelConvTranspose (own forward, intercepting
+    # the wrapper would double-apply) and any masked/causal subclass.
+    # Deconvs are OFF by default: scripts/probe_int8_deconv.py measured the
+    # int8 lax.conv_transpose lowering at 1.03x bf16 (the double-rate MXU
+    # path is not reached for lhs-dilated convs) — quantizing them adds
+    # q/dq fusion breaks for ~no MXU win.
+    is_deconv = quantize_deconvs and type(mod) is nn.ConvTranspose
+    if not (is_conv or is_deconv) or method_name != "__call__":
         return False
     if not args or not hasattr(args[0], "shape"):
         return False
@@ -177,16 +208,26 @@ def _conv_eligible(mod, method_name: str, args, min_channels: int) -> bool:
         return False
     if getattr(mod, "mask", None) is not None:
         return False
+    if is_deconv and getattr(mod, "transpose_kernel", False):
+        return False  # kernel laid out (out, in): keep full precision
     pad = _canonical_padding(mod.padding, rank)
     if isinstance(pad, str) and pad not in ("SAME", "VALID"):
         return False  # CIRCULAR / CAUSAL: let flax handle it in full precision
     if min(int(x.shape[-1]), int(mod.features)) < min_channels:
         return False
+    if conv_filter is not None and not conv_filter(mod):
+        return False
     return True
 
 
 def _w8a8_conv(mod, x, act_scale):
-    """The intercepted body: s8 x s8 -> s32 conv + f32 dequant/bias."""
+    """The intercepted body: s8 x s8 -> s32 (de)conv + f32 dequant/bias.
+
+    Handles both nn.Conv (conv_general_dilated) and nn.ConvTranspose
+    (lax.conv_transpose, transpose_kernel=False — kernel (*window, in, out)
+    like the forward conv, so the per-output-channel scale code is shared).
+    """
+    import flax.linen as nn
     from flax.linen import dtypes as _dtypes
 
     rank = len(mod.kernel_size)
@@ -219,18 +260,29 @@ def _w8a8_conv(mod, x, act_scale):
     ws = jnp.where(amax_w > 0, amax_w / 127.0, 1.0)
     wq = jnp.clip(jnp.round(kf / ws), -127, 127).astype(jnp.int8)
 
-    dn = jax.lax.conv_dimension_numbers(
-        x.shape, kernel.shape, _CONV_DIM_NUMBERS[rank])
-    out = jax.lax.conv_general_dilated(
-        xq, wq,
-        window_strides=_tuple_of(mod.strides, rank),
-        padding=_canonical_padding(mod.padding, rank),
-        lhs_dilation=_tuple_of(mod.input_dilation, rank),
-        rhs_dilation=_tuple_of(mod.kernel_dilation, rank),
-        dimension_numbers=dn,
-        feature_group_count=mod.feature_group_count,
-        preferred_element_type=jnp.int32,
-    )
+    if type(mod) is nn.ConvTranspose:
+        out = jax.lax.conv_transpose(
+            xq, wq,
+            strides=_tuple_of(mod.strides, rank),
+            padding=_canonical_padding(mod.padding, rank),
+            rhs_dilation=_tuple_of(mod.kernel_dilation, rank),
+            dimension_numbers=_CONV_DIM_NUMBERS[rank],
+            transpose_kernel=False,
+            preferred_element_type=jnp.int32,
+        )
+    else:
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, _CONV_DIM_NUMBERS[rank])
+        out = jax.lax.conv_general_dilated(
+            xq, wq,
+            window_strides=_tuple_of(mod.strides, rank),
+            padding=_canonical_padding(mod.padding, rank),
+            lhs_dilation=_tuple_of(mod.input_dilation, rank),
+            rhs_dilation=_tuple_of(mod.kernel_dilation, rank),
+            dimension_numbers=dn,
+            feature_group_count=mod.feature_group_count,
+            preferred_element_type=jnp.int32,
+        )
     out = out.astype(jnp.float32) * (ws.reshape((1,) * (rank + 1) + (-1,)) * xs)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
@@ -243,6 +295,7 @@ def _w8a8_conv(mod, x, act_scale):
 
 
 def make_w8a8_apply(net, params, act_scales="dynamic", min_channels=16,
+                    conv_filter=None, quantize_deconvs=False,
                     **apply_kwargs):
     """Returns ``apply(x)`` serving eligible convs as int8 x int8 -> int32.
 
@@ -252,6 +305,12 @@ def make_w8a8_apply(net, params, act_scales="dynamic", min_channels=16,
     full precision). Params stay the dense tree — combine with the
     weight-only path via ``dequantize_params`` upstream if int8 HBM
     residency is also wanted.
+
+    ``conv_filter``: optional ``(module) -> bool`` predicate restricting
+    quantization to a subset of the eligible convs (e.g. by kernel size or
+    module path) — the selective-W8A8 A/B knob. ``quantize_deconvs=True``
+    additionally intercepts nn.ConvTranspose (measured ~1.03x at the k6s2
+    component — scripts/probe_int8_deconv.py — so default off).
     """
     import flax.linen as nn
 
@@ -259,7 +318,8 @@ def make_w8a8_apply(net, params, act_scales="dynamic", min_channels=16,
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
-        if not _conv_eligible(mod, context.method_name, args, min_channels):
+        if not _conv_eligible(mod, context.method_name, args, min_channels,
+                              conv_filter, quantize_deconvs):
             return next_fun(*args, **kwargs)
         if static is None:
             scale = None
@@ -277,7 +337,8 @@ def make_w8a8_apply(net, params, act_scales="dynamic", min_channels=16,
 
 
 def calibrate_w8a8(net, params, sample_inputs, min_channels=16,
-                   method: str = "outputs", **apply_kwargs):
+                   method: str = "outputs", conv_filter=None,
+                   quantize_deconvs: bool = False, **apply_kwargs):
     """Run calibration forwards and return static per-conv activation scales
     ``{module_path: float}`` (symmetric abs-max / 127) for
     :func:`make_w8a8_apply`.
@@ -306,7 +367,8 @@ def calibrate_w8a8(net, params, sample_inputs, min_channels=16,
             def interceptor(next_fun, args, kwargs, context):
                 mod = context.module
                 if _conv_eligible(mod, context.method_name, args,
-                                  min_channels):
+                                  min_channels, conv_filter,
+                                  quantize_deconvs):
                     path = "/".join(mod.path)
                     amax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
                     jax.debug.callback(
@@ -328,7 +390,8 @@ def calibrate_w8a8(net, params, sample_inputs, min_channels=16,
 
         def interceptor(next_fun, args, kwargs, context):
             mod = context.module
-            if _conv_eligible(mod, context.method_name, args, min_channels):
+            if _conv_eligible(mod, context.method_name, args, min_channels,
+                              conv_filter, quantize_deconvs):
                 path = "/".join(mod.path)
                 amax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
                 prev = stats.get(path)
