@@ -1,0 +1,174 @@
+"""HTTP serving daemon tests (vsr_tpu/serve.py) — tiny artifact, CPU.
+
+Covers: health/meta/metrics endpoints, npy and NIfTI request/response
+round-trips against the direct ExportedServing result, frame-count
+bridging (edge-padded chunking), shape routing, and error paths.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vsr_tpu.export import ExportedServing, export_serving, save_artifact
+from vsr_tpu.models import EDSRNet
+from vsr_tpu.serve import make_server
+
+N, H, W = 6, 24, 24  # HR frames the artifact is specialized to (24 = /12)
+FACTOR = 2
+
+
+def _make_artifact(tmp_path, frames=N, name="tiny.vsrx"):
+    net = EDSRNet(in_channels=1, out_channels=1, num_resblocks=1,
+                  num_features=4, upscale_factor=FACTOR)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, H // FACTOR, W // FACTOR, 1)))
+    blob, meta = export_serving(net, params, (frames, H, W), FACTOR)
+    path = tmp_path / name
+    save_artifact(path, blob, meta)
+    return path
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    paths = [_make_artifact(tmp), _make_artifact(tmp, frames=2, name="b.vsrx")]
+    srv = make_server(paths, port=0, warmup=True)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv
+    srv.shutdown()
+
+
+def _url(server, path):
+    return f"http://127.0.0.1:{server.server_address[1]}{path}"
+
+
+def _post_npy(server, arr, query=""):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    req = urllib.request.Request(
+        _url(server, "/v1/sr" + query), data=buf.getvalue(),
+        headers={"Content-Type": "application/x-npy"})
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, resp.read(), resp.headers.get("Content-Type")
+
+
+def test_healthz_and_meta(server):
+    with urllib.request.urlopen(_url(server, "/healthz")) as resp:
+        health = json.loads(resp.read())
+    assert health["status"] == "ok"
+    assert {tuple(a["frames_shape"]) for a in health["artifacts"]} == {
+        (N, H, W), (2, H, W)}
+    with urllib.request.urlopen(_url(server, "/v1/meta")) as resp:
+        metas = json.loads(resp.read())
+    assert len(metas) == 2 and metas[0]["factor"] == FACTOR
+
+
+def test_sr_npy_matches_direct_call(server):
+    rng = np.random.default_rng(0)
+    frames = np.round(rng.random((N, H, W)) * 255).astype(np.float32)
+    status, body, ctype = _post_npy(server, frames)
+    assert status == 200 and ctype == "application/x-npy"
+    sr = np.load(io.BytesIO(body))
+    assert sr.shape == (N, H, W)  # SR comes back at the input HR geometry
+
+    direct = ExportedServing(server.pool.paths[0])
+    _, want = direct(frames)
+    np.testing.assert_allclose(sr, np.asarray(want, np.float32),
+                               rtol=0, atol=1e-5)
+
+
+def test_sr_bridges_frame_count_with_padding(server):
+    """A 10-frame volume routes to the 6-frame artifact (largest <= M) and
+    is served in 2 edge-padded chunks; result equals direct chunked calls."""
+    rng = np.random.default_rng(1)
+    frames = np.round(rng.random((10, H, W)) * 255).astype(np.float32)
+    before = server.metrics.padded_frames
+    status, body, _ = _post_npy(server, frames)
+    assert status == 200
+    sr = np.load(io.BytesIO(body))
+    assert sr.shape == (10, H, W)
+    assert server.metrics.padded_frames == before + 2
+
+    direct = ExportedServing(server.pool.paths[0])
+    _, a = direct(frames[:6])
+    _, b = direct(np.pad(frames[6:], ((0, 2), (0, 0), (0, 0)), mode="edge"))
+    want = np.concatenate([np.asarray(a), np.asarray(b)[:4]], axis=0)
+    np.testing.assert_allclose(sr, want.astype(np.float32),
+                               rtol=0, atol=1e-5)
+
+
+def test_sr_routes_exact_frame_match(server):
+    """A 2-frame volume uses the 2-frame artifact — no padding."""
+    before = server.metrics.padded_frames
+    frames = np.zeros((2, H, W), np.float32)
+    status, body, _ = _post_npy(server, frames)
+    assert status == 200
+    assert np.load(io.BytesIO(body)).shape == (2, H, W)
+    assert server.metrics.padded_frames == before
+
+
+def test_sr_nifti_roundtrip(server, tmp_path):
+    from vsr_tpu.io.nifti import load_nifti, save_nifti
+
+    rng = np.random.default_rng(2)
+    vol = np.round(rng.random((H, W, 2, 3)) * 255).astype(np.float32)
+    path = tmp_path / "vol.nii.gz"
+    save_nifti(vol, path)
+    req = urllib.request.Request(
+        _url(server, "/v1/sr"), data=path.read_bytes(),
+        headers={"Content-Type": "application/gzip"})
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+        body = resp.read()
+    out_path = tmp_path / "sr.nii.gz"
+    out_path.write_bytes(body)
+    sr = load_nifti(out_path)
+    assert sr.shape == (H, W, 2, 3)
+    assert np.isfinite(np.asarray(sr, np.float64)).all()
+
+
+def test_sr_rejects_unknown_geometry(server):
+    frames = np.zeros((4, 36, 36), np.float32)
+    buf = io.BytesIO()
+    np.save(buf, frames)
+    req = urllib.request.Request(
+        _url(server, "/v1/sr"), data=buf.getvalue(),
+        headers={"Content-Type": "application/x-npy"})
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req)
+    assert err.value.code == 400
+    assert "no artifact" in json.loads(err.value.read())["error"]
+
+
+def test_sr_rejects_bad_body(server):
+    req = urllib.request.Request(
+        _url(server, "/v1/sr"), data=b"not a volume",
+        headers={"Content-Type": "application/x-npy"})
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req)
+    assert err.value.code == 400
+
+
+def test_metrics_exposition(server):
+    with urllib.request.urlopen(_url(server, "/metrics")) as resp:
+        text = resp.read().decode()
+    assert 'vsr_requests_total{endpoint="/v1/sr",status="200"}' in text
+    assert "vsr_volumes_served_total" in text
+    assert "vsr_sr_latency_seconds_count" in text
+    assert text.rstrip().splitlines()[-1].startswith("vsr_inflight_requests")
+
+
+def test_unknown_path_404(server):
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(_url(server, "/nope"))
+    assert err.value.code == 404
