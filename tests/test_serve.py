@@ -172,3 +172,31 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as err:
         urllib.request.urlopen(_url(server, "/nope"))
     assert err.value.code == 404
+
+
+def test_no_warmup_becomes_warm_lazily(tmp_path):
+    """Under --no-warmup, /healthz starts 503 ('warming') and flips to 200
+    once every artifact has compiled through real requests."""
+    paths = [_make_artifact(tmp_path, frames=2, name="lazy_a.vsrx"),
+             _make_artifact(tmp_path, frames=3, name="lazy_b.vsrx")]
+    srv = make_server(paths, port=0, warmup=False)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(_url(srv, "/healthz"))
+        assert err.value.code == 503
+        assert json.loads(err.value.read())["status"] == "warming"
+
+        status, _, _ = _post_npy(srv, np.zeros((2, H, W), np.float32))
+        assert status == 200
+        with pytest.raises(urllib.error.HTTPError) as err:  # one of two warm
+            urllib.request.urlopen(_url(srv, "/healthz"))
+        assert err.value.code == 503
+
+        status, _, _ = _post_npy(srv, np.zeros((3, H, W), np.float32))
+        assert status == 200
+        with urllib.request.urlopen(_url(srv, "/healthz")) as resp:
+            assert json.loads(resp.read())["status"] == "ok"
+    finally:
+        srv.shutdown()

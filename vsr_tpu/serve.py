@@ -112,21 +112,27 @@ class ArtifactPool:
         self.servings = [ExportedServing(p) for p in paths]
         self.paths = [str(p) for p in paths]
         self._device_lock = threading.Lock()
-        self.warm = False
+        self._warmed: set = set()  # ids of servings compiled at least once
         if warmup:
             self.warmup()
+
+    @property
+    def warm(self) -> bool:
+        """True once every program has compiled (at startup, or — under
+        --no-warmup — lazily as requests exercise each artifact)."""
+        return len(self._warmed) == len(self.servings)
 
     def warmup(self) -> None:
         for s in self.servings:
             zeros = np.zeros(s.meta["frames_shape"], np.float32)
             self._call(s, zeros)
-        self.warm = True
 
     def _call(self, serving, frames: np.ndarray) -> np.ndarray:
         import jax
 
         with self._device_lock:
             _, sr = serving(jax.device_put(frames))
+            self._warmed.add(id(serving))
             return np.asarray(sr, np.float32)
 
     def route(self, frames_shape) -> "ExportedServing":
