@@ -102,15 +102,18 @@ def bench_jax() -> dict:
     # host<->device data at ~10-75 MB/s (a development artifact, orders of
     # magnitude below real TPU host links), so the timed sections measure the
     # on-device pipeline; the torch baseline likewise has no transfers.
-    # Two volumes per call (600 frames) lifts MXU utilization ~12%.
-    assert JAX_VOLUMES % 2 == 0
-    pairs = [
+    # Four volumes per call (1200 frames) is the measured sweet spot
+    # (scripts/probe_edsr_vpc.py on-chip sweep: bf16 12.41 / 12.74 / 12.26
+    # vol/s at vpc 2 / 4 / 6; W8A8 16.71 / 16.93 at vpc 2 / 4).
+    VPC = 4  # EDSR volumes per jitted call
+    assert JAX_VOLUMES % VPC == 0
+    groups = [
         jax.device_put(np.concatenate(
-            [_make_volume(2 * i).reshape(D * T, H, W),
-             _make_volume(2 * i + 1).reshape(D * T, H, W)]))
-        for i in range(JAX_VOLUMES // 2)
+            [_make_volume(VPC * i + j).reshape(D * T, H, W)
+             for j in range(VPC)]))
+        for i in range(JAX_VOLUMES // VPC)
     ]
-    jax.block_until_ready(pairs)
+    jax.block_until_ready(groups)
 
     # ---- EDSR-16/64 bf16 (the primary series) ----------------------------
     # fused_tail folds the final conv through the pixel-shuffle
@@ -121,9 +124,9 @@ def bench_jax() -> dict:
     eparams = edsr.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, H // FACTOR, W // FACTOR, 1)))
     pipe = make_pipeline(lambda z: edsr.apply(eparams, z))
-    vps = _timed_pipeline(pipe, pairs, JAX_VOLUMES)
-    flops = _flops_of(pipe, pairs[0])  # per 2-volume call
-    tflops = flops * (JAX_VOLUMES / 2) * vps / JAX_VOLUMES / 1e12
+    vps = _timed_pipeline(pipe, groups, JAX_VOLUMES)
+    flops = _flops_of(pipe, groups[0])  # per VPC-volume call
+    tflops = flops * (JAX_VOLUMES / VPC) * vps / JAX_VOLUMES / 1e12
     results["edsr_bf16"] = {
         "volumes_per_sec": round(vps, 3),
         "tflops": round(tflops, 1),
@@ -136,7 +139,7 @@ def bench_jax() -> dict:
     qparams, scales = quantize_params(eparams)
     qpipe = make_pipeline(
         make_quantized_apply(edsr, qparams, scales, compute_dtype=jnp.bfloat16))
-    vps_q = _timed_pipeline(qpipe, pairs, JAX_VOLUMES)
+    vps_q = _timed_pipeline(qpipe, groups, JAX_VOLUMES)
     results["edsr_int8w"] = {"volumes_per_sec": round(vps_q, 3)}
     _log(f"EDSR int8-weights: {vps_q:.2f} vol/s")
 
@@ -149,10 +152,10 @@ def bench_jax() -> dict:
     from vsr_tpu.quantize import calibrate_w8a8, make_w8a8_apply
 
     z_cal = jax.jit(lambda v: ((kspace_downscale_jax(v, FACTOR)
-                                - mean) / (std + 1e-10))[..., None])(pairs[0])
+                                - mean) / (std + 1e-10))[..., None])(groups[0])
     act_scales = calibrate_w8a8(edsr, eparams, [z_cal])
     wpipe = make_pipeline(make_w8a8_apply(edsr, eparams, act_scales=act_scales))
-    vps_w = _timed_pipeline(wpipe, pairs, JAX_VOLUMES)
+    vps_w = _timed_pipeline(wpipe, groups, JAX_VOLUMES)
     results["edsr_w8a8"] = {"volumes_per_sec": round(vps_w, 3),
                             "calibrated_convs": len(act_scales)}
     _log(f"EDSR W8A8 (static scales): {vps_w:.2f} vol/s "
