@@ -402,6 +402,78 @@ def test_w8a8_conv_filter_selects_subset(rng):
                                rtol=0, atol=1e-4)
 
 
+def test_filter_scales_by_kernel(rng):
+    """filter_scales_by_kernel prunes a calibration to the requested spatial
+    kernel sizes (the selective-W8A8 knob: k6-only measures 1.08x on the
+    DBPN-ladder nets where full W8A8 regresses 0.91x —
+    scripts/probe_w8a8_selective.py)."""
+    from vsr_tpu.models.common import Conv
+    from vsr_tpu.quantize import filter_scales_by_kernel
+
+    class Mixed(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = Conv(24, 3, padding=1)(x)
+            x = Conv(24, 1, padding=0)(x)
+            return Conv(24, 6, strides=2, padding=2)(x)
+
+    net = Mixed()
+    x = jnp.asarray(rng.random((1, 8, 8, 16)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    cal = calibrate_w8a8(net, params, [x])
+    assert len(cal) == 3
+    assert set(filter_scales_by_kernel(params, cal, {6})) == {"Conv_2/Conv_0"}
+    assert set(filter_scales_by_kernel(params, cal, {3, 6})) == {
+        "Conv_0/Conv_0", "Conv_2/Conv_0"}
+    assert filter_scales_by_kernel(params, cal, {5}) == {}
+    # Entries missing from the params' kernel map are dropped (serve exact).
+    assert filter_scales_by_kernel(params, {"ghost/Conv_0": 1.0}, {3}) == {}
+
+
+def test_w8a8_kernels_through_infer_pipeline(rng):
+    """make_pipeline(w8a8=<dict>, w8a8_kernels=...) serves the pruned subset
+    quantized and everything else exact; the knob rejects non-static w8a8
+    forms."""
+    import pytest
+
+    from vsr_tpu.infer import make_pipeline, make_prep
+    from vsr_tpu.quantize import filter_scales_by_kernel
+
+    net = EDSRNet(in_channels=1, out_channels=1, num_resblocks=1,
+                  num_features=16, upscale_factor=2)
+    frames = _smooth_images(rng, 2, 16)[..., 0]
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 1)))
+    lr_f, sr_f = make_pipeline(net, params, 2, "acdc")(frames)
+    # Calibrate from the same normalized LR batch the lazy path sees, so
+    # the dict pipeline and the lazy pipeline bake identical scales.
+    z = jax.jit(lambda h: make_prep(2, "acdc")(h)[1])(jnp.asarray(frames))
+    cal = calibrate_w8a8(net, params, [z])
+    # Every eligible conv in this EDSR is 3x3, so {3} keeps the full set
+    # and the k3-filtered pipeline == the unfiltered W8A8 pipeline.
+    assert filter_scales_by_kernel(params, cal, {3}) == dict(cal)
+    lr_k, sr_k = make_pipeline(net, params, 2, "acdc", w8a8=dict(cal),
+                               w8a8_kernels={3})(frames)
+    lr_p, sr_p = make_pipeline(net, params, 2, "acdc", w8a8=dict(cal))(frames)
+    np.testing.assert_array_equal(np.asarray(sr_k), np.asarray(sr_p))
+    np.testing.assert_array_equal(np.asarray(lr_f), np.asarray(lr_k))
+    assert np.abs(np.asarray(sr_f) - np.asarray(sr_k)).max() <= 3.0
+    # {6} prunes everything -> the pipeline serves full precision exactly.
+    _, sr_none = make_pipeline(net, params, 2, "acdc", w8a8=dict(cal),
+                               w8a8_kernels={6})(frames)
+    np.testing.assert_array_equal(np.asarray(sr_none), np.asarray(sr_f))
+
+    # Lazy (w8a8=True) form accepts the knob too.
+    lazy = make_pipeline(net, params, 2, "acdc", w8a8=True, w8a8_kernels={3})
+    np.testing.assert_array_equal(np.asarray(lazy(frames)[1]),
+                                  np.asarray(sr_k))
+
+    with pytest.raises(ValueError, match="w8a8_kernels"):
+        make_pipeline(net, params, 2, "acdc", w8a8_kernels={3})
+    with pytest.raises(ValueError, match="w8a8_kernels"):
+        make_pipeline(net, params, 2, "acdc", w8a8="dynamic",
+                      w8a8_kernels={3})
+
+
 def test_kernel_shapes_matches_calibration_keys(rng):
     """kernel_shapes' key space covers calibrate_w8a8's paths, enabling
     geometry-based filtering of a cached calibration."""

@@ -214,6 +214,16 @@ def _cmd_export(args) -> None:
     if w8a8 and getattr(args, "int8", False):
         raise SystemExit("--int8 (weight-only) and --w8a8 (int8 MXU "
                          "compute) are separate paths; pick one")
+    if getattr(args, "w8a8_kernels", ""):
+        if not isinstance(w8a8, dict):
+            raise SystemExit("--w8a8-kernels needs W8A8 scales "
+                             "(--w8a8-scales or --w8a8 with --calib)")
+        from vsr_tpu.quantize import filter_scales_by_kernel
+
+        sizes = {int(s) for s in args.w8a8_kernels.split(",")}
+        w8a8 = filter_scales_by_kernel(params, w8a8, sizes)
+        logging.info(f"--w8a8-kernels {sorted(sizes)}: "
+                     f"{len(w8a8)} convs stay quantized")
 
     platforms = args.platforms.split(",") if args.platforms else None
     blob, meta = export_serving(
@@ -352,6 +362,11 @@ def main() -> None:
                    help="JSON file of precomputed {module_path: scale} "
                         "activation scales (vsr_tpu.quantize.calibrate_w8a8"
                         " / scripts/calibrate_zoo_net.py); implies --w8a8")
+    p.add_argument("--w8a8-kernels", dest="w8a8_kernels", default="",
+                   help="comma-separated spatial kernel sizes to quantize "
+                        "(e.g. '6'); other convs stay full precision — "
+                        "the selective-W8A8 knob the DBPN-ladder nets "
+                        "need (scripts/probe_w8a8_selective.py)")
     p.add_argument("--calib", default="",
                    help="with --w8a8: directory of sample NIfTI volumes of "
                         "the artifact geometry to calibrate activation "

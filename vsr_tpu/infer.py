@@ -75,7 +75,7 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
                   video_t: int | None = None, mesh=None,
                   window: tuple[int, int, str] | None = None,
                   train_flag: bool = False, chunk: int = 0,
-                  w8a8=False):
+                  w8a8=False, w8a8_kernels=None):
     """One jitted device program: HR float frames (N, H, W) ->
     (lr_frames, sr_frames) uint8-valued float32.
 
@@ -92,6 +92,13 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     gated at <0.5 dB in tests/test_quantize.py; narrow head/tail convs stay
     full precision. Composes with ``mesh`` when the scales are static
     (dict/"dynamic"); only the lazy ``True`` form is mesh-incompatible.
+
+    ``w8a8_kernels``: restrict W8A8 to convs of these spatial kernel sizes
+    (e.g. ``{6}``); the rest serve full precision. The DBPN-ladder nets
+    need this: full W8A8 regresses there (quantizing the 1x1 squeezes
+    breaks the concat fusions) while k6-only measures 1.08x on
+    SRFBN/DRFSISR (scripts/probe_w8a8_selective.py). Static-scale forms
+    only (lazy ``True`` or a dict — not ``"dynamic"``).
 
     ``video_t``: for sequence (VSR) nets — the N frames are D*video_t
     slice-sequences; the net sees (D, T, h, w, 1) and every SR frame is
@@ -135,8 +142,13 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
             "w8a8 lazy (first-batch) calibration is not supported under "
             "--mesh; pass precomputed static scales (--w8a8-scales / a "
             "{path: scale} dict from calibrate_w8a8)")
+    if w8a8_kernels is not None and w8a8 in (False, "dynamic"):
+        raise ValueError("w8a8_kernels filters static activation scales — "
+                         "it needs w8a8=True (lazy calibration) or a "
+                         "precomputed {path: scale} dict, not "
+                         f"w8a8={w8a8!r}")
     if w8a8:
-        from vsr_tpu.quantize import make_w8a8_apply
+        from vsr_tpu.quantize import filter_scales_by_kernel, make_w8a8_apply
 
         # A dict (from calibrate_w8a8) bakes static scales directly;
         # w8a8=True calibrates LAZILY on the first batch below — static
@@ -145,6 +157,8 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
         # (scripts/probe_w8a8_serving.py). "dynamic" forces the latter.
         if isinstance(w8a8, dict) or w8a8 == "dynamic":
             scales = w8a8 if isinstance(w8a8, dict) else "dynamic"
+            if w8a8_kernels is not None:
+                scales = filter_scales_by_kernel(params, scales, w8a8_kernels)
             net_apply = make_w8a8_apply(net, params, act_scales=scales,
                                         **extra)
         else:
@@ -198,7 +212,9 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
         # served (its normalized LR inputs), then serve every batch with
         # the baked-scale program. Scan-body convs (recurrent nets) cannot
         # be calibrated and stay full precision — exactness preserved.
-        from vsr_tpu.quantize import calibrate_w8a8, make_w8a8_apply
+        from vsr_tpu.quantize import (
+            calibrate_w8a8, filter_scales_by_kernel, make_w8a8_apply,
+        )
 
         state: dict = {}
 
@@ -206,6 +222,9 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
             if "fn" not in state:
                 z = jax.jit(lambda h: prep(h)[1])(jnp.asarray(hr_frames))
                 act_scales = calibrate_w8a8(net, params, [z], **extra)
+                if w8a8_kernels is not None:
+                    act_scales = filter_scales_by_kernel(
+                        params, act_scales, w8a8_kernels)
                 state["fn"] = jax.jit(make_fn(make_w8a8_apply(
                     net, params, act_scales=act_scales, **extra)))
             return state["fn"](hr_frames)
@@ -254,6 +273,11 @@ def run(args) -> dict:
     if scales_path:  # precomputed static scales imply --w8a8
         with open(scales_path) as f:
             w8a8_arg = {k: float(v) for k, v in json.load(f).items()}
+    w8a8_kernels = None
+    if getattr(args, "w8a8_kernels", ""):
+        if not w8a8_arg:
+            raise SystemExit("--w8a8-kernels needs --w8a8 or --w8a8-scales")
+        w8a8_kernels = {int(s) for s in args.w8a8_kernels.split(",")}
 
     params = None
     pipelines: dict = {}
@@ -326,6 +350,7 @@ def run(args) -> dict:
                 net, params, args.factor, args.dataset,
                 int8=getattr(args, "int8", False),
                 w8a8=w8a8_arg,
+                w8a8_kernels=w8a8_kernels,
                 video_t=t_eff if video else None,
                 mesh=mesh,
                 window=((windows, t, getattr(args, "window_order", "middle"))
@@ -416,6 +441,13 @@ def main() -> None:
                              "calibrate_w8a8 / scripts/calibrate_zoo_net.py "
                              "— required to quantize scan-body convs of "
                              "the recurrent nets); implies --w8a8")
+    parser.add_argument("--w8a8-kernels", dest="w8a8_kernels", default="",
+                        help="comma-separated spatial kernel sizes to "
+                             "quantize (e.g. '6' or '3,6'); other convs "
+                             "serve full precision. The DBPN-ladder nets "
+                             "(SRFBN/DRFSISR) regress under full W8A8 but "
+                             "win 1.08x at k6-only "
+                             "(scripts/probe_w8a8_selective.py)")
     parser.add_argument("--video", action="store_true",
                         help="sequence (VSR) net: SR every slice's whole "
                              "time series as one sequence")

@@ -121,6 +121,24 @@ def quantized_nbytes(qparams) -> int:
     return sum(np.asarray(l).nbytes for l in jax.tree_util.tree_leaves(qparams))
 
 
+def filter_scales_by_kernel(params, act_scales: dict, sizes) -> dict:
+    """Keep only the activation scales of convs whose spatial kernel size is
+    in ``sizes`` (e.g. ``{6}`` = the k6s2 projections, ``{3, 6}`` = all but
+    the 1x1 squeezes). Pruned convs serve full precision (uncalibrated-conv
+    fallback in :func:`make_w8a8_apply`).
+
+    This is the selective-W8A8 knob the DBPN-ladder nets need: full W8A8
+    REGRESSES there (0.91x — quantizing the bandwidth-bound 1x1 squeezes
+    breaks the concat fusions their serving time depends on) while k6-only
+    measures 1.08x on SRFBN/DRFSISR (scripts/probe_w8a8_selective.py, on
+    chip). Exposed as ``--w8a8-kernels`` in ``vsr_tpu.infer`` / ``export``.
+    """
+    sizes = set(int(s) for s in sizes)
+    shapes = kernel_shapes(params)
+    return {path: s for path, s in act_scales.items()
+            if path in shapes and int(shapes[path][0]) in sizes}
+
+
 # ---------------------------------------------------------------------------
 # W8A8: run the convs themselves on the double-rate int8 MXU.
 #
