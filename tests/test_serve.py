@@ -174,6 +174,67 @@ def test_unknown_path_404(server):
     assert err.value.code == 404
 
 
+def test_live_mesh_pipeline_serving(tmp_path):
+    """A live (net+checkpoint) pipeline sharded over a data x spatial mesh
+    serves through the daemon and matches the direct mesh pipeline; /healthz
+    reports its mesh; it pools alongside artifacts (routes by shape)."""
+    from vsr_tpu.infer import make_pipeline
+    from vsr_tpu.parallel.mesh import make_mesh
+    from vsr_tpu.serve import LivePipeline
+
+    mesh = make_mesh({"data": 4, "spatial": 2})
+    live = LivePipeline(net_name="EDSRNet",
+                        net_kwargs={"in_channels": 1, "out_channels": 1,
+                                    "num_resblocks": 1, "num_features": 4,
+                                    "upscale_factor": FACTOR},
+                        checkpoint="", frames_shape=(N, H, W),
+                        factor=FACTOR, mesh=mesh)
+    art = _make_artifact(tmp_path, frames=2, name="side.vsrx")
+    srv = make_server([art], port=0, warmup=True, live=[live])
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(_url(srv, "/healthz")) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok"
+        assert any(p.startswith("live:EDSRNet") for p in
+                   (a["path"] for a in health["artifacts"]))
+        with urllib.request.urlopen(_url(srv, "/v1/meta")) as resp:
+            metas = json.loads(resp.read())
+        assert any(m.get("live") and m["mesh"] == {"data": 4, "spatial": 2}
+                   for m in metas)
+
+        rng = np.random.default_rng(3)
+        frames = np.round(rng.random((N, H, W)) * 255).astype(np.float32)
+        status, body, _ = _post_npy(srv, frames)
+        assert status == 200
+        sr = np.load(io.BytesIO(body))
+
+        net = EDSRNet(in_channels=1, out_channels=1, num_resblocks=1,
+                      num_features=4, upscale_factor=FACTOR)
+        params = net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, H // FACTOR, W // FACTOR, 1)))
+        _, want = make_pipeline(net, params, FACTOR, "acdc",
+                                mesh=mesh)(frames)
+        np.testing.assert_allclose(sr, np.asarray(want, np.float32),
+                                   rtol=0, atol=1e-5)
+
+        # The 2-frame artifact still routes 2-frame volumes.
+        status, body, _ = _post_npy(srv, np.zeros((2, H, W), np.float32))
+        assert status == 200
+        assert np.load(io.BytesIO(body)).shape == (2, H, W)
+    finally:
+        srv.shutdown()
+
+
+def test_live_pipeline_rejects_lazy_w8a8():
+    from vsr_tpu.serve import LivePipeline
+
+    with pytest.raises(ValueError, match="lazy"):
+        LivePipeline(net_name="EDSRNet", net_kwargs={}, checkpoint="",
+                     frames_shape=(2, H, W), factor=FACTOR, w8a8=True)
+
+
 def test_no_warmup_becomes_warm_lazily(tmp_path):
     """Under --no-warmup, /healthz starts 503 ('warming') and flips to 200
     once every artifact has compiled through real requests."""

@@ -31,8 +31,18 @@ Serving semantics, TPU-first:
 - Programs are warmed (compiled) at startup so the first request doesn't
   pay the compile.
 
+Two backends share the pool and routing:
+- ``--artifact x.vsrx``: frozen single-device StableHLO programs (fast
+  startup, no model code needed).
+- ``--net EDSRNet --checkpoint m.ckpt --frames-shape 300,192,192
+  [--mesh data=4,spatial=2]``: live pipelines built through
+  ``infer.make_pipeline`` — the mesh-sharded multi-chip mode lives here
+  (``jax.export`` artifacts are single-device by contract; GSPMD
+  partitioning happens at jit time).
+
 CLI:
   python -m vsr_tpu.serve --artifact edsr_x2.vsrx [--artifact ...] \
+      [--net ... --checkpoint ... --frames-shape N,H,W [--mesh ...]] \
       [--host 127.0.0.1] [--port 8973] [--no-warmup]
 """
 
@@ -103,14 +113,84 @@ class Metrics:
             return "\n".join(lines) + "\n"
 
 
+class LivePipeline:
+    """A live serving program built from net + checkpoint — the daemon's
+    second backend, for the modes a frozen ``.vsrx`` artifact cannot
+    express: ``jax.export`` serializes a SINGLE-DEVICE program, while GSPMD
+    partitioning happens at jit time, so mesh-sharded multi-chip serving
+    (``--mesh data=4,spatial=2`` on a pod slice) must build the pipeline
+    live. ``meta`` mirrors :class:`ExportedServing`'s so
+    :class:`ArtifactPool` routes both kinds identically.
+    """
+
+    host_input = True  # shard_pipeline shards host arrays itself
+
+    def __init__(self, *, net_name: str, net_kwargs: dict, checkpoint: str,
+                 frames_shape, factor: int, dataset: str = "acdc",
+                 mesh=None, video_t=None, window=None, chunk: int = 0,
+                 int8: bool = False, w8a8=False, w8a8_kernels=None):
+        import jax
+        import jax.numpy as jnp
+
+        from vsr_tpu.infer import make_pipeline
+        from vsr_tpu.registry import build
+
+        if w8a8 is True:
+            raise ValueError(
+                "live serving warms programs on zero batches — lazy "
+                "first-batch W8A8 calibration would bake degenerate "
+                "scales; pass precomputed static scales (a {path: scale} "
+                "dict / --w8a8-scales)")
+        net = build("net", {"name": net_name, "kwargs": dict(net_kwargs)})
+        n, h, w = frames_shape
+        train_flag = net_name in ("TOFlowNet", "DUFNet")
+        if video_t:
+            example = jnp.zeros((1, 2, h // factor, w // factor, 1))
+        elif window:
+            example = jnp.zeros((1, window[0], h // factor, w // factor, 1))
+        else:
+            example = jnp.zeros((1, h // factor, w // factor, 1))
+        init_kw = {"train": False} if train_flag else {}
+        params = net.init(jax.random.PRNGKey(0), example, **init_kw)
+        if checkpoint:
+            from flax import serialization
+
+            from vsr_tpu.utils.checkpoint import load_checkpoint
+
+            state, _ = load_checkpoint(checkpoint)
+            params = serialization.from_state_dict(params, state["params"])
+        self._pipe = make_pipeline(
+            net, params, factor, dataset, mesh=mesh, video_t=video_t,
+            window=window, chunk=chunk, train_flag=train_flag, int8=int8,
+            w8a8=w8a8, w8a8_kernels=w8a8_kernels)
+        self.meta = {
+            "frames_shape": list(frames_shape),
+            "factor": factor,
+            "dataset": dataset,
+            "net": net_name,
+            "video_t": video_t,
+            "window": list(window) if window else None,
+            "chunk": chunk,
+            "int8": int8,
+            "w8a8_convs": len(w8a8) if isinstance(w8a8, dict) else 0,
+            "mesh": dict(mesh.shape) if mesh is not None else None,
+            "live": True,
+        }
+
+    def __call__(self, frames):
+        return self._pipe(frames)
+
+
 class ArtifactPool:
     """Loaded artifacts + routing + the serialized device executor."""
 
-    def __init__(self, paths, warmup: bool = True):
-        if not paths:
-            raise ValueError("at least one --artifact is required")
-        self.servings = [ExportedServing(p) for p in paths]
-        self.paths = [str(p) for p in paths]
+    def __init__(self, paths, warmup: bool = True, live=()):
+        if not paths and not live:
+            raise ValueError(
+                "at least one --artifact or live --net serving is required")
+        self.servings = [ExportedServing(p) for p in paths] + list(live)
+        self.paths = [str(p) for p in paths] + [
+            f"live:{s.meta['net']}" for s in live]
         self._device_lock = threading.Lock()
         self._warmed: set = set()  # ids of servings compiled at least once
         if warmup:
@@ -131,7 +211,10 @@ class ArtifactPool:
         import jax
 
         with self._device_lock:
-            _, sr = serving(jax.device_put(frames))
+            if getattr(serving, "host_input", False):
+                _, sr = serving(frames)  # mesh path shards host arrays
+            else:
+                _, sr = serving(jax.device_put(frames))
             self._warmed.add(id(serving))
             return np.asarray(sr, np.float32)
 
@@ -221,10 +304,12 @@ def _encode_volume(sr: np.ndarray, kind: str, nii_geom):
 
 
 def make_server(artifact_paths, host: str = "127.0.0.1", port: int = 0,
-                warmup: bool = True) -> ThreadingHTTPServer:
+                warmup: bool = True, live=()) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``.serve_forever()`` it or
-    run it in a thread (tests). ``port=0`` binds an ephemeral port."""
-    pool = ArtifactPool(artifact_paths, warmup=warmup)
+    run it in a thread (tests). ``port=0`` binds an ephemeral port.
+    ``live``: extra :class:`LivePipeline` servings (mesh-sharded / ad-hoc
+    net+checkpoint) pooled alongside the artifacts."""
+    pool = ArtifactPool(artifact_paths, warmup=warmup, live=live)
     metrics = Metrics()
 
     class Handler(BaseHTTPRequestHandler):
@@ -317,18 +402,101 @@ def make_server(artifact_paths, host: str = "127.0.0.1", port: int = 0,
     return server
 
 
+def live_from_args(args) -> list:
+    """``--net ...`` CLI flags -> a list of :class:`LivePipeline`, one per
+    ``--frames-shape`` geometry (each compiles its own program; requests
+    route by shape like artifacts)."""
+    if not getattr(args, "net", ""):
+        return []
+    if not args.frames_shape:
+        raise SystemExit("--net (live serving) needs --frames-shape N,H,W")
+    import jax.numpy as jnp
+
+    net_kwargs = json.loads(args.net_kwargs) if args.net_kwargs else {}
+    if args.bf16:
+        net_kwargs["dtype"] = jnp.bfloat16
+    mesh = None
+    if args.mesh:
+        from vsr_tpu.parallel.mesh import make_mesh
+        from vsr_tpu.parallel.serving import parse_mesh_axes
+
+        mesh = make_mesh(parse_mesh_axes(args.mesh))
+        if args.chunk:
+            raise SystemExit("--chunk and --mesh are mutually exclusive "
+                             "(the mesh path shards the un-chunked batch)")
+    window = None
+    if args.windows:
+        if not args.seq_t:
+            raise SystemExit("--windows needs --seq-t")
+        window = (args.windows, args.seq_t, args.window_order)
+    w8a8: object = False
+    if args.w8a8_scales:
+        with open(args.w8a8_scales) as f:
+            w8a8 = {k: float(v) for k, v in json.load(f).items()}
+    w8a8_kernels = ({int(s) for s in args.w8a8_kernels.split(",")}
+                    if args.w8a8_kernels else None)
+    live = []
+    for spec in args.frames_shape:
+        shape = tuple(int(s) for s in spec.split(","))
+        if len(shape) != 3:
+            raise SystemExit(f"--frames-shape must be N,H,W, got {spec!r}")
+        live.append(LivePipeline(
+            net_name=args.net, net_kwargs=net_kwargs,
+            checkpoint=args.checkpoint, frames_shape=shape,
+            factor=args.factor, dataset=args.dataset, mesh=mesh,
+            video_t=args.video_t or None, window=window, chunk=args.chunk,
+            int8=args.int8, w8a8=w8a8, w8a8_kernels=w8a8_kernels))
+    return live
+
+
 def main() -> None:
     logging.basicConfig(format="%(asctime)s | %(levelname)s | %(message)s",
                         level=logging.INFO, datefmt="%Y-%m-%d %H:%M:%S")
     p = argparse.ArgumentParser(
-        description="HTTP serving daemon for .vsrx artifacts")
-    p.add_argument("--artifact", action="append", required=True,
+        description="HTTP serving daemon for .vsrx artifacts and live "
+                    "(net+checkpoint, optionally mesh-sharded) pipelines")
+    p.add_argument("--artifact", action="append", default=[],
                    help="path to a .vsrx artifact (repeatable — one per "
                         "serving geometry; requests route by shape)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8973)
     p.add_argument("--no-warmup", action="store_true",
                    help="skip compiling all programs at startup")
+    # Live serving (the mesh-capable backend — artifacts are single-device
+    # programs by jax.export's contract).
+    p.add_argument("--net", default="",
+                   help="serve a live pipeline for this registered net "
+                        "instead of / alongside artifacts")
+    p.add_argument("--net-kwargs", default="", help="JSON net kwargs")
+    p.add_argument("--checkpoint", default="",
+                   help="checkpoint to load into the live net")
+    p.add_argument("--frames-shape", action="append", default=[],
+                   help="serving geometry N,H,W (repeatable — one live "
+                        "program per geometry)")
+    p.add_argument("--factor", type=int, default=2)
+    p.add_argument("--dataset", choices=["acdc", "dsb15"], default="acdc")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--int8", action="store_true")
+    p.add_argument("--w8a8-scales", dest="w8a8_scales", default="",
+                   help="JSON of static activation scales for W8A8 live "
+                        "serving (lazy calibration is rejected: warmup "
+                        "runs on zero batches)")
+    p.add_argument("--w8a8-kernels", dest="w8a8_kernels", default="",
+                   help="restrict W8A8 to these spatial kernel sizes")
+    p.add_argument("--mesh", default="",
+                   help="shard the live pipeline over a device mesh, e.g. "
+                        "'data=4,spatial=2' (vsr_tpu/parallel/serving.py)")
+    p.add_argument("--video-t", dest="video_t", type=int, default=0,
+                   help="whole-sequence (VSR) live serving: frames are "
+                        "D*video_t slice-sequences")
+    p.add_argument("--windows", type=int, default=0,
+                   help="MISR live serving: circular N-frame windows")
+    p.add_argument("--seq-t", dest="seq_t", type=int, default=0,
+                   help="frames per slice sequence (with --windows)")
+    p.add_argument("--window-order", dest="window_order",
+                   choices=["middle", "last"], default="middle")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="lax.map chunking inside the live program")
     args = p.parse_args()
 
     import jax
@@ -337,9 +505,11 @@ def main() -> None:
                       f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+    live = live_from_args(args)
     server = make_server(args.artifact, args.host, args.port,
-                         warmup=not args.no_warmup)
-    logging.info(f"serving {len(args.artifact)} artifact(s) on "
+                         warmup=not args.no_warmup, live=live)
+    logging.info(f"serving {len(args.artifact)} artifact(s) + "
+                 f"{len(live)} live pipeline(s) on "
                  f"http://{args.host}:{server.server_address[1]}")
     try:
         server.serve_forever()
