@@ -134,6 +134,7 @@ def main(only: list[str]) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
+    from vsr_tpu.infer import TRAIN_FLAG_NETS
     from vsr_tpu.preprocess.kspace import kspace_downscale_jax
 
     cases = build_cases(subpixel, fsq)
@@ -156,7 +157,7 @@ def main(only: list[str]) -> None:
             example = jnp.zeros((1, 2, h, w, 1))
         else:
             example = jnp.zeros((1, win, h, w, 1))
-        extra = {"train": False} if name in ("TOFlowNet", "DUFNet") else {}
+        extra = {"train": False} if name in TRAIN_FLAG_NETS else {}
         params = net.init(jax.random.PRNGKey(0), example, **extra)
 
         build_z = make_build_z(jnp, kspace_downscale_jax,

@@ -49,6 +49,7 @@ def main(argv: list[str]) -> None:
     import jax.numpy as jnp
 
     from vsr_tpu.preprocess.kspace import kspace_downscale_jax
+    from vsr_tpu.infer import TRAIN_FLAG_NETS
     from vsr_tpu.quantize import calibrate_w8a8
 
     by_name = {c[0]: c for c in build_cases(subpixel, fsq)}
@@ -64,7 +65,7 @@ def main(argv: list[str]) -> None:
         example = jnp.zeros((1, 2, h, w, 1))
     else:
         example = jnp.zeros((1, win, h, w, 1))
-    extra = {"train": False} if name in ("TOFlowNet", "DUFNet") else {}
+    extra = {"train": False} if name in TRAIN_FLAG_NETS else {}
     params = net.init(jax.random.PRNGKey(0), example, **extra)
 
     # One volume (vpc=1 — activation scales don't depend on the batch), the

@@ -80,23 +80,31 @@ def main():
     # Inputs are explicit arguments (a large closure-captured operand gets
     # embedded into the serialized HLO and trips the remote-compile body
     # limit at bf16 sizes — HTTP 413).
+    #
+    # Serial dependency: every variant chains through the WEIGHT via
+    # ``(carry != carry)`` — 0 for any finite carry but opaque to XLA's
+    # algebraic simplifier (ne(x, x) is true for NaN, so it cannot fold),
+    # and a scalar broadcast-add on the 36 KB weight is noise next to the
+    # 141 MB activation conv. The first version of this probe rolled the
+    # ACTIVATION by ``carry & 0``, which XLA folds to the identity — the
+    # int8 chains were fictional (caught in review by reading the
+    # optimized HLO: the carry parameter fed nothing).
+    def chained(w, carry):
+        return w + (carry != carry).astype(w.dtype)
+
     @jax.jit
     def step_bf16(carry, xb, wb):
-        out = conv(xb + (carry * 1e-12).astype(xb.dtype), wb)
+        out = conv(xb, chained(wb, carry))
         return jnp.mean(out.astype(jnp.float32))
 
     @jax.jit
     def step_int8(carry, xq, wq):
-        # Serial dependency without touching the int8 operand values:
-        # roll by a data-dependent 0 so the conv consumes the carry.
-        x = jnp.roll(xq, (carry.astype(jnp.int32) & 0), axis=0)
-        out = conv(x, wq, preferred_element_type=jnp.int32)
+        out = conv(xq, chained(wq, carry), preferred_element_type=jnp.int32)
         return jnp.mean(out.astype(jnp.float32))
 
     @jax.jit
     def step_int8_deq(carry, xq, wq):
-        x = jnp.roll(xq, (carry.astype(jnp.int32) & 0), axis=0)
-        out = conv(x, wq, preferred_element_type=jnp.int32)
+        out = conv(xq, chained(wq, carry), preferred_element_type=jnp.int32)
         out = (out.astype(jnp.float32) * scale).astype(jnp.bfloat16)
         return jnp.mean(out.astype(jnp.float32))
 
@@ -105,18 +113,16 @@ def main():
         # The full W8A8 layer a real quantized net runs: quantize the bf16
         # activation per-tensor, int8 conv, dequantize to bf16.
         xs = jnp.float32(0.05)
-        x = xb + (carry * 1e-12).astype(xb.dtype)
-        q = jnp.clip(jnp.round(x.astype(jnp.float32) / xs), -127, 127)
+        q = jnp.clip(jnp.round(xb.astype(jnp.float32) / xs), -127, 127)
         q = q.astype(jnp.int8)
-        out = conv(q, wq, preferred_element_type=jnp.int32)
+        out = conv(q, chained(wq, carry), preferred_element_type=jnp.int32)
         out = (out.astype(jnp.float32) * (scale * xs)).astype(jnp.bfloat16)
         return jnp.mean(out.astype(jnp.float32))
 
     @jax.jit
     def step_int8_dot(carry, xq, wq):
-        x = jnp.roll(xq, (carry.astype(jnp.int32) & 0), axis=0)
         out = jax.lax.dot_general(
-            x.reshape(-1, C), wq[0, 0],
+            xq.reshape(-1, C), chained(wq[0, 0], carry),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
         return jnp.mean(out.astype(jnp.float32))

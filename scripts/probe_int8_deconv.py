@@ -74,15 +74,23 @@ def main():
         rng.standard_normal(C) * 1e-4, jnp.float32))
     jax.block_until_ready([xb, wb, xq, wq, scale])
 
+    # Serial dependency through the WEIGHT: (carry != carry) is 0 for any
+    # finite carry but XLA cannot fold ne(x, x) for floats (NaN), so the
+    # chain survives; the scalar broadcast-add on the 36 KB weight is
+    # noise. (The previous roll-by-(carry & 0) chain was folded away —
+    # see probe_int8_conv.py.)
+    def chained(w, carry):
+        return w + (carry != carry).astype(w.dtype)
+
     @jax.jit
     def step_bf16(carry, xb, wb):
-        out = deconv(xb + (carry * 1e-12).astype(xb.dtype), wb)
+        out = deconv(xb, chained(wb, carry))
         return jnp.mean(out.astype(jnp.float32))
 
     @jax.jit
     def step_int8(carry, xq, wq):
-        x = jnp.roll(xq, (carry.astype(jnp.int32) & 0), axis=0)
-        out = deconv(x, wq, preferred_element_type=jnp.int32)
+        out = deconv(xq, chained(wq, carry),
+                     preferred_element_type=jnp.int32)
         return jnp.mean(out.astype(jnp.float32))
 
     @jax.jit
@@ -90,10 +98,9 @@ def main():
         # The full W8A8 layer: quantize the bf16 activation per-tensor,
         # int8 deconv, per-channel dequantize back to bf16.
         xs = jnp.float32(0.05)
-        x = xb + (carry * 1e-12).astype(xb.dtype)
-        q = jnp.clip(jnp.round(x.astype(jnp.float32) / xs), -127, 127)
+        q = jnp.clip(jnp.round(xb.astype(jnp.float32) / xs), -127, 127)
         q = q.astype(jnp.int8)
-        out = deconv(q, wq, preferred_element_type=jnp.int32)
+        out = deconv(q, chained(wq, carry), preferred_element_type=jnp.int32)
         out = (out.astype(jnp.float32) * (scale * xs)).astype(jnp.bfloat16)
         return jnp.mean(out.astype(jnp.float32))
 

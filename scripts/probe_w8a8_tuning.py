@@ -56,6 +56,7 @@ def main(argv: list[str]) -> None:
     import jax.numpy as jnp
 
     from vsr_tpu.preprocess.kspace import kspace_downscale_jax
+    from vsr_tpu.infer import TRAIN_FLAG_NETS
     from vsr_tpu.quantize import calibrate_w8a8, make_w8a8_apply
 
     by_name = {c[0]: c for c in build_cases()}
@@ -70,7 +71,7 @@ def main(argv: list[str]) -> None:
             continue
         _, factor, task, net, opts = by_name[name]
         win = opts.get("win")
-        extra = {"train": False} if name in ("TOFlowNet", "DUFNet") else {}
+        extra = {"train": False} if name in TRAIN_FLAG_NETS else {}
         h, w = H // factor, W // factor
         if task == "sisr":
             example = jnp.zeros((1, h, w, 1))

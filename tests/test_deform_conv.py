@@ -133,3 +133,23 @@ def test_matmul_and_gather_paths_agree(rng):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(go_m), np.asarray(go_g),
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_scan_major_layout_agrees(rng, with_mask):
+    """The opt-in scan-major contraction (taps consumed as (k2, dg, N, P,
+    cg) — a kept 0.88x A/B path) pins the default matmul path's values:
+    any refactor of _sample_taps_matmul's tap ordering must keep both
+    layouts consistent."""
+    x = jnp.asarray(rng.random((2, 7, 6, 4)), jnp.float32)
+    weight = jnp.asarray(rng.standard_normal((3, 3, 4, 5)) * 0.3, jnp.float32)
+    offsets = jnp.asarray((rng.random((2, 4, 3, 2, 9, 2)) - 0.5) * 6,
+                          jnp.float32)
+    mask = (jnp.asarray(rng.random((2, 4, 3, 2, 9)), jnp.float32)
+            if with_mask else None)
+    base = deform_conv2d(x, offsets, weight, mask=mask, stride=2,
+                         padding=2, dilation=2)
+    sm = deform_conv2d(x, offsets, weight, mask=mask, stride=2,
+                       padding=2, dilation=2, scan_major=True)
+    np.testing.assert_allclose(np.asarray(sm), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)

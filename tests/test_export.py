@@ -176,8 +176,9 @@ def test_export_w8a8_cli_calibrates_from_volumes(tmp_path, rng):
     sr = load_nifti(tmp_path / "out" / "p1_4d_sr.nii.gz")
     assert sr.shape == (24, 24, 2, 3) and np.isfinite(sr).all()
 
-    # Precomputed-scales file path.
-    scales = {"EDSR_0/Conv_0/Conv_0": 0.05}
+    # Precomputed-scales file path (a real conv path — a dict matching no
+    # conv in the net is now rejected instead of silently serving bf16).
+    scales = {"Conv_0/Conv_0": 0.05}
     sf = tmp_path / "scales.json"
     sf.write_text(json.dumps(scales))
     art2 = tmp_path / "edsr_scales.vsrx"

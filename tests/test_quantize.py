@@ -457,10 +457,23 @@ def test_w8a8_kernels_through_infer_pipeline(rng):
     np.testing.assert_array_equal(np.asarray(sr_k), np.asarray(sr_p))
     np.testing.assert_array_equal(np.asarray(lr_f), np.asarray(lr_k))
     assert np.abs(np.asarray(sr_f) - np.asarray(sr_k)).max() <= 3.0
-    # {6} prunes everything -> the pipeline serves full precision exactly.
-    _, sr_none = make_pipeline(net, params, 2, "acdc", w8a8=dict(cal),
-                               w8a8_kernels={6})(frames)
-    np.testing.assert_array_equal(np.asarray(sr_none), np.asarray(sr_f))
+    # {6} would prune everything -> refused (a silent full-precision serve
+    # masquerading as W8A8 is the failure mode this guards against).
+    with pytest.raises(ValueError, match="filtered every"):
+        make_pipeline(net, params, 2, "acdc", w8a8=dict(cal),
+                      w8a8_kernels={6})
+    # Same guard for a scales dict that matches no conv in this net, and
+    # for an explicitly empty dict.
+    with pytest.raises(ValueError, match="match no conv"):
+        make_pipeline(net, params, 2, "acdc", w8a8={"Ghost_0/Conv_0": 0.5})
+    with pytest.raises(ValueError, match="empty"):
+        make_pipeline(net, params, 2, "acdc", w8a8={})
+    # A lazy pipeline whose kernel filter prunes everything raises at the
+    # first call (calibration happens then).
+    lazy_none = make_pipeline(net, params, 2, "acdc", w8a8=True,
+                              w8a8_kernels={6})
+    with pytest.raises(ValueError, match="no quantizable conv"):
+        lazy_none(frames)
 
     # Lazy (w8a8=True) form accepts the knob too.
     lazy = make_pipeline(net, params, 2, "acdc", w8a8=True, w8a8_kernels={3})

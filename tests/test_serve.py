@@ -172,6 +172,33 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as err:
         urllib.request.urlopen(_url(server, "/nope"))
     assert err.value.code == 404
+    # Unknown paths share one counter label — a URL scanner must not grow
+    # the metrics dict (or inject raw paths into the exposition).
+    with urllib.request.urlopen(_url(server, "/metrics")) as resp:
+        text = resp.read().decode()
+    assert 'endpoint="<other>",status="404"' in text
+    assert "/nope" not in text
+
+
+def test_metrics_histogram_and_label_escaping():
+    """Bucket counts are cumulative exactly once (observe stores per-bucket,
+    render cumulates) and label values are Prometheus-escaped."""
+    from vsr_tpu.serve import Metrics
+
+    m = Metrics()
+    m.observe("/v1/sr", 200, 0.01)
+    m.observe("/v1/sr", 200, 0.5)
+    text = m.render()
+    assert 'vsr_sr_latency_seconds_bucket{le="0.05"} 1' in text
+    assert 'vsr_sr_latency_seconds_bucket{le="0.25"} 1' in text
+    assert 'vsr_sr_latency_seconds_bucket{le="1.0"} 2' in text
+    assert 'vsr_sr_latency_seconds_bucket{le="+Inf"} 2' in text
+    assert "vsr_sr_latency_seconds_count 2" in text
+
+    m.observe('bad"path\nnew', 404, 0.0)
+    escaped = m.render()
+    assert 'endpoint="bad\\"path\\nnew"' in escaped
+    assert 'bad"path\n' not in escaped
 
 
 def test_live_mesh_pipeline_serving(tmp_path):

@@ -36,7 +36,6 @@ from typing import Any, Sequence
 
 import numpy as np
 
-from vsr_tpu.registry import build
 from vsr_tpu.utils.normalize import DATASET_STATS
 
 FORMAT_VERSION = 1
@@ -142,16 +141,13 @@ def _enable_compile_cache() -> None:
 
 
 def _cmd_export(args) -> None:
-    import jax
     import jax.numpy as jnp
 
     _enable_compile_cache()
     net_kwargs = json.loads(args.net_kwargs) if args.net_kwargs else {}
     if args.bf16:
         net_kwargs["dtype"] = jnp.bfloat16
-    net = build("net", {"name": args.net, "kwargs": net_kwargs})
     shape = tuple(int(s) for s in args.shape.split(","))
-    train_flag = args.net in ("TOFlowNet", "DUFNet")
     windows = int(getattr(args, "windows", 0) or 0)
     if windows and args.video_t:
         raise SystemExit("--windows (MISR) and --video-t (VSR) are "
@@ -163,26 +159,13 @@ def _cmd_export(args) -> None:
         raise SystemExit("--chunk applies to frame/window serving; the "
                          "--video-t path is already sequence-batched")
 
+    from vsr_tpu.infer import build_serving_net
+
     h, w = shape[-2], shape[-1]
-    if args.video_t:
-        example = jnp.zeros((1, 2, h // args.factor, w // args.factor, 1))
-    elif windows:
-        example = jnp.zeros((1, windows, h // args.factor,
-                             w // args.factor, 1))
-    else:
-        example = jnp.zeros((1, h // args.factor, w // args.factor, 1))
-    init_kw = {"train": False} if train_flag else {}
-    # jit the init: eager per-op init through a remote device link is
-    # minutes; one compiled program is seconds.
-    params = jax.jit(lambda k: net.init(k, example, **init_kw))(
-        jax.random.PRNGKey(0))
-    if args.checkpoint:
-        from flax import serialization
-
-        from vsr_tpu.utils.checkpoint import load_checkpoint
-
-        state, _ = load_checkpoint(args.checkpoint)
-        params = serialization.from_state_dict(params, state["params"])
+    net, params, train_flag = build_serving_net(
+        args.net, net_kwargs, args.checkpoint,
+        lr_hw=(h // args.factor, w // args.factor),
+        video=bool(args.video_t), windows=windows)
 
     # MISR window serving needs the per-slice sequence length (seq_t) to
     # build circular windows on device: --seq-t, like infer's per-volume t.

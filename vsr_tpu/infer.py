@@ -71,6 +71,80 @@ def make_prep(factor: int, dataset: str, video_t: int | None = None,
     return prep
 
 
+# Nets whose forward takes an explicit ``train`` flag (they carry BatchNorm
+# batch_stats); every serving surface (infer CLI, export, serve daemon,
+# bench/calibration scripts) keys off this one list.
+TRAIN_FLAG_NETS = ("TOFlowNet", "DUFNet")
+
+
+def build_serving_net(net_name: str, net_kwargs: dict, checkpoint: str = "",
+                      *, lr_hw: tuple[int, int], video: bool = False,
+                      windows: int = 0):
+    """Registry-build a net and template-init (+ optionally checkpoint-load)
+    its params for serving: the shared block behind the ``infer`` CLI, the
+    ``export`` CLI, and the serving daemon's live pipelines.
+
+    ``lr_hw``: the LR (net-input) spatial geometry. ``video``/``windows``
+    pick the example rank (whole-sequence VSR / circular MISR windows /
+    per-frame). Returns ``(net, params, train_flag)``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    net = build("net", {"name": net_name, "kwargs": dict(net_kwargs)})
+    lh, lw = lr_hw
+    train_flag = net_name in TRAIN_FLAG_NETS
+    if video:
+        example = jnp.zeros((1, 2, lh, lw, 1))
+    elif windows:
+        example = jnp.zeros((1, windows, lh, lw, 1))
+    else:
+        example = jnp.zeros((1, lh, lw, 1))
+    init_kw = {"train": False} if train_flag else {}
+    # jit the init: eager per-op init through a remote device link is
+    # minutes; one compiled program is seconds.
+    params = jax.jit(lambda k: net.init(k, example, **init_kw))(
+        jax.random.PRNGKey(0))
+    if checkpoint:
+        from flax import serialization
+
+        from vsr_tpu.utils.checkpoint import load_checkpoint
+
+        state, _ = load_checkpoint(checkpoint)
+        params = serialization.from_state_dict(params, state["params"])
+    return net, params, train_flag
+
+
+def _check_scales_match(params, scales: dict, w8a8_kernels) -> dict:
+    """Apply the optional kernel-size filter and refuse a scales dict that
+    quantizes NOTHING: an all-miss dict (calibrated for a different net, or
+    stale after a rename, or over-filtered) would otherwise silently serve
+    full precision via make_w8a8_apply's per-path fallback — the user
+    believes W8A8 is on while A/B'ing bf16 against itself. Partial misses
+    are legitimate (e.g. k6-filtered ladder calibrations) and logged."""
+    from vsr_tpu.quantize import filter_scales_by_kernel, kernel_shapes
+
+    if w8a8_kernels is not None:
+        scales = filter_scales_by_kernel(params, scales, w8a8_kernels)
+        if not scales:
+            raise ValueError(
+                f"w8a8_kernels={sorted(w8a8_kernels)} filtered every "
+                "calibrated conv out — no conv of these kernel sizes is "
+                "calibrated for this net")
+    matched = set(scales) & set(kernel_shapes(params))
+    if not matched:
+        raise ValueError(
+            "W8A8 scales match no conv in this net (calibrated for a "
+            "different net/config, or stale paths?) — serving would "
+            "silently be full precision. Sample scale paths: "
+            f"{sorted(scales)[:3]}")
+    if len(matched) < len(scales):
+        logging.warning(
+            f"W8A8: {len(scales) - len(matched)} of {len(scales)} scale "
+            "entries match no conv in this net and are ignored")
+    return scales
+
+
 def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
                   video_t: int | None = None, mesh=None,
                   window: tuple[int, int, str] | None = None,
@@ -142,11 +216,15 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
             "w8a8 lazy (first-batch) calibration is not supported under "
             "--mesh; pass precomputed static scales (--w8a8-scales / a "
             "{path: scale} dict from calibrate_w8a8)")
-    if w8a8_kernels is not None and w8a8 in (False, "dynamic"):
+    if w8a8_kernels is not None and (not w8a8 or w8a8 == "dynamic"):
         raise ValueError("w8a8_kernels filters static activation scales — "
                          "it needs w8a8=True (lazy calibration) or a "
-                         "precomputed {path: scale} dict, not "
+                         "non-empty precomputed {path: scale} dict, not "
                          f"w8a8={w8a8!r}")
+    if isinstance(w8a8, dict) and not w8a8:
+        raise ValueError("w8a8={} is an empty scales dict — it would "
+                         "silently serve full precision; pass False to "
+                         "disable W8A8 explicitly")
     if w8a8:
         from vsr_tpu.quantize import filter_scales_by_kernel, make_w8a8_apply
 
@@ -157,8 +235,8 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
         # (scripts/probe_w8a8_serving.py). "dynamic" forces the latter.
         if isinstance(w8a8, dict) or w8a8 == "dynamic":
             scales = w8a8 if isinstance(w8a8, dict) else "dynamic"
-            if w8a8_kernels is not None:
-                scales = filter_scales_by_kernel(params, scales, w8a8_kernels)
+            if isinstance(scales, dict):
+                scales = _check_scales_match(params, scales, w8a8_kernels)
             net_apply = make_w8a8_apply(net, params, act_scales=scales,
                                         **extra)
         else:
@@ -225,6 +303,15 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
                 if w8a8_kernels is not None:
                     act_scales = filter_scales_by_kernel(
                         params, act_scales, w8a8_kernels)
+                if not act_scales:
+                    raise ValueError(
+                        "lazy W8A8 calibration found no quantizable conv "
+                        + (f"of kernel sizes {sorted(w8a8_kernels)} "
+                           if w8a8_kernels is not None else "")
+                        + "— the whole net would silently serve full "
+                        "precision. Scan-body (recurrent) convs need "
+                        "precomputed scales from calibrate_w8a8("
+                        "method='callback') / --w8a8-scales")
                 state["fn"] = jax.jit(make_fn(make_w8a8_apply(
                     net, params, act_scales=act_scales, **extra)))
             return state["fn"](hr_frames)
@@ -254,7 +341,7 @@ def run(args) -> dict:
         net_kwargs["dtype"] = jnp.bfloat16
     if getattr(args, "fused_tail", False):
         net_kwargs["fused_tail"] = True  # EDSR/DRF: fold conv through shuffle
-    net = build("net", {"name": args.net, "kwargs": net_kwargs})
+    net = None  # built with the params at the first volume (LR geometry)
 
     mesh = None
     if getattr(args, "mesh", ""):
@@ -325,24 +412,12 @@ def run(args) -> dict:
                 d * t_eff, *frames.shape[1:])
         # The BatchNorm nets take an explicit train flag (and carry
         # batch_stats in their variables).
-        train_flag = args.net in ("TOFlowNet", "DUFNet")
+        train_flag = args.net in TRAIN_FLAG_NETS
         if params is None:
-            if video:
-                example = jnp.zeros((1, 2, h // args.factor, w // args.factor, 1))
-            elif windows:
-                example = jnp.zeros((1, windows, h // args.factor,
-                                     w // args.factor, 1))
-            else:
-                example = jnp.zeros((1, h // args.factor, w // args.factor, 1))
-            init_kw = {"train": False} if train_flag else {}
-            params = net.init(jax.random.PRNGKey(0), example, **init_kw)
-            if args.checkpoint:
-                from flax import serialization
-
-                from vsr_tpu.utils.checkpoint import load_checkpoint
-
-                state, _ = load_checkpoint(args.checkpoint)
-                params = serialization.from_state_dict(params, state["params"])
+            net, params, train_flag = build_serving_net(
+                args.net, net_kwargs, args.checkpoint,
+                lr_hw=(h // args.factor, w // args.factor),
+                video=video, windows=windows)
 
         key = (h, w, t_eff if video else (t if windows else None))
         if key not in pipelines:

@@ -86,16 +86,24 @@ class Metrics:
             if endpoint == "/v1/sr" and status == 200:
                 self.lat_sum += seconds
                 self.lat_count += 1
+                # Per-bucket counts; render() cumulates for the exposition.
                 for i, b in enumerate(_LAT_BUCKETS):
                     if seconds <= b:
                         self.lat_buckets[i] += 1
+                        break
+
+    @staticmethod
+    def _label(value: str) -> str:
+        """Escape a Prometheus label value (backslash, quote, newline)."""
+        return (value.replace("\\", "\\\\").replace('"', '\\"')
+                .replace("\n", "\\n"))
 
     def render(self) -> str:
         with self._lock:
             lines = ["# TYPE vsr_requests_total counter"]
             for (ep, st), n in sorted(self.requests.items()):
-                lines.append(
-                    f'vsr_requests_total{{endpoint="{ep}",status="{st}"}} {n}')
+                lines.append(f'vsr_requests_total{{endpoint='
+                             f'"{self._label(ep)}",status="{st}"}} {n}')
             lines.append("# TYPE vsr_sr_latency_seconds histogram")
             acc = 0
             for i, b in enumerate(_LAT_BUCKETS):
@@ -129,11 +137,7 @@ class LivePipeline:
                  frames_shape, factor: int, dataset: str = "acdc",
                  mesh=None, video_t=None, window=None, chunk: int = 0,
                  int8: bool = False, w8a8=False, w8a8_kernels=None):
-        import jax
-        import jax.numpy as jnp
-
-        from vsr_tpu.infer import make_pipeline
-        from vsr_tpu.registry import build
+        from vsr_tpu.infer import build_serving_net, make_pipeline
 
         if w8a8 is True:
             raise ValueError(
@@ -141,24 +145,11 @@ class LivePipeline:
                 "first-batch W8A8 calibration would bake degenerate "
                 "scales; pass precomputed static scales (a {path: scale} "
                 "dict / --w8a8-scales)")
-        net = build("net", {"name": net_name, "kwargs": dict(net_kwargs)})
         n, h, w = frames_shape
-        train_flag = net_name in ("TOFlowNet", "DUFNet")
-        if video_t:
-            example = jnp.zeros((1, 2, h // factor, w // factor, 1))
-        elif window:
-            example = jnp.zeros((1, window[0], h // factor, w // factor, 1))
-        else:
-            example = jnp.zeros((1, h // factor, w // factor, 1))
-        init_kw = {"train": False} if train_flag else {}
-        params = net.init(jax.random.PRNGKey(0), example, **init_kw)
-        if checkpoint:
-            from flax import serialization
-
-            from vsr_tpu.utils.checkpoint import load_checkpoint
-
-            state, _ = load_checkpoint(checkpoint)
-            params = serialization.from_state_dict(params, state["params"])
+        net, params, train_flag = build_serving_net(
+            net_name, net_kwargs, checkpoint,
+            lr_hw=(h // factor, w // factor), video=bool(video_t),
+            windows=window[0] if window else 0)
         self._pipe = make_pipeline(
             net, params, factor, dataset, mesh=mesh, video_t=video_t,
             window=window, chunk=chunk, train_flag=train_flag, int8=int8,
@@ -349,13 +340,15 @@ def make_server(artifact_paths, host: str = "127.0.0.1", port: int = 0,
             else:
                 status = 404
                 self._send_json(404, {"error": f"unknown path {path}"})
+                path = "<other>"  # one label for all unknown paths: a URL
+                # scanner must not grow the counter dict without bound
             metrics.observe(path, status, time.perf_counter() - t0)
 
         def do_POST(self):
             parsed = urlparse(self.path)
             if parsed.path != "/v1/sr":
                 self._send_json(404, {"error": f"unknown path {parsed.path}"})
-                metrics.observe(parsed.path, 404, 0.0)
+                metrics.observe("<other>", 404, 0.0)
                 return
             t0 = time.perf_counter()
             status = 500
