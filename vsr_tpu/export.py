@@ -364,7 +364,16 @@ def main() -> None:
                    help="lowering platforms, e.g. 'tpu' or 'tpu,cpu' "
                         "(default: current backend)")
     p.add_argument("--out", default="model.vsrx")
+    p.add_argument("--preset", choices=["tuned", "fast"], default="",
+                   help="apply the net's measured serving knobs "
+                        "(vsr_tpu/presets.py) to the exported program; "
+                        "explicit flags win. W8A8 at export time needs "
+                        "--calib or --w8a8-scales")
     args = p.parse_args()
+    if args.preset and not args.run:
+        from vsr_tpu.presets import apply_preset_to_args
+
+        apply_preset_to_args(args, args.preset)
     if args.run:
         if not (args.input_dir and args.output_dir):
             raise SystemExit("--run needs input_dir and output_dir")

@@ -309,9 +309,12 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
                         + (f"of kernel sizes {sorted(w8a8_kernels)} "
                            if w8a8_kernels is not None else "")
                         + "— the whole net would silently serve full "
-                        "precision. Scan-body (recurrent) convs need "
-                        "precomputed scales from calibrate_w8a8("
-                        "method='callback') / --w8a8-scales")
+                        "precision. Eligible = non-recurrent nn.Conv with "
+                        "min(C_in, C_out) >= 16; thinner nets cannot "
+                        "benefit (drop --w8a8 / use --preset tuned), and "
+                        "scan-body (recurrent) convs need precomputed "
+                        "scales from calibrate_w8a8(method='callback') / "
+                        "--w8a8-scales")
                 state["fn"] = jax.jit(make_fn(make_w8a8_apply(
                     net, params, act_scales=act_scales, **extra)))
             return state["fn"](hr_frames)
@@ -555,7 +558,19 @@ def main() -> None:
     parser.add_argument("--fused-tail", dest="fused_tail", action="store_true",
                         help="fold the final conv through the pixel-shuffle "
                              "(EDSR/DRF; +~9%% serving throughput)")
-    run(parser.parse_args())
+    parser.add_argument("--preset", choices=["tuned", "fast"], default="",
+                        help="apply the net's measured serving knobs "
+                             "(vsr_tpu/presets.py): 'tuned' = exact knobs "
+                             "only (chunk/fused-tail/video/windows), "
+                             "'fast' = tuned + W8A8 where it measured "
+                             "faster (quality gated per net in BENCH.md). "
+                             "Explicit flags win over the preset")
+    args = parser.parse_args()
+    if args.preset:
+        from vsr_tpu.presets import apply_preset_to_args
+
+        apply_preset_to_args(args, args.preset)
+    run(args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,246 @@
+"""Measured serving presets: per-net knob settings that won on the chip.
+
+Every number here was measured on one TPU v5e through the zoo serving
+protocol (BENCH.md round 3; ``zoo_serving*.json``; ``scripts/probe_*``)
+rather than guessed.  The reference framework has no analogue — its test
+configs hard-code batch 1 (``/root/reference/configs/test/acdc_vsr_config.yaml``)
+— so this module is where the round's tuning results become a product knob
+instead of a table in BENCH.md.
+
+Two levels:
+
+- ``tuned`` — **exact** knobs only: ``lax.map`` chunk sizes, fused sub-pixel
+  tails (the fold commutes with the checkpoint; float-exact), MISR window /
+  VSR video serving modes, and recommended volumes-per-call for API batch
+  serving.  Outputs are the same as the un-preset path to float eps.
+- ``fast`` — ``tuned`` plus W8A8 (int8 weights x int8 activations on the
+  double-rate MXU) where it measured FASTER on chip.  Approximate:
+  quality gated per net in BENCH.md (uint8 output bit-identical on the zoo
+  buffer for RBPN/DUF/TOFlow/EDVR; <=2 grey levels for EDSR).  Nets whose
+  eligible convs live inside ``lax.scan`` bodies (SRFBN/DRFSISR/FRVSR) can
+  only be quantized from a precomputed scales file
+  (``scripts/calibrate_zoo_net.py``) — without one the preset leaves them
+  at full precision and says so.  DRFNet regresses under every W8A8 subset
+  (scan-body fusion break, BENCH.md) and is never quantized by a preset.
+
+Usage::
+
+    vsr_tpu.infer  IN OUT --net DUFNet --preset fast ...
+    vsr_tpu.serve  --net DUFNet --preset tuned ...
+    from vsr_tpu.presets import serving_config
+    serving_config("DUFNet", "fast")
+    # {'windows': 7, 'chunk': 100, 'w8a8': 'lazy', 'volumes_per_call': 1}
+
+Explicit user flags always win: the preset only fills knobs still at their
+CLI defaults.
+"""
+from __future__ import annotations
+
+import logging
+
+LEVELS = ("tuned", "fast")
+
+#: Flax construction kwarg that holds each MISR net's window length, so the
+#: preset follows a user's ``--net-kwargs`` override instead of assuming.
+_WINDOW_KWARG = {
+    "TOFlowNet": "num_frames",
+    "DUFNet": "num_frames",
+    "RBPNet": "num_frames",
+    "EDVRNet": "nframes",
+}
+
+#: w8a8 field: ``"lazy"`` = first-batch calibration reaches every eligible
+#: conv (no scan bodies); ``"scales"`` = needs a precomputed scales file
+#: (eligible convs sit inside lax.scan bodies); absent = never quantize.
+SERVING_PRESETS: dict[str, dict] = {
+    "Bicubic": {},
+    "EDSRNet": {
+        "net_kwargs": {"fused_tail": True},   # +8.6% (ops/fused_tail.py)
+        "volumes_per_call": 4,                # probe_edsr_vpc.py optimum
+        "w8a8": "lazy",                       # 1.32x, <=2 grey levels
+    },
+    "SRFBNet": {
+        "chunk": 60,
+        "w8a8": "scales",                     # scan-body feedback steps
+        "w8a8_kernels": {6},                  # k6-only: 1.08x; full: 0.91x
+    },
+    "DRFSISRNet": {
+        "net_kwargs": {"fused_tail": True},
+        "chunk": 60,
+        "w8a8": "scales",
+        "w8a8_kernels": {6},                  # 1.08x (probe_w8a8_selective)
+    },
+    "DRFNet": {
+        "net_kwargs": {"fused_tail": True},
+        "volumes_per_call": 4,
+        "video": True,                        # whole-sequence VSR serving
+        # no w8a8: regresses at every conv subset (BENCH.md round 3)
+    },
+    "FRVSRNet": {
+        "volumes_per_call": 2,
+        "video": True,
+        "w8a8": "scales",                     # 1.12x with calibrated scales
+    },
+    "TOFlowNet": {"windows": 5, "chunk": 60, "w8a8": "lazy"},   # 1.09x
+    "DUFNet": {"windows": 7, "chunk": 100, "w8a8": "lazy"},     # 1.15x
+    "RBPNet": {"windows": 5, "chunk": 30, "w8a8": "lazy"},      # 1.34x
+    "EDVRNet": {"windows": 5, "chunk": 30, "w8a8": "lazy"},     # 1.04x
+}
+
+
+def serving_config(net_name: str, level: str = "tuned",
+                   net_kwargs: dict | None = None,
+                   have_scales: bool = False) -> dict:
+    """The measured serving knobs for ``net_name`` at ``level``.
+
+    Returns a dict with any of: ``net_kwargs`` (extra construction kwargs,
+    e.g. ``fused_tail``), ``chunk``, ``windows``, ``video``,
+    ``volumes_per_call``, ``w8a8`` (``True`` = lazy first-batch
+    calibration), ``w8a8_kernels``.  ``net_kwargs`` (the user's) is
+    consulted for window-length overrides; ``have_scales`` says whether a
+    precomputed activation-scales file is available (required to quantize
+    the scan-body nets).
+    """
+    if level not in LEVELS:
+        raise ValueError(f"Unknown preset level {level!r}; one of {LEVELS}")
+    if net_name not in SERVING_PRESETS:
+        raise ValueError(
+            f"No serving preset for net {net_name!r}; presets exist for: "
+            f"{', '.join(sorted(SERVING_PRESETS))}")
+    preset = SERVING_PRESETS[net_name]
+    out: dict = {}
+    if preset.get("net_kwargs"):
+        out["net_kwargs"] = dict(preset["net_kwargs"])
+    for knob in ("chunk", "video", "volumes_per_call"):
+        if knob in preset:
+            out[knob] = preset[knob]
+    if "windows" in preset:
+        kw = _WINDOW_KWARG[net_name]
+        out["windows"] = int((net_kwargs or {}).get(kw, preset["windows"]))
+    if level == "fast" and "w8a8" in preset:
+        mode = preset["w8a8"]
+        if mode == "lazy":
+            out["w8a8"] = True
+        elif mode == "scales" and have_scales:
+            out["w8a8"] = "scales"  # caller supplies the dict
+        # scan-body net without scales: stay full precision (exact)
+        if "w8a8" in out and "w8a8_kernels" in preset:
+            out["w8a8_kernels"] = set(preset["w8a8_kernels"])
+    return out
+
+
+def apply_preset_to_args(args, level: str) -> list[str]:
+    """Fill a CLI namespace in place from the net's preset.
+
+    Works for all three serving CLIs — ``vsr_tpu.infer`` (bool ``--video``,
+    lazy-calibration-capable ``--w8a8``), ``vsr_tpu.export`` (``--video-t``,
+    W8A8 only with ``--calib``/``--w8a8-scales``) and ``vsr_tpu.serve``
+    (``--video-t``, static scales only) — by detecting which knobs the
+    namespace carries.  Only knobs still at their argparse defaults are
+    touched: explicit user flags win.  Impossible combinations (chunk under
+    ``--mesh``, lazy W8A8 where only static scales work) are skipped with a
+    logged note instead of erroring, so ``--preset`` composes with the rest
+    of the CLI.  Returns the list of notes (also logged).
+    """
+    import json
+
+    have_scales = bool(getattr(args, "w8a8_scales", "")
+                       or getattr(args, "calib", ""))
+    try:
+        cfg = serving_config(
+            args.net, level,
+            net_kwargs=json.loads(args.net_kwargs) if args.net_kwargs else {},
+            have_scales=have_scales)
+    except ValueError as exc:  # unknown net/level: a clean CLI error
+        raise SystemExit(str(exc)) from None
+    applied: list[str] = []
+
+    if cfg.get("net_kwargs"):
+        user = json.loads(args.net_kwargs) if args.net_kwargs else {}
+        extra = {k: v for k, v in cfg["net_kwargs"].items() if k not in user}
+        if extra:
+            user.update(extra)
+            args.net_kwargs = json.dumps(user)
+            applied.append(f"net_kwargs += {extra}")
+
+    mesh = bool(getattr(args, "mesh", ""))
+    video_set = bool(getattr(args, "video", False)
+                     or getattr(args, "video_t", 0))
+    windows_set = bool(getattr(args, "windows", 0))
+
+    if cfg.get("chunk") and not getattr(args, "chunk", 0):
+        if mesh:
+            applied.append("chunk skipped (--mesh shards the un-chunked "
+                           "batch)")
+        else:
+            args.chunk = cfg["chunk"]
+            applied.append(f"chunk = {cfg['chunk']}")
+
+    if cfg.get("video") and not video_set and not windows_set:
+        if hasattr(args, "video"):  # infer: T comes from each volume
+            args.video = True
+            applied.append("video = True (whole-sequence VSR serving)")
+        else:  # export/serve compile a fixed-T program the user must pick
+            applied.append(f"{args.net} serves best whole-sequence; "
+                           "pass --video-t <frames per slice>")
+    if cfg.get("windows") and not windows_set and not video_set:
+        if hasattr(args, "seq_t") and not getattr(args, "seq_t", 0):
+            applied.append(f"windows = {cfg['windows']} needs --seq-t "
+                           "(frames per slice) here; not applied")
+        else:
+            args.windows = cfg["windows"]
+            applied.append(f"windows = {cfg['windows']} (circular MISR eval)")
+
+    w8a8 = cfg.get("w8a8")
+    already = (getattr(args, "w8a8", False) or getattr(args, "int8", False)
+               or getattr(args, "w8a8_scales", ""))
+    if w8a8 is True and not already:
+        # "lazy" nets: every eligible conv is reachable by first-batch
+        # calibration — but only vsr_tpu.infer can do that; export needs
+        # sample volumes (--calib) and the daemon static scales.
+        if not hasattr(args, "w8a8"):
+            applied.append("w8a8 skipped (live serving takes static scales "
+                           "only; pass --w8a8-scales from "
+                           "scripts/calibrate_zoo_net.py)")
+        elif hasattr(args, "calib"):  # export CLI
+            if getattr(args, "calib", ""):
+                args.w8a8 = True
+                applied.append("w8a8 = calibrate from --calib volumes")
+            else:
+                applied.append("w8a8 skipped (export needs --calib <nifti "
+                               "dir> or --w8a8-scales to calibrate)")
+        elif mesh:
+            applied.append("w8a8 skipped (lazy calibration needs static "
+                           "scales under --mesh; pass --w8a8-scales)")
+        else:
+            args.w8a8 = True
+            applied.append("w8a8 = lazy first-batch calibration")
+    if w8a8 == "scales" and not already and hasattr(args, "calib") \
+            and getattr(args, "calib", ""):
+        # Scan-body net on the export CLI with sample volumes: only the
+        # callback recorder reaches lax.scan-body convs.
+        if getattr(args, "calib_method", "outputs") == "callback":
+            args.w8a8 = True
+            applied.append("w8a8 = calibrate from --calib volumes "
+                           "(callback recorder)")
+        else:
+            applied.append("w8a8 skipped (this net's eligible convs live in "
+                           "scan bodies; re-run with --calib-method "
+                           "callback)")
+    if level == "fast" and "w8a8" not in cfg \
+            and SERVING_PRESETS[args.net].get("w8a8") == "scales":
+        applied.append("w8a8 skipped (eligible convs live in scan bodies; "
+                       "pass --w8a8-scales from scripts/calibrate_zoo_net.py "
+                       "to quantize)")
+    kernels = cfg.get("w8a8_kernels")
+    if kernels and not getattr(args, "w8a8_kernels", ""):
+        # Only restrict scales the preset itself enabled or the user
+        # supplied; never invent a quantization mode.
+        if getattr(args, "w8a8", False) or getattr(args, "w8a8_scales", ""):
+            args.w8a8_kernels = ",".join(str(k) for k in sorted(kernels))
+            applied.append(f"w8a8_kernels = {args.w8a8_kernels} "
+                           "(full W8A8 regresses on the DBPN ladders)")
+
+    for line in applied:
+        logging.info(f"preset[{level}] {args.net}: {line}")
+    return applied

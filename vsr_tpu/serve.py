@@ -490,7 +490,16 @@ def main() -> None:
                    choices=["middle", "last"], default="middle")
     p.add_argument("--chunk", type=int, default=0,
                    help="lax.map chunking inside the live program")
+    p.add_argument("--preset", choices=["tuned", "fast"], default="",
+                   help="apply the net's measured serving knobs "
+                        "(vsr_tpu/presets.py) to the live pipeline; "
+                        "explicit flags win. Quantization here needs "
+                        "static scales (--w8a8-scales)")
     args = p.parse_args()
+    if args.preset and args.net:
+        from vsr_tpu.presets import apply_preset_to_args
+
+        apply_preset_to_args(args, args.preset)
 
     import jax
 
