@@ -63,7 +63,7 @@ def build_cases(subpixel: bool = False, fsq: bool = False):
         ("EDSRNet", 2, "sisr",
          EDSRNet(in_channels=1, out_channels=1, num_resblocks=16,
                  num_features=64, upscale_factor=2, fused_tail=True,
-                 dtype=bf16), {"vpc": 2}),
+                 dtype=bf16), {"vpc": 4}),  # probe_edsr_vpc.py optimum
         ("SRFBNet", 2, "sisr",
          SRFBNet(in_channels=1, out_channels=1, num_steps=4, num_features=64,
                  num_groups=6, upscale_factor=2, dtype=bf16,

@@ -213,3 +213,35 @@ def test_infer_preset_end_to_end(tmp_path, rng):
     a = load_nifti(tmp_path / "plain" / "patientA" / "patientA_4d_sr.nii.gz")
     b = load_nifti(tmp_path / "tuned" / "patientA" / "patientA_4d_sr.nii.gz")
     np.testing.assert_allclose(a, b, atol=1e-4)  # fused tail is exact
+
+
+def test_presets_match_zoo_bench_harness():
+    """presets.py and scripts/bench_zoo_serving.py are two statements of
+    the same on-chip measurements — pin them to each other so a retune in
+    one place can't silently drift from the other."""
+    import pathlib
+    import sys
+
+    scripts_dir = str(pathlib.Path(__file__).resolve().parents[1] / "scripts")
+    sys.path.insert(0, scripts_dir)
+    try:
+        import bench_zoo_serving as zoo
+    finally:
+        sys.path.remove(scripts_dir)
+
+    for name, _factor, task, net, opts in zoo.build_cases():
+        preset = SERVING_PRESETS[name]
+        assert preset.get("chunk") == opts.get("chunk"), name
+        if task == "misr":
+            assert preset.get("windows") == opts.get("win"), name
+        if "vpc" in opts:
+            assert preset.get("volumes_per_call") == opts["vpc"], name
+        if task == "vsr":
+            assert preset.get("video", False) or name == "Bicubic", name
+        # fused-tail serving in the harness <-> preset net_kwargs
+        harness_ft = bool(getattr(net, "fused_tail", False))
+        preset_ft = bool(preset.get("net_kwargs", {}).get("fused_tail"))
+        assert harness_ft == preset_ft, name
+        # scan-body nets must not advertise lazy calibration
+        if name in zoo.SCAN_NETS and "w8a8" in preset:
+            assert preset["w8a8"] == "scales", name
