@@ -1,0 +1,87 @@
+"""On-chip throughput of the streaming (online) serving path.
+
+Recurrent streams have a GENUINE serial dependency between pushes (the
+carry), so a loop of K pushes with ONE final readback is exactly the
+chained timing scheme the relay audit validated (CLAUDE.md) — no
+per-frame readbacks inside the loop.  Reported as frames/s (one frame =
+one (D, H, W) slice-stack push) next to the batch pipeline's rate at the
+same geometry, i.e. the price of frame-at-a-time latency vs whole-sequence
+batching.
+
+Run: python scripts/probe_stream_throughput.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+D, T, H, W = 10, 30, 192, 192  # bench geometry: one volume per T pushes
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vsr_tpu.infer import make_pipeline
+    from vsr_tpu.models import DRFNet, FRVSRNet
+    from vsr_tpu.stream import make_stream
+
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    print(f"backend={jax.default_backend()}", flush=True)
+
+    rng = np.random.default_rng(0)
+    hr = np.round(rng.random((D * T, H, W)) * 255).astype(np.float32)
+    stacks = [np.ascontiguousarray(hr.reshape(D, T, H, W)[:, t])
+              for t in range(T)]
+
+    for name, net in [
+        ("DRFNet-6x64 (flagship)",
+         DRFNet(in_channels=1, out_channels=1, num_features=64, num_groups=6,
+                upscale_factor=2, dtype=jnp.bfloat16, fused_tail=True)),
+        ("FRVSRNet-10",
+         FRVSRNet(in_channels=1, out_channels=1, upscale_factor=2,
+                  num_resblocks=10, is_prediction=True, dtype=jnp.bfloat16)),
+    ]:
+        params = jax.jit(lambda k: net.init(k, jnp.zeros(
+            (1, 2, H // 2, W // 2, 1))))(jax.random.PRNGKey(0))
+
+        # Batch reference: whole-sequence pipeline, one volume per call.
+        pipe = jax.jit(make_pipeline(net, params, 2, "acdc", video_t=T))
+        _lr, sr = pipe(hr)
+        np.asarray(sr)  # compile + settle
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            _lr, sr = pipe(hr)
+        float(jnp.mean(sr))
+        batch_fps = reps * D * T / (time.perf_counter() - t0)
+
+        # Stream: T pushes per volume, readback once at the end.
+        stream = make_stream(net, params, factor=2)
+        for s in stacks:  # warm (compile) + fill state
+            out = stream.push(s)
+        float(jnp.mean(out[1]))
+        stream.reset()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            stream.reset()
+            for s in stacks:
+                out = stream.push(s)
+        float(jnp.mean(out[1]))
+        stream_fps = reps * D * T / (time.perf_counter() - t0)
+
+        print(f"{name}: batch {batch_fps:7.1f} frames/s | "
+              f"stream {stream_fps:7.1f} frames/s "
+              f"({stream_fps / batch_fps:.2f}x of batch; "
+              f"{stream_fps / D:.1f} pushes/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

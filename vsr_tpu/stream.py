@@ -1,0 +1,379 @@
+"""Online (streaming / causal) SR serving — frame-at-a-time with HBM state.
+
+The batch pipelines (:mod:`vsr_tpu.infer`) need every frame of a sequence
+up front and return the whole SR sequence at once.  Live deployment (a
+scanner feed, a video stream) wants the opposite: push one frame, get one
+SR frame back, with the temporal context carried on device between calls.
+The reference has no online path at all (its eval loads whole sequences,
+``/root/reference/src/runner/predictors/acdc_vsr_predictor.py``); this is
+new TPU-native capability: state lives in HBM, every push is ONE jitted
+program (prep -> net step -> postprocess) with the state buffers donated,
+so steady-state streaming does zero host round-trips beyond the frame
+itself.
+
+Three stream families cover the whole zoo:
+
+- **recurrent** (DRFNet, FRVSRNet): state = the frame-scan carry
+  (hidden features / previous SR estimate).  O(1) latency: every push
+  emits immediately, numerics identical to the whole-sequence scan.
+- **windowed** (EDVR / DUF / RBPN / TOFlow — any net served with circular
+  MISR windows): state = a Python-side ring of device-resident prepped
+  frames.  Exact protocol parity with the offline circular windows
+  (``acdc_misr_dataset.py:53-68`` semantics): interior frames stream out
+  with ``nf-1-shift`` frames of latency; the boundary frames whose windows
+  wrap around the sequence are emitted by :meth:`WindowStream.flush` once
+  the sequence ends (the head/tail context is retained, O(nf) memory).
+- **per-frame** (EDSR and the other SISR nets): stateless, zero latency.
+
+Usage::
+
+    stream = make_stream(net, params, factor=2, dataset="acdc")  # family
+    stream.reset()                       # inferred from the net class
+    for hr_stack in time_points:         # hr_stack: (N, H, W) slice stack
+        out = stream.push(hr_stack)      # (lr, sr) or None while filling
+    for out in stream.flush():           # windowed boundary frames
+        ...
+
+All pushes must share one geometry ``(N, H, W)``; ``reset()`` starts a new
+sequence without recompiling.  Outputs match ``infer.make_pipeline``'s
+postprocessing: uint8-valued float32 SR frames plus the LR input frames.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vsr_tpu.utils.normalize import DATASET_STATS
+
+
+def _postprocess(sr, mean, std):
+    import jax.numpy as jnp
+
+    sr = sr.astype(jnp.float32)[..., 0]
+    return jnp.clip(jnp.round(sr * std + mean), 0, 255)
+
+
+def _make_frame_prep(factor: int, dataset: str):
+    """HR float frames (N, H, W) -> (lr, z) for ONE time point — the same
+    math as ``infer.make_prep`` without the window/sequence reshapes."""
+    from vsr_tpu.preprocess.kspace import kspace_downscale_jax
+
+    mean, std = DATASET_STATS[dataset]
+
+    def prep(hr_frames):
+        lr = kspace_downscale_jax(hr_frames, factor)
+        z = (lr - mean) / (std + 1e-10)
+        return lr, z[..., None]
+
+    return prep
+
+
+class _StreamBase:
+    """Shared geometry bookkeeping: streams compile one program per
+    (N, H, W) push geometry and require it to stay fixed between resets."""
+
+    def __init__(self):
+        self._shape = None
+
+    def _check_shape(self, hr_frames):
+        if hr_frames.ndim != 3:
+            raise ValueError(
+                f"push() takes one (N, H, W) HR slice stack per time point; "
+                f"got shape {hr_frames.shape}")
+        if self._shape is None:
+            self._shape = hr_frames.shape
+        elif hr_frames.shape != self._shape:
+            raise ValueError(
+                f"stream geometry changed mid-sequence: "
+                f"{hr_frames.shape} vs {self._shape}; reset() first")
+
+    def flush(self):
+        """End the sequence; return any deferred boundary outputs (windowed
+        streams only — recurrent/per-frame streams have none)."""
+        return []
+
+
+class FrameStream(_StreamBase):
+    """Stateless per-frame SR (SISR nets): push -> (lr, sr) immediately."""
+
+    def __init__(self, net, params, factor: int, dataset: str,
+                 train_flag: bool = False):
+        super().__init__()
+        import jax
+
+        mean, std = DATASET_STATS[dataset]
+        prep = _make_frame_prep(factor, dataset)
+        extra = {"train": False} if train_flag else {}
+
+        def step(hr_frames):
+            lr, z = prep(hr_frames)
+            out = net.apply(params, z, **extra)
+            if isinstance(out, tuple):
+                out = out[0]
+            if out.ndim == 5:
+                out = out[-1]  # feedback nets stack steps on axis 0
+            return lr, _postprocess(out, mean, std)
+
+        self._step = jax.jit(step)
+
+    def reset(self):
+        self._shape = None
+
+    def push(self, hr_frames):
+        hr_frames = np.asarray(hr_frames, np.float32)
+        self._check_shape(hr_frames)
+        return self._step(hr_frames)
+
+
+class RecurrentStream(_StreamBase):
+    """Streaming for the recurrent VSR nets: the whole-sequence frame scan
+    becomes one jitted step per push with the carry donated in HBM.
+
+    ``step_builder(net) -> (apply_step, init_state)`` adapts each net
+    family (see :func:`_drf_stream` / :func:`_frvsr_stream`); numerics are
+    the batch scan's exactly — same step module, same params, the carry
+    merely crosses call boundaries instead of scan iterations.
+    """
+
+    def __init__(self, net, params, factor: int, dataset: str, step_builder):
+        super().__init__()
+        import functools
+
+        import jax
+
+        mean, std = DATASET_STATS[dataset]
+        prep = _make_frame_prep(factor, dataset)
+        apply_step, self._init_state = step_builder(net)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, hr_frames):
+            lr, z = prep(hr_frames)
+            state, sr = apply_step(params, state, z)
+            return state, (lr, _postprocess(sr, mean, std))
+
+        self._step = step
+        self._state = None
+
+    def reset(self):
+        self._shape = None
+        self._state = None
+
+    def push(self, hr_frames):
+        hr_frames = np.asarray(hr_frames, np.float32)
+        first = self._shape is None
+        self._check_shape(hr_frames)
+        if first or self._state is None:
+            n, h, w = hr_frames.shape
+            self._state = self._init_state(n, h, w)
+        self._state, out = self._step(self._state, hr_frames)
+        return out
+
+
+def _drf_stream(net):
+    """DRFNet: carry = hidden FBlock features; frame 0's hidden is frame
+    0's own input features (``models/drf.py:154-162``)."""
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from vsr_tpu.models.drf import _DRFStep
+    from vsr_tpu.models.feedback import InBlock
+
+    class _Step(nn.Module):
+        """Parameter-compatible with DRFNet by construction: the same
+        auto-named ``InBlock_0`` and the scan body under ``step``."""
+
+        @nn.compact
+        def __call__(self, hidden, first, frame):
+            in_feat = InBlock(net.num_features, dtype=net.dtype)(frame)
+            hidden = jnp.where(first, in_feat, hidden.astype(in_feat.dtype))
+            f, out = _DRFStep(
+                net.num_features, net.num_groups, net.out_channels,
+                net.upscale_factor, fused_tail=net.fused_tail,
+                dtype=net.dtype, subpixel_deconv=net.subpixel_deconv,
+                fused_squeeze=net.fused_squeeze, name="step",
+            )(hidden, in_feat)
+            return f, out
+
+    mod = _Step()
+    dtype = net.dtype or jnp.float32
+
+    def apply_step(params, state, z):
+        hidden, first = state
+        hidden, sr = mod.apply(params, hidden, first, z)
+        return (hidden, jnp.zeros((), bool)), sr
+
+    def init_state(n, h, w):
+        lh, lw = h // net.upscale_factor, w // net.upscale_factor
+        return (jnp.zeros((n, lh, lw, net.num_features), dtype),
+                jnp.ones((), bool))
+
+    return apply_step, init_state
+
+
+def _frvsr_stream(net):
+    """FRVSRNet: carry = (previous LR frame, previous SR estimate); frame
+    0 warps against itself and a zero SR (``models/frvsr.py:186-201``)."""
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from vsr_tpu.models.frvsr import _FRVSRStep
+
+    class _Step(nn.Module):
+        @nn.compact
+        def __call__(self, carry, first, frame):
+            lr_last, sr_last = carry
+            lr_last = jnp.where(first, frame, lr_last)
+            new_carry, (sr_img, _warped_lr) = _FRVSRStep(
+                net.out_channels, net.upscale_factor, net.num_resblocks,
+                dtype=net.dtype, name="step",
+            )((lr_last, sr_last), frame)
+            return new_carry, sr_img
+
+    mod = _Step()
+
+    def apply_step(params, state, z):
+        carry, first = state
+        carry, sr = mod.apply(params, carry, first, z)
+        return (carry, jnp.zeros((), bool)), sr
+
+    def init_state(n, h, w):
+        f = net.upscale_factor
+        lh, lw = h // f, w // f
+        c = net.in_channels
+        return ((jnp.zeros((n, lh, lw, c), jnp.float32),
+                 jnp.zeros((n, lh * f, lw * f, c), jnp.float32)),
+                jnp.ones((), bool))
+
+    return apply_step, init_state
+
+
+#: net class name -> recurrent stream adapter
+RECURRENT_STREAMS = {"DRFNet": _drf_stream, "FRVSRNet": _frvsr_stream}
+
+
+class WindowStream(_StreamBase):
+    """Streaming for circular-window MISR serving (EDVR/DUF/RBPN/TOFlow).
+
+    Reproduces the offline protocol exactly: output frame ``t`` of a
+    ``T``-frame sequence sees window ``(t + arange(nf) - shift) % T``
+    (``infer.make_prep``; shift = ``misr_target_index(nf)`` for
+    ``order='middle'``, ``nf-1`` for ``'last'``).  Streaming, that means:
+
+    - interior outputs (window needs no wrap) are emitted ``e = nf-1-shift``
+      pushes after their frame arrives;
+    - the first ``shift`` outputs wrap to the sequence *end* and the last
+      ``e`` outputs wrap to the *head* — both are emitted by :meth:`flush`,
+      in frame order, once the sequence length is known.
+
+    Only the head ``nf-1`` frames and a rolling tail of ``nf`` frames are
+    retained (device-resident, already prepped) — O(nf) memory.
+    """
+
+    def __init__(self, net, params, factor: int, dataset: str, nf: int,
+                 order: str = "middle", train_flag: bool = False):
+        super().__init__()
+        import jax
+        import jax.numpy as jnp
+
+        from vsr_tpu.data.datasets import misr_target_index
+
+        if order not in ("middle", "last"):
+            raise ValueError(f"order must be 'middle' or 'last': {order!r}")
+        self.nf = nf
+        self.shift = misr_target_index(nf) if order == "middle" else nf - 1
+        self.e = nf - 1 - self.shift
+        mean, std = DATASET_STATS[dataset]
+        self._prep = jax.jit(_make_frame_prep(factor, dataset))
+        extra = {"train": False} if train_flag else {}
+
+        def apply_window(frames):  # (N, nf, h, w, 1) -> (N, H, W)
+            out = net.apply(params, frames, **extra)
+            if isinstance(out, tuple):
+                out = out[0]
+            if out.ndim == 5:
+                out = out[-1]
+            return _postprocess(out, mean, std)
+
+        self._apply = jax.jit(
+            lambda zs: apply_window(jnp.stack(zs, axis=1)))
+        self.reset()
+
+    def reset(self):
+        self._shape = None
+        self._head: list = []    # first nf-1 prepped frames
+        self._tail: list = []    # rolling last nf prepped frames
+        self._lr: dict = {}      # t -> lr frame awaiting emission
+        self._t = 0              # frames received
+
+    def _window(self, frames, t, total=None):
+        """Window z-frames for output ``t`` from a frame lookup list of
+        (index, z) pairs; ``total`` known only at flush."""
+        lut = dict(frames)
+        n = total if total is not None else self._t
+        return [lut[(t + j - self.shift) % n] for j in range(self.nf)]
+
+    def push(self, hr_frames):
+        """Returns ``(t, lr, sr)`` for the emitted output frame, or None
+        while the window context is still filling."""
+        hr_frames = np.asarray(hr_frames, np.float32)
+        self._check_shape(hr_frames)
+        lr, z = self._prep(hr_frames)
+        t = self._t
+        self._t += 1
+        if len(self._head) < self.nf - 1:
+            self._head.append((t, z))
+        self._tail.append((t, z))
+        if len(self._tail) > self.nf:
+            self._tail.pop(0)
+        self._lr[t] = lr
+        # Interior emission: output t_out = t - e, window t_out-shift..t —
+        # exactly the last nf pushed frames (the tail ring).
+        t_out = t - self.e
+        if t_out < self.shift:
+            return None
+        lut = dict(self._tail)
+        zs = [lut[i] for i in range(t_out - self.shift, t_out + self.e + 1)]
+        sr = self._apply(zs)
+        return t_out, self._lr.pop(t_out), sr
+
+    def flush(self):
+        """Return the boundary outputs (head wraps + tail wraps) as a list
+        of ``(t, lr, sr)`` in frame order; then reset for the next
+        sequence."""
+        total = self._t
+        if total < self.nf:
+            raise ValueError(
+                f"sequence of {total} frames is shorter than the window "
+                f"({self.nf}); circular windows need T >= nf")
+        frames = dict(self._head) | dict(self._tail)
+        pending = sorted(set(range(self.shift))
+                         | set(range(total - self.e, total)))
+        outs = []
+        for t_out in pending:
+            zs = self._window(list(frames.items()), t_out, total)
+            sr = self._apply(zs)
+            outs.append((t_out, self._lr.pop(t_out), sr))
+        self.reset()
+        return outs
+
+
+def make_stream(net, params, factor: int, dataset: str = "acdc",
+                windows: int = 0, order: str = "middle",
+                train_flag: bool | None = None) -> _StreamBase:
+    """Build the right stream family for ``net`` (a built flax net).
+
+    ``windows > 0`` forces a :class:`WindowStream` of that many frames
+    (the MISR serving protocol); otherwise recurrent nets stream via their
+    scan carry and everything else streams per-frame."""
+    from vsr_tpu.infer import TRAIN_FLAG_NETS
+
+    name = type(net).__name__
+    if train_flag is None:
+        train_flag = name in TRAIN_FLAG_NETS
+    if windows:
+        return WindowStream(net, params, factor, dataset, windows,
+                            order=order, train_flag=train_flag)
+    if name in RECURRENT_STREAMS:
+        return RecurrentStream(net, params, factor, dataset,
+                               RECURRENT_STREAMS[name])
+    return FrameStream(net, params, factor, dataset, train_flag=train_flag)
