@@ -345,3 +345,63 @@ def test_vol_device_epoch_learns(tmp_path):
               for m in records if "Train log: " in m]
     assert len(trains) == 5
     assert trains[-1]["Loss"] < trains[0]["Loss"]
+
+
+def test_device_trainer_auto_scan_unroll(tmp_path):
+    """The mixin unrolls the net's internal scan at the TRAINING size:
+    frame-scan nets get the buffered window T, feedback nets their
+    num_steps; explicit scan_unroll config and netted-out knobs win.
+    (Exactness of unroll itself: test_models_feedback.py.)"""
+    root = make_processed_tree(tmp_path / "data", types=("train", "valid"),
+                               patients_per_type=1, slices=1, frames=6,
+                               hr_size=16)
+    from vsr_tpu.callbacks.monitor import Monitor
+    from vsr_tpu.data.datasets import AcdcVSRDataset
+    from vsr_tpu.data.loader import Dataloader
+    from vsr_tpu.losses import L1Loss
+    from vsr_tpu.models import DRFNet
+    from vsr_tpu.optim import Adam
+    from vsr_tpu.runner.device_trainer import AcdcVSRDeviceTrainer
+
+    transforms = [
+        {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
+        {"name": "ToTensor"},
+    ]
+
+    def build(net, **extra):
+        train_ds = AcdcVSRDataset(data_dir=root / "videos", type="train",
+                                  downscale_factor=2, transforms=transforms,
+                                  num_frames=3)
+        valid_ds = AcdcVSRDataset(data_dir=root / "videos", type="valid",
+                                  downscale_factor=2, transforms=transforms,
+                                  num_frames=3)
+        return AcdcVSRDeviceTrainer(
+            train_dataloader=Dataloader(train_ds, batch_size=2, shuffle=True),
+            valid_dataloader=Dataloader(valid_ds, batch_size=1),
+            net=net, loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[],
+            optimizer=Adam(lr=1e-3), lr_scheduler=None, logger=None,
+            monitor=Monitor(checkpoints_dir=tmp_path / "ckpt", mode="min",
+                            target="Loss", saved_freq=1, early_stop=0),
+            num_epochs=1, patch=8, ratio=2, steps_per_epoch=2, **extra)
+
+    net = DRFNet(in_channels=1, out_channels=1, num_features=4, num_groups=1,
+                 upscale_factor=2)
+    # auto: the buffered window T=3
+    t = build(net)
+    t._ensure_buffers()
+    assert t.net.unroll == 3
+    # explicit int config
+    t = build(net, scan_unroll=2)
+    t._ensure_buffers()
+    assert t.net.unroll == 2
+    # off
+    t = build(net, scan_unroll=1)
+    t._ensure_buffers()
+    assert t.net.unroll == 1
+    # net-level knob already set -> respected
+    t = build(net.clone(unroll=4))
+    t._ensure_buffers()
+    assert t.net.unroll == 4
+    # and the unrolled trainer still trains end to end
+    t = build(net)
+    t.train()

@@ -90,3 +90,47 @@ def test_srfbn_jit():
     params = net.init(jax.random.PRNGKey(0), x)
     out = jax.jit(lambda p, x: net.apply(p, x))(params, x)
     assert out.shape == (2, 1, 16, 16, 1)
+
+
+def test_scan_unroll_is_exact():
+    """``unroll``/``split_transpose`` are lowering knobs, not math: fully
+    unrolled scans must reproduce the scan outputs AND gradients bitwise
+    (the training A/B in scripts/probe_drf_train_scan.py relies on this).
+    Covers all three scan families that expose the knob."""
+    from vsr_tpu.models import FRVSRNet
+
+    x_img = jnp.array(np.random.default_rng(0).random((2, 12, 12, 1)),
+                      jnp.float32)
+    x_vid = jnp.array(np.random.default_rng(1).random((2, 4, 12, 12, 1)),
+                      jnp.float32)
+    cases = [
+        (SRFBNet, dict(in_channels=1, out_channels=1, num_steps=3,
+                       num_features=8, num_groups=2, upscale_factor=2),
+         dict(unroll=3), x_img),
+        (DRFSISRNet, dict(in_channels=1, out_channels=1, num_steps=3,
+                          num_features=8, num_groups=2, upscale_factor=2),
+         dict(unroll=3), x_img),
+        (DRFNet, dict(in_channels=1, out_channels=1, num_features=8,
+                      num_groups=2, upscale_factor=2),
+         dict(unroll=4, split_transpose=True), x_vid),
+        (FRVSRNet, dict(in_channels=1, out_channels=1, upscale_factor=2,
+                        num_resblocks=2, is_prediction=True),
+         dict(unroll=4), x_vid),
+    ]
+    for cls, kw, knobs, x in cases:
+        base = cls(**kw)
+        params = base.init(jax.random.PRNGKey(0), x)
+        alt = cls(**kw, **knobs)
+
+        def loss(net):
+            return lambda p: jnp.sum(jnp.asarray(net.apply(p, x)) ** 2)
+
+        np.testing.assert_array_equal(
+            np.asarray(base.apply(params, x)),
+            np.asarray(alt.apply(params, x)), err_msg=cls.__name__)
+        g0 = jax.grad(loss(base))(params)
+        g1 = jax.grad(loss(alt))(params)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=cls.__name__)

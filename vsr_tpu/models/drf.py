@@ -92,6 +92,8 @@ class DRFSISRNet(nn.Module):
     dtype: Any = None
     subpixel_deconv: bool = False
     fused_squeeze: bool = False
+    #: lax.scan ``unroll`` for the feedback loop (exact; see DRFNet.unroll).
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -104,6 +106,7 @@ class DRFSISRNet(nn.Module):
             in_axes=(nn.broadcast,),
             out_axes=0,
             length=self.num_steps,
+            unroll=min(self.unroll, self.num_steps),
         )
         _, outputs = scan(
             self.num_features, self.num_groups, self.out_channels,
@@ -130,6 +133,14 @@ class DRFNet(nn.Module):
     dtype: Any = None
     subpixel_deconv: bool = False
     fused_squeeze: bool = False
+    #: lax.scan ``unroll`` for the frame loop. >1 unrolls that many frame
+    #: steps per scan iteration (exact — same ops, straight-line); a probe
+    #: knob for the training backward's activation-stash traffic
+    #: (scripts/probe_drf_train_scan.py). Serving keeps 1 (T=30 sequences).
+    unroll: int = 1
+    #: lax.scan ``_split_transpose``: lower the backward pass as a separate
+    #: scan instead of fusing it into the forward scan's transpose.
+    split_transpose: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -150,6 +161,8 @@ class DRFNet(nn.Module):
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
+            unroll=min(self.unroll, t),
+            _split_transpose=self.split_transpose,
         )
         # Hidden state resets to frame 0's features (drf_net.py:42-43), then
         # carries across frames.

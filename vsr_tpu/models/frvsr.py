@@ -178,6 +178,8 @@ class FRVSRNet(nn.Module):
     num_resblocks: int = 10
     remat: bool = False  # jax.checkpoint per frame: O(1) activations in T
     dtype: Any = None
+    #: lax.scan ``unroll`` for the frame loop (exact; see DRFNet.unroll).
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -193,6 +195,7 @@ class FRVSRNet(nn.Module):
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
+            unroll=min(self.unroll, t),
         )
         _, (sr_imgs, warped_lrs) = scan(
             self.out_channels, self.upscale_factor, self.num_resblocks,

@@ -82,6 +82,12 @@ class SRFBNet(nn.Module):
     subpixel_deconv: bool = False
     #: fuse the FBlock ladder concat+1x1 squeezes (Pallas; exact).
     fused_squeeze: bool = False
+    #: lax.scan ``unroll`` for the feedback loop (exact; straight-lines the
+    #: num_steps iterations). Training knob: the scan backward's activation
+    #: stash is dynamic_update_slice traffic that unrolling lets XLA fuse
+    #: (scripts/probe_drf_train_scan.py measured +25% on DRFNet's frame
+    #: scan); serving keeps 1.
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -96,6 +102,7 @@ class SRFBNet(nn.Module):
             in_axes=(nn.broadcast, nn.broadcast),
             out_axes=0,
             length=self.num_steps,
+            unroll=min(self.unroll, self.num_steps),
         )
         _, outputs = scan(
             self.num_features, self.num_groups, self.out_channels,

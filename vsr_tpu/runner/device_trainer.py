@@ -123,6 +123,7 @@ class DeviceEpochTrainer:
         dataset_stats: str = "acdc",
         random_seed: int | str = "vsr",
         window: int | None = None,
+        scan_unroll: int | str = "auto",
     ):
         # ``window``: when set and the buffers are whole sequences
         # (M, T_full, h, w, C), each sample is a ``window``-frame temporal
@@ -130,6 +131,18 @@ class DeviceEpochTrainer:
         # once instead of duplicating frames into every window (T_full/
         # window x less HBM than pre-windowed buffers).
         self.window = window
+        # Unroll the net's internal scan at the training size (+25-29%
+        # steps/s, exact — see DeviceTrainerMixin._apply_scan_unroll).
+        if hasattr(net, "unroll") and net.unroll == 1:
+            if isinstance(scan_unroll, int):
+                n = scan_unroll
+            else:
+                length = getattr(net, "num_steps", None)
+                if length is None and lr_data.ndim == 5:
+                    length = window or lr_data.shape[1]
+                n = int(length) if length and length <= 8 else 1
+            if n > 1:
+                net = net.clone(unroll=n)
         self.net = net
         self.loss_fns = list(loss_fns)
         self.loss_weights = [float(w) for w in loss_weights]
@@ -272,14 +285,58 @@ class DeviceTrainerMixin:
 
     def __init__(self, *args, patch: int, ratio: int,
                  steps_per_epoch: int | None = None,
-                 buffer_limit: int | None = None, **kwargs):
+                 buffer_limit: int | None = None,
+                 scan_unroll: int | str = "auto", **kwargs):
         super().__init__(*args, **kwargs)
         self.patch = int(patch)
         self.ratio = int(ratio)
         self._steps_cfg = steps_per_epoch
         self.buffer_limit = buffer_limit
+        self.scan_unroll = scan_unroll
         self.lr_buf = None
         self._device_epoch = None
+
+    #: "auto" fully unrolls net-internal scans only up to this many steps
+    #: (training windows/feedback depths are 4-5; serving-length scans
+    #: would blow compile time for no measured gain).
+    _MAX_AUTO_UNROLL = 8
+
+    def _apply_scan_unroll(self) -> None:
+        """Unroll the net's internal scan for the TRAINING-size loop.
+
+        The scan backward stashes every iteration's activations via
+        dynamic_update_slice — 26% of the flagship DRF train step at 0.4
+        TF/s (scripts/profile_train_step.py). At training sizes (T=5
+        windows, 4 feedback steps) straight-lining the loop lets XLA fuse
+        the stash: measured +25-29% steps/s across DRFNet / FRVSR / SRFBN
+        / DRFSISR (scripts/probe_drf_train_scan.py,
+        probe_scan_unroll_zoo.py). Exact — outputs and grads are pinned
+        bitwise/ulp against the scan lowering
+        (tests/test_models_feedback.py::test_scan_unroll_is_exact).
+
+        trainer.kwargs.scan_unroll: "auto" (default — full unroll when the
+        scan length is known and <= 8), an int (explicit unroll factor),
+        or 0/1 to keep the plain scan.
+        """
+        net = self.net
+        if not hasattr(net, "unroll") or net.unroll != 1:
+            return  # no knob, or explicitly configured on the net
+        if isinstance(self.scan_unroll, int):
+            n = self.scan_unroll
+        else:
+            # Scan length: feedback depth (SRFBN/DRFSISR) or the buffered
+            # training window T (DRFNet/FRVSR sequence buffers).
+            length = getattr(net, "num_steps", None)
+            if length is None and self.lr_buf is not None \
+                    and self.lr_buf.ndim == 5:
+                length = int(self.lr_buf.shape[1])
+            if length is None or length > self._MAX_AUTO_UNROLL:
+                return
+            n = int(length)
+        if n > 1:
+            self.net = net.clone(unroll=n)
+            logging.info(f"Device trainer: {type(net).__name__} scan "
+                         f"unroll={n} (exact; +25-29% measured).")
 
     # ------------------------------------------------------------- buffers
     def _buffer_layout(self, lr: np.ndarray, hr: np.ndarray):
@@ -353,6 +410,7 @@ class DeviceTrainerMixin:
                 1, self.m // self.batch_size)
             self._device_epoch = jax.jit(
                 self._device_epoch_fn, donate_argnames=("params", "opt_state"))
+        self._apply_scan_unroll()
 
     def _example_inputs(self):
         self._ensure_buffers()
