@@ -288,3 +288,133 @@ def test_no_warmup_becomes_warm_lazily(tmp_path):
             assert json.loads(resp.read())["status"] == "ok"
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------- streaming
+
+
+@pytest.fixture(scope="module")
+def stream_server():
+    """A daemon with ONLY streaming sessions configured (recurrent DRF)."""
+    srv = make_server([], port=0, warmup=True, stream_spec={
+        "net": "DRFNet",
+        "net_kwargs": {"in_channels": 1, "out_channels": 1,
+                       "num_features": 4, "num_groups": 1,
+                       "upscale_factor": 2},
+        "checkpoint": "", "factor": 2, "dataset": "acdc", "windows": 0,
+    })
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv
+    srv.shutdown()
+
+
+def _stream_post(server, path, arr=None):
+    data = b""
+    if arr is not None:
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        data = buf.getvalue()
+    req = urllib.request.Request(
+        _url(server, path), data=data,
+        headers={"Content-Type": "application/x-npy"})
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, resp.read(), dict(resp.headers)
+
+
+def test_stream_sessions_match_direct_stream(stream_server):
+    """open -> push x3 -> close: SR frames equal the Python-API stream
+    with the same (deterministic template-init) params."""
+    from vsr_tpu.infer import build_serving_net
+    from vsr_tpu.stream import make_stream
+
+    status, body, _ = _stream_post(stream_server, "/v1/stream/open")
+    sid = json.loads(body)["id"]
+    assert json.loads(body)["family"] == "RecurrentStream"
+
+    net, params, _tf = build_serving_net(
+        "DRFNet", {"in_channels": 1, "out_channels": 1, "num_features": 4,
+                   "num_groups": 1, "upscale_factor": 2}, "",
+        lr_hw=(48, 48), video=True)
+    direct = make_stream(net, params, factor=2)
+
+    rng = np.random.default_rng(3)
+    for t in range(3):
+        stack = np.round(rng.random((2, 24, 24)) * 255).astype(np.float32)
+        status, body, headers = _stream_post(
+            stream_server, f"/v1/stream/{sid}/push", stack)
+        assert status == 200
+        assert headers["X-VSR-Frame-Index"] == str(t)
+        got = np.load(io.BytesIO(body))
+        _lr, want = direct.push(stack)
+        np.testing.assert_array_equal(got, np.asarray(want))
+
+    # flush on a recurrent stream: no deferred frames, resets indexing
+    status, body, headers = _stream_post(
+        stream_server, f"/v1/stream/{sid}/flush")
+    assert status == 200 and headers["X-VSR-Frame-Indices"] == ""
+    stack = np.round(rng.random((2, 24, 24)) * 255).astype(np.float32)
+    status, _, headers = _stream_post(
+        stream_server, f"/v1/stream/{sid}/push", stack)
+    assert headers["X-VSR-Frame-Index"] == "0"
+
+    req = urllib.request.Request(_url(stream_server, f"/v1/stream/{sid}"),
+                                 method="DELETE")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+
+
+def test_stream_sessions_are_isolated(stream_server):
+    """Two interleaved sessions carry independent state (fork semantics):
+    interleaved pushes equal a serial single-session run."""
+    rng = np.random.default_rng(4)
+    seq = [np.round(rng.random((2, 24, 24)) * 255).astype(np.float32)
+           for _ in range(2)]
+
+    _, body, _ = _stream_post(stream_server, "/v1/stream/open")
+    a = json.loads(body)["id"]
+    _, body, _ = _stream_post(stream_server, "/v1/stream/open")
+    b = json.loads(body)["id"]
+    outs_a, outs_b = [], []
+    for s in seq:  # interleave identical sequences
+        _, body, _ = _stream_post(stream_server, f"/v1/stream/{a}/push", s)
+        outs_a.append(np.load(io.BytesIO(body)))
+        _, body, _ = _stream_post(stream_server, f"/v1/stream/{b}/push", s)
+        outs_b.append(np.load(io.BytesIO(body)))
+    np.testing.assert_array_equal(np.stack(outs_a), np.stack(outs_b))
+    for sid in (a, b):
+        req = urllib.request.Request(
+            _url(stream_server, f"/v1/stream/{sid}"), method="DELETE")
+        urllib.request.urlopen(req)
+
+
+def test_stream_error_paths(stream_server, server):
+    # unknown session
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _stream_post(stream_server, "/v1/stream/nope/push",
+                     np.zeros((2, 24, 24), np.float32))
+    assert exc.value.code == 404
+    # geometry change mid-sequence -> 400
+    _, body, _ = _stream_post(stream_server, "/v1/stream/open")
+    sid = json.loads(body)["id"]
+    _stream_post(stream_server, f"/v1/stream/{sid}/push",
+                 np.zeros((2, 24, 24), np.float32))
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _stream_post(stream_server, f"/v1/stream/{sid}/push",
+                     np.zeros((2, 24, 36), np.float32))
+    assert exc.value.code == 400
+    # reset clears the geometry pin
+    status, body, _ = _stream_post(stream_server, f"/v1/stream/{sid}/reset")
+    assert status == 200
+    status, _, _ = _stream_post(stream_server, f"/v1/stream/{sid}/push",
+                                np.zeros((2, 24, 36), np.float32))
+    assert status == 200
+    # a server without a stream spec: open -> 404
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _stream_post(server, "/v1/stream/open")
+    assert exc.value.code == 404
+    # healthz reports the stream spec + session count
+    with urllib.request.urlopen(_url(stream_server, "/healthz")) as resp:
+        health = json.loads(resp.read())
+    assert health["stream"]["net"] == "DRFNet"
+    assert health["stream"]["sessions"] >= 1

@@ -172,11 +172,113 @@ class LivePipeline:
         return self._pipe(frames)
 
 
+class StreamManager:
+    """Streaming (online) sessions over one net spec (vsr_tpu/stream.py).
+
+    One template stream is built lazily from the spec; every session is a
+    ``fork()`` — shared compiled programs, per-session temporal state in
+    HBM. Device calls are serialized under the pool's device lock like the
+    batch endpoints.
+    """
+
+    MAX_SESSIONS = 16
+
+    def __init__(self, spec: dict | None):
+        self.spec = spec
+        self._lock = threading.Lock()
+        self._sessions: dict = {}
+        self._counter = 0
+        self._template = None
+
+    def _build_template(self):
+        if self._template is None:
+            from vsr_tpu.infer import build_serving_net
+            from vsr_tpu.stream import RECURRENT_STREAMS, make_stream
+
+            s = self.spec
+            # Conv nets' params are geometry-independent — init at a
+            # placeholder LR size; each session compiles at its own pushed
+            # geometry (jit caches per shape).
+            net, params, train_flag = build_serving_net(
+                s["net"], s.get("net_kwargs", {}), s.get("checkpoint", ""),
+                lr_hw=(48, 48),
+                video=s["net"] in RECURRENT_STREAMS,
+                windows=s.get("windows", 0))
+            self._template = make_stream(
+                net, params, factor=s.get("factor", 2),
+                dataset=s.get("dataset", "acdc"),
+                windows=s.get("windows", 0),
+                order=s.get("order", "middle"), train_flag=train_flag)
+        return self._template
+
+    def open(self) -> str:
+        if self.spec is None:
+            raise LookupError(
+                "no streaming net configured (--stream-net ...)")
+        with self._lock:
+            if len(self._sessions) >= self.MAX_SESSIONS:
+                raise RuntimeError(
+                    f"session limit reached ({self.MAX_SESSIONS}); close "
+                    "idle sessions (DELETE /v1/stream/<id>)")
+            template = self._build_template()
+            sid = f"s{self._counter}"
+            self._counter += 1
+            self._sessions[sid] = {"stream": template.fork(), "pushed": 0}
+            return sid
+
+    def get(self, sid: str):
+        with self._lock:
+            if sid not in self._sessions:
+                raise KeyError(f"unknown stream session {sid!r}")
+            return self._sessions[sid]
+
+    def close(self, sid: str) -> None:
+        with self._lock:
+            if self._sessions.pop(sid, None) is None:
+                raise KeyError(f"unknown stream session {sid!r}")
+
+    def push(self, sid: str, frames: np.ndarray, device_lock):
+        """Push one (N, H, W) time point; returns ``(t, sr)`` or ``None``
+        while a window stream's context is filling."""
+        sess = self.get(sid)
+        with device_lock:
+            out = sess["stream"].push(frames)
+            if out is not None:
+                sr = np.asarray(out[-1], np.float32)
+        t = sess["pushed"]
+        sess["pushed"] += 1
+        if out is None:
+            return None
+        if len(out) == 3:  # window stream: (t_out, lr, sr)
+            t = out[0]
+        return t, sr
+
+    def flush(self, sid: str, device_lock):
+        """End the sequence: returns ``(indices, srs)`` for the deferred
+        boundary frames (empty for recurrent/per-frame streams) and resets
+        the session for the next sequence."""
+        sess = self.get(sid)
+        with device_lock:
+            outs = [(t, np.asarray(sr, np.float32))
+                    for t, _lr, sr in sess["stream"].flush()]
+        sess["stream"].reset()  # no-op for window streams (flush resets)
+        sess["pushed"] = 0
+        return [t for t, _ in outs], [sr for _, sr in outs]
+
+    @property
+    def meta(self):
+        if self.spec is None:
+            return None
+        return {**self.spec, "sessions": len(self._sessions),
+                "max_sessions": self.MAX_SESSIONS}
+
+
 class ArtifactPool:
     """Loaded artifacts + routing + the serialized device executor."""
 
-    def __init__(self, paths, warmup: bool = True, live=()):
-        if not paths and not live:
+    def __init__(self, paths, warmup: bool = True, live=(),
+                 allow_empty: bool = False):
+        if not paths and not live and not allow_empty:
             raise ValueError(
                 "at least one --artifact or live --net serving is required")
         self.servings = [ExportedServing(p) for p in paths] + list(live)
@@ -295,12 +397,17 @@ def _encode_volume(sr: np.ndarray, kind: str, nii_geom):
 
 
 def make_server(artifact_paths, host: str = "127.0.0.1", port: int = 0,
-                warmup: bool = True, live=()) -> ThreadingHTTPServer:
+                warmup: bool = True, live=(),
+                stream_spec: dict | None = None) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``.serve_forever()`` it or
     run it in a thread (tests). ``port=0`` binds an ephemeral port.
     ``live``: extra :class:`LivePipeline` servings (mesh-sharded / ad-hoc
-    net+checkpoint) pooled alongside the artifacts."""
-    pool = ArtifactPool(artifact_paths, warmup=warmup, live=live)
+    net+checkpoint) pooled alongside the artifacts. ``stream_spec``:
+    enables the ``/v1/stream`` session endpoints (:class:`StreamManager`)
+    for frame-at-a-time serving of that net."""
+    pool = ArtifactPool(artifact_paths, warmup=warmup, live=live,
+                        allow_empty=stream_spec is not None)
+    streams = StreamManager(stream_spec)
     metrics = Metrics()
 
     class Handler(BaseHTTPRequestHandler):
@@ -329,6 +436,7 @@ def make_server(artifact_paths, host: str = "127.0.0.1", port: int = 0,
                         {"path": p, "frames_shape": s.meta["frames_shape"],
                          "factor": s.meta["factor"]}
                         for p, s in zip(pool.paths, pool.servings)],
+                    "stream": streams.meta,
                 })
             elif path == "/v1/meta":
                 status = 200
@@ -344,8 +452,123 @@ def make_server(artifact_paths, host: str = "127.0.0.1", port: int = 0,
                 # scanner must not grow the counter dict without bound
             metrics.observe(path, status, time.perf_counter() - t0)
 
+        def _read_body(self) -> bytes:
+            length = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(length)
+
+        def _stream_request(self, path: str) -> None:
+            """POST /v1/stream/open | /v1/stream/<id>/push | .../flush |
+            .../reset — the online serving sessions (StreamManager)."""
+            t0 = time.perf_counter()
+            status = 500
+            try:
+                parts = path.split("/")[3:]  # after /v1/stream
+                if parts == ["open"]:
+                    try:
+                        sid = streams.open()
+                    except LookupError as exc:
+                        status = 404
+                        self._send_json(404, {"error": str(exc)})
+                        return
+                    except RuntimeError as exc:  # session limit
+                        status = 429
+                        self._send_json(429, {"error": str(exc)})
+                        return
+                    status = 200
+                    self._send_json(200, {
+                        "id": sid,
+                        "family": type(streams.get(sid)["stream"]).__name__})
+                    return
+                if len(parts) != 2 or parts[1] not in ("push", "flush",
+                                                       "reset"):
+                    status = 404
+                    self._send_json(404, {"error": f"unknown path {path}"})
+                    return
+                sid, verb = parts
+                try:
+                    if verb == "push":
+                        try:
+                            frames = np.load(io.BytesIO(self._read_body()),
+                                             allow_pickle=False)
+                            frames = np.ascontiguousarray(frames, np.float32)
+                        except Exception as exc:
+                            status = 400
+                            self._send_json(400, {"error": f"bad frame: {exc}"})
+                            return
+                        out = streams.push(sid, frames, pool._device_lock)
+                        if out is None:  # window context still filling
+                            status = 204
+                            self.send_response(204)
+                            self.send_header("Content-Length", "0")
+                            self.end_headers()
+                            return
+                        t, sr = out
+                        buf = io.BytesIO()
+                        np.save(buf, sr)
+                        status = 200
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/x-npy")
+                        self.send_header("X-VSR-Frame-Index", str(t))
+                        body = buf.getvalue()
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    elif verb == "flush":
+                        idx, srs = streams.flush(sid, pool._device_lock)
+                        buf = io.BytesIO()
+                        np.save(buf, np.stack(srs) if srs
+                                else np.zeros((0,), np.float32))
+                        status = 200
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/x-npy")
+                        self.send_header("X-VSR-Frame-Indices",
+                                         ",".join(map(str, idx)))
+                        body = buf.getvalue()
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    else:  # reset
+                        sess = streams.get(sid)
+                        sess["stream"].reset()
+                        sess["pushed"] = 0
+                        status = 200
+                        self._send_json(200, {"ok": True})
+                except KeyError as exc:
+                    status = 404
+                    self._send_json(404, {"error": str(exc)})
+                except ValueError as exc:  # geometry / short-sequence errors
+                    status = 400
+                    self._send_json(400, {"error": str(exc)})
+            except Exception as exc:  # internal error
+                logging.exception("stream request failed")
+                try:
+                    self._send_json(500, {"error": str(exc)})
+                except Exception:
+                    pass
+            finally:
+                metrics.observe("/v1/stream", status,
+                                time.perf_counter() - t0)
+
+        def do_DELETE(self):
+            path = urlparse(self.path).path
+            parts = path.split("/")
+            if len(parts) == 4 and parts[1:3] == ["v1", "stream"]:
+                try:
+                    streams.close(parts[3])
+                    self._send_json(200, {"ok": True})
+                    metrics.observe("/v1/stream", 200, 0.0)
+                except KeyError as exc:
+                    self._send_json(404, {"error": str(exc)})
+                    metrics.observe("/v1/stream", 404, 0.0)
+                return
+            self._send_json(404, {"error": f"unknown path {path}"})
+            metrics.observe("<other>", 404, 0.0)
+
         def do_POST(self):
             parsed = urlparse(self.path)
+            if parsed.path.startswith("/v1/stream/"):
+                self._stream_request(parsed.path)
+                return
             if parsed.path != "/v1/sr":
                 self._send_json(404, {"error": f"unknown path {parsed.path}"})
                 metrics.observe("<other>", 404, 0.0)
@@ -495,6 +718,25 @@ def main() -> None:
                         "(vsr_tpu/presets.py) to the live pipeline; "
                         "explicit flags win. Quantization here needs "
                         "static scales (--w8a8-scales)")
+    # Streaming (online) sessions: /v1/stream endpoints (vsr_tpu/stream.py).
+    p.add_argument("--stream-net", dest="stream_net", default="",
+                   help="enable frame-at-a-time streaming sessions for "
+                        "this registered net (recurrent nets stream via "
+                        "their scan carry; --stream-windows serves "
+                        "circular MISR windows; other nets per-frame)")
+    p.add_argument("--stream-net-kwargs", dest="stream_net_kwargs",
+                   default="", help="JSON net kwargs for --stream-net")
+    p.add_argument("--stream-checkpoint", dest="stream_checkpoint",
+                   default="")
+    p.add_argument("--stream-factor", dest="stream_factor", type=int,
+                   default=2)
+    p.add_argument("--stream-dataset", dest="stream_dataset",
+                   choices=["acdc", "dsb15"], default="acdc")
+    p.add_argument("--stream-windows", dest="stream_windows", type=int,
+                   default=0)
+    p.add_argument("--stream-order", dest="stream_order",
+                   choices=["middle", "last"], default="middle")
+    p.add_argument("--stream-bf16", dest="stream_bf16", action="store_true")
     args = p.parse_args()
     if args.preset and args.net:
         from vsr_tpu.presets import apply_preset_to_args
@@ -508,10 +750,27 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     live = live_from_args(args)
+    stream_spec = None
+    if args.stream_net:
+        kw = (json.loads(args.stream_net_kwargs)
+              if args.stream_net_kwargs else {})
+        if args.stream_bf16:
+            import jax.numpy as jnp
+
+            kw["dtype"] = jnp.bfloat16
+        stream_spec = {
+            "net": args.stream_net, "net_kwargs": kw,
+            "checkpoint": args.stream_checkpoint,
+            "factor": args.stream_factor, "dataset": args.stream_dataset,
+            "windows": args.stream_windows, "order": args.stream_order,
+        }
     server = make_server(args.artifact, args.host, args.port,
-                         warmup=not args.no_warmup, live=live)
+                         warmup=not args.no_warmup, live=live,
+                         stream_spec=stream_spec)
     logging.info(f"serving {len(args.artifact)} artifact(s) + "
-                 f"{len(live)} live pipeline(s) on "
+                 f"{len(live)} live pipeline(s)"
+                 + (f" + streaming sessions ({args.stream_net})"
+                    if stream_spec else "") + " on "
                  f"http://{args.host}:{server.server_address[1]}")
     try:
         server.serve_forever()

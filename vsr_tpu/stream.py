@@ -92,6 +92,20 @@ class _StreamBase:
         streams only — recurrent/per-frame streams have none)."""
         return []
 
+    def fork(self):
+        """A fresh-state stream SHARING this one's compiled programs.
+
+        Serving many concurrent sequences (e.g. the daemon's stream
+        sessions) must not compile one program per session: the jitted
+        step/apply callables are shared by reference (jax's jit cache keys
+        on shapes, so forks may even push different geometries), only the
+        per-sequence state is new."""
+        import copy
+
+        new = copy.copy(self)
+        new.reset()
+        return new
+
 
 class FrameStream(_StreamBase):
     """Stateless per-frame SR (SISR nets): push -> (lr, sr) immediately."""
