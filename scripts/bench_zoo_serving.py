@@ -66,12 +66,12 @@ def build_cases(subpixel: bool = False, fsq: bool = False):
                  dtype=bf16), {"vpc": 4}),  # probe_edsr_vpc.py optimum
         ("SRFBNet", 2, "sisr",
          SRFBNet(in_channels=1, out_channels=1, num_steps=4, num_features=64,
-                 num_groups=6, upscale_factor=2, dtype=bf16,
+                 num_groups=6, upscale_factor=2, dtype=bf16, unroll=4,
                  subpixel_deconv=subpixel, fused_squeeze=fsq), {"chunk": 60}),
         ("DRFSISRNet", 2, "sisr",
          DRFSISRNet(in_channels=1, out_channels=1, num_steps=4,
                     num_features=64, num_groups=6, upscale_factor=2,
-                    fused_tail=True, dtype=bf16,
+                    fused_tail=True, dtype=bf16, unroll=4,
                     subpixel_deconv=subpixel, fused_squeeze=fsq),
          {"chunk": 60}),
         ("DRFNet", 2, "vsr",

@@ -60,12 +60,14 @@ SERVING_PRESETS: dict[str, dict] = {
         "w8a8": "lazy",                       # 1.32x, <=2 grey levels
     },
     "SRFBNet": {
+        "net_kwargs": {"unroll": 4},          # unrolled feedback steps:
+                                              # +5.7% (probe_unroll_serving)
         "chunk": 60,
         "w8a8": "scales",                     # scan-body feedback steps
         "w8a8_kernels": {6},                  # k6-only: 1.08x; full: 0.91x
     },
     "DRFSISRNet": {
-        "net_kwargs": {"fused_tail": True},
+        "net_kwargs": {"fused_tail": True, "unroll": 4},  # +2.4%
         "chunk": 60,
         "w8a8": "scales",
         "w8a8_kernels": {6},                  # 1.08x (probe_w8a8_selective)
