@@ -37,9 +37,14 @@ def main() -> None:
     print(f"backend={jax.default_backend()}", flush=True)
 
     rng = np.random.default_rng(0)
-    hr = np.round(rng.random((D * T, H, W)) * 255).astype(np.float32)
-    stacks = [np.ascontiguousarray(hr.reshape(D, T, H, W)[:, t])
-              for t in range(T)]
+    reps = 3
+    # Distinct volumes per call + one block over ALL outputs - the zoo
+    # harness's audited timing shape (CLAUDE.md: never reuse one input or
+    # sync only the last call through the relay).
+    vols = [np.round(rng.random((D * T, H, W)) * 255).astype(np.float32)
+            for _ in range(reps)]
+    stacks = [[np.ascontiguousarray(v.reshape(D, T, H, W)[:, t])
+               for t in range(T)] for v in vols]
 
     for name, net in [
         ("DRFNet-6x64 (flagship)",
@@ -54,27 +59,26 @@ def main() -> None:
 
         # Batch reference: whole-sequence pipeline, one volume per call.
         pipe = jax.jit(make_pipeline(net, params, 2, "acdc", video_t=T))
-        _lr, sr = pipe(hr)
+        _lr, sr = pipe(vols[0])
         np.asarray(sr)  # compile + settle
         t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
-            _lr, sr = pipe(hr)
-        float(jnp.mean(sr))
+        outs = [pipe(v)[1] for v in vols]
+        jax.block_until_ready(outs)
         batch_fps = reps * D * T / (time.perf_counter() - t0)
 
-        # Stream: T pushes per volume, readback once at the end.
+        # Stream: T pushes per volume (serially chained through the
+        # carry), block over every emitted frame at the end.
         stream = make_stream(net, params, factor=2)
-        for s in stacks:  # warm (compile) + fill state
+        for s in stacks[0]:  # warm (compile) + fill state
             out = stream.push(s)
-        float(jnp.mean(out[1]))
-        stream.reset()
+        jax.block_until_ready(out)
         t0 = time.perf_counter()
-        for _ in range(reps):
+        outs = []
+        for vol in stacks:
             stream.reset()
-            for s in stacks:
-                out = stream.push(s)
-        float(jnp.mean(out[1]))
+            for s in vol:
+                outs.append(stream.push(s)[1])
+        jax.block_until_ready(outs)
         stream_fps = reps * D * T / (time.perf_counter() - t0)
 
         print(f"{name}: batch {batch_fps:7.1f} frames/s | "

@@ -94,6 +94,49 @@ def sample_crop_flip(key, lr, hr, patch: int, ratio: int, stats):
     return norm(lr_c), norm(hr_c)
 
 
+
+#: "auto" fully unrolls net-internal scans only up to this many steps
+#: (training windows/feedback depths are 4-5; serving-length scans would
+#: blow compile time for no measured gain - probe_unroll_serving.py
+#: measured 0.98x at the T=30 VSR serving scans).
+MAX_AUTO_UNROLL = 8
+
+
+def auto_unroll_net(net, scan_unroll, length_hint=None):
+    """The shared auto-scan-unroll policy (one implementation for the
+    standalone DeviceEpochTrainer and the config-driven mixin).
+
+    The scan backward stashes every iteration's activations via
+    dynamic_update_slice - 26% of the flagship DRF train step at 0.4 TF/s
+    (scripts/profile_train_step.py). At training sizes (T=5 windows, 4
+    feedback steps) straight-lining the loop lets XLA fuse the stash:
+    measured +25-29% steps/s across DRFNet / FRVSR / SRFBN / DRFSISR
+    (scripts/probe_drf_train_scan.py, probe_scan_unroll_zoo.py). Exact -
+    outputs bitwise / grads to ulp vs the scan lowering
+    (tests/test_models_feedback.py::test_scan_unroll_is_exact).
+
+    ``scan_unroll``: "auto" (full unroll when the scan length is known and
+    <= MAX_AUTO_UNROLL), an int (explicit factor), or 0/1 to keep the
+    rolled scan. ``length_hint``: the frame-scan length (training window
+    T) for nets without a static num_steps. Returns the (possibly cloned)
+    net; a net whose ``unroll`` was explicitly configured is respected.
+    """
+    if not hasattr(net, "unroll") or net.unroll != 1:
+        return net
+    if isinstance(scan_unroll, int):
+        n = scan_unroll
+    else:
+        length = getattr(net, "num_steps", None) or length_hint
+        if length is None or length > MAX_AUTO_UNROLL:
+            return net
+        n = int(length)
+    if n <= 1:
+        return net
+    logging.info(f"Device trainer: {type(net).__name__} scan unroll={n} "
+                 "(exact; +25-29% measured).")
+    return net.clone(unroll=n)
+
+
 class DeviceEpochTrainer:
     """Single-program epochs over an HBM-resident (lr, hr) pair buffer.
 
@@ -131,19 +174,8 @@ class DeviceEpochTrainer:
         # once instead of duplicating frames into every window (T_full/
         # window x less HBM than pre-windowed buffers).
         self.window = window
-        # Unroll the net's internal scan at the training size (+25-29%
-        # steps/s, exact — see DeviceTrainerMixin._apply_scan_unroll).
-        if hasattr(net, "unroll") and net.unroll == 1:
-            if isinstance(scan_unroll, int):
-                n = scan_unroll
-            else:
-                length = getattr(net, "num_steps", None)
-                if length is None and lr_data.ndim == 5:
-                    length = window or lr_data.shape[1]
-                n = int(length) if length and length <= 8 else 1
-            if n > 1:
-                net = net.clone(unroll=n)
-        self.net = net
+        hint = (window or lr_data.shape[1]) if lr_data.ndim == 5 else None
+        self.net = net = auto_unroll_net(net, scan_unroll, hint)
         self.loss_fns = list(loss_fns)
         self.loss_weights = [float(w) for w in loss_weights]
         self.metric_fns = list(metric_fns)
@@ -296,47 +328,13 @@ class DeviceTrainerMixin:
         self.lr_buf = None
         self._device_epoch = None
 
-    #: "auto" fully unrolls net-internal scans only up to this many steps
-    #: (training windows/feedback depths are 4-5; serving-length scans
-    #: would blow compile time for no measured gain).
-    _MAX_AUTO_UNROLL = 8
-
     def _apply_scan_unroll(self) -> None:
-        """Unroll the net's internal scan for the TRAINING-size loop.
-
-        The scan backward stashes every iteration's activations via
-        dynamic_update_slice — 26% of the flagship DRF train step at 0.4
-        TF/s (scripts/profile_train_step.py). At training sizes (T=5
-        windows, 4 feedback steps) straight-lining the loop lets XLA fuse
-        the stash: measured +25-29% steps/s across DRFNet / FRVSR / SRFBN
-        / DRFSISR (scripts/probe_drf_train_scan.py,
-        probe_scan_unroll_zoo.py). Exact — outputs and grads are pinned
-        bitwise/ulp against the scan lowering
-        (tests/test_models_feedback.py::test_scan_unroll_is_exact).
-
-        trainer.kwargs.scan_unroll: "auto" (default — full unroll when the
-        scan length is known and <= 8), an int (explicit unroll factor),
-        or 0/1 to keep the plain scan.
-        """
-        net = self.net
-        if not hasattr(net, "unroll") or net.unroll != 1:
-            return  # no knob, or explicitly configured on the net
-        if isinstance(self.scan_unroll, int):
-            n = self.scan_unroll
-        else:
-            # Scan length: feedback depth (SRFBN/DRFSISR) or the buffered
-            # training window T (DRFNet/FRVSR sequence buffers).
-            length = getattr(net, "num_steps", None)
-            if length is None and self.lr_buf is not None \
-                    and self.lr_buf.ndim == 5:
-                length = int(self.lr_buf.shape[1])
-            if length is None or length > self._MAX_AUTO_UNROLL:
-                return
-            n = int(length)
-        if n > 1:
-            self.net = net.clone(unroll=n)
-            logging.info(f"Device trainer: {type(net).__name__} scan "
-                         f"unroll={n} (exact; +25-29% measured).")
+        """Apply :func:`auto_unroll_net` once the buffers reveal the
+        frame-scan length (trainer.kwargs.scan_unroll: "auto"|int)."""
+        hint = None
+        if self.lr_buf is not None and self.lr_buf.ndim == 5:
+            hint = int(self.lr_buf.shape[1])
+        self.net = auto_unroll_net(self.net, self.scan_unroll, hint)
 
     # ------------------------------------------------------------- buffers
     def _buffer_layout(self, lr: np.ndarray, hr: np.ndarray):

@@ -242,11 +242,13 @@ class StreamManager:
         while a window stream's context is filling."""
         sess = self.get(sid)
         with device_lock:
+            # the counter lives under the device lock so concurrent pushes
+            # to one session get indices matching device execution order
             out = sess["stream"].push(frames)
+            t = sess["pushed"]
+            sess["pushed"] += 1
             if out is not None:
                 sr = np.asarray(out[-1], np.float32)
-        t = sess["pushed"]
-        sess["pushed"] += 1
         if out is None:
             return None
         if len(out) == 3:  # window stream: (t_out, lr, sr)

@@ -151,6 +151,12 @@ class RecurrentStream(_StreamBase):
 
     def __init__(self, net, params, factor: int, dataset: str, step_builder):
         super().__init__()
+        nf = getattr(net, "upscale_factor", factor)
+        if nf != factor:
+            raise ValueError(
+                f"recurrent stream carry geometry is derived from the "
+                f"net's upscale_factor ({nf}), which must equal the "
+                f"degradation factor ({factor})")
         import functools
 
         import jax
