@@ -67,6 +67,9 @@ class Volume4DSRNet(nn.Module):
     res_scale: float = 0.1
     remat: bool = False
     dtype: Any = None
+    #: lax.scan ``unroll`` for the time loop (exact; see DRFNet.unroll —
+    #: the device trainer sets it to the training window T automatically).
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -84,6 +87,7 @@ class Volume4DSRNet(nn.Module):
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
+            unroll=min(self.unroll, t),
         )
         _, outputs = scan(
             self.num_features, self.num_resblocks, self.out_channels,

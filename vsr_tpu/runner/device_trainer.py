@@ -174,7 +174,8 @@ class DeviceEpochTrainer:
         # once instead of duplicating frames into every window (T_full/
         # window x less HBM than pre-windowed buffers).
         self.window = window
-        hint = (window or lr_data.shape[1]) if lr_data.ndim == 5 else None
+        # (M, T, h, w, C) windows or (M, T, D, h, w, C) 4D volumes
+        hint = (window or lr_data.shape[1]) if lr_data.ndim >= 5 else None
         self.net = net = auto_unroll_net(net, scan_unroll, hint)
         self.loss_fns = list(loss_fns)
         self.loss_weights = [float(w) for w in loss_weights]
@@ -332,7 +333,9 @@ class DeviceTrainerMixin:
         """Apply :func:`auto_unroll_net` once the buffers reveal the
         frame-scan length (trainer.kwargs.scan_unroll: "auto"|int)."""
         hint = None
-        if self.lr_buf is not None and self.lr_buf.ndim == 5:
+        if self.lr_buf is not None and self.lr_buf.ndim >= 5:
+            # (M, T, h, w, C) windows / (M, T, D, h, w, C) 4D volumes —
+            # axis 1 is the net's scanned axis in both buffer layouts
             hint = int(self.lr_buf.shape[1])
         self.net = auto_unroll_net(self.net, self.scan_unroll, hint)
 
