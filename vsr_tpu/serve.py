@@ -774,6 +774,13 @@ def main() -> None:
                  + (f" + streaming sessions ({args.stream_net})"
                     if stream_spec else "") + " on "
                  f"http://{args.host}:{server.server_address[1]}")
+    import signal
+
+    def _term(_sig, _frm):  # container/orchestrator stop -> clean exit
+        logging.info("SIGTERM: shutting down")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
