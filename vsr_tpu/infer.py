@@ -207,6 +207,17 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
             "sequence) path is already sequence-batched")
     mean, std = DATASET_STATS[dataset]
 
+    if mesh is not None and "model" in mesh.shape:
+        # Tensor-parallel serving: the closed-over params commit to their
+        # 'model'-axis shardings (output-feature dims split); GSPMD inserts
+        # the boundary collectives in the partitioned pipeline. spatial x
+        # model is refused (SPMD partitioner miscompile, see tp.py).
+        from vsr_tpu.parallel.tp import (reject_spatial_x_model,
+                                         shard_model_params)
+
+        reject_spatial_x_model(mesh)
+        params = shard_model_params(params, mesh)
+
     extra = {"train": False} if train_flag else {}
     if int8 and w8a8:
         raise ValueError("int8 (weight-only HBM residency) and w8a8 (int8 "
@@ -548,8 +559,9 @@ def main() -> None:
                              "variable-T volumes share compiled programs")
     parser.add_argument("--mesh", default="",
                         help="partition serving over a device mesh, e.g. "
-                             "'data=4' or 'data=2,spatial=2' (-1 = all "
-                             "remaining devices)")
+                             "'data=4', 'data=2,spatial=2', or "
+                             "'data=2,model=2' (-1 = all remaining devices; "
+                             "'model' shards the net's parameters)")
     parser.add_argument("--psnr", action="store_true",
                         help="report PSNR of each SR volume vs its input "
                              "(the input is ground truth: it is degraded "

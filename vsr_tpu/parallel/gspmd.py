@@ -46,12 +46,46 @@ def make_gspmd_step(
     input_spec: Any,
     target_spec: Any,
     donate: bool = True,
+    model_axis: str | None = None,
 ):
-    """jit ``step_fn(params, opt_state, inputs, targets)`` with replicated
-    params/opt_state and the given input/target PartitionSpec trees."""
+    """jit ``step_fn(params, opt_state, inputs, targets)`` with the given
+    input/target PartitionSpec trees.
+
+    Params/opt_state are replicated unless ``model_axis`` names a mesh axis
+    (tensor parallelism): then each of their leaves shards its trailing
+    output-feature dim over that axis per :func:`vsr_tpu.parallel.tp.model_spec`
+    — a per-leaf shape rule, so the jit is built lazily on the first call,
+    when the actual leaf shapes are in hand.
+    """
     rep = NamedSharding(mesh, P())
-    in_shardings = (rep, rep, _shardings(mesh, input_spec),
-                    _shardings(mesh, target_spec))
-    if donate:
-        return jax.jit(step_fn, in_shardings=in_shardings, donate_argnums=(0, 1))
-    return jax.jit(step_fn, in_shardings=in_shardings)
+    donate_argnums = (0, 1) if donate else ()
+    io = (_shardings(mesh, input_spec), _shardings(mesh, target_spec))
+    if not (model_axis and mesh.shape.get(model_axis, 1) > 1):
+        return jax.jit(step_fn, in_shardings=(rep, rep) + io,
+                       donate_argnums=donate_argnums)
+
+    from vsr_tpu.parallel.tp import model_shardings
+
+    def pinned(params, opt_state, inputs, targets):
+        # Pin the returned params/opt_state to the input layout so the
+        # donated buffers match and the next call never reshards.
+        p, o, scalars, outputs = step_fn(params, opt_state, inputs, targets)
+        p = jax.lax.with_sharding_constraint(
+            p, model_shardings(p, mesh, model_axis))
+        o = jax.lax.with_sharding_constraint(
+            o, model_shardings(o, mesh, model_axis))
+        return p, o, scalars, outputs
+
+    cache: dict = {}
+
+    def call(params, opt_state, inputs, targets):
+        if "jit" not in cache:
+            cache["jit"] = jax.jit(
+                pinned,
+                in_shardings=(model_shardings(params, mesh, model_axis),
+                              model_shardings(opt_state, mesh, model_axis)) + io,
+                donate_argnums=donate_argnums,
+            )
+        return cache["jit"](params, opt_state, inputs, targets)
+
+    return call

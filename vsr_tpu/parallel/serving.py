@@ -22,8 +22,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vsr_tpu.parallel.gspmd import _prune_spec
 
 
-#: Axis names the serving/GSPMD partition specs know about.
-KNOWN_AXES = ("data", "spatial")
+#: Axis names the serving/GSPMD partition specs know about.  'data' shards
+#: the frame batch, 'spatial' each frame's H axis, 'model' the parameters'
+#: output-feature dims (vsr_tpu/parallel/tp.py).
+KNOWN_AXES = ("data", "spatial", "model")
 
 
 def parse_mesh_axes(spec: str) -> dict[str, int]:

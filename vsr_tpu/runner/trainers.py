@@ -149,22 +149,32 @@ class BaseTrainer:
             from vsr_tpu.parallel.mesh import make_mesh
 
             self.mesh = make_mesh(dict(mesh_axes))
-            if self._multiprocess and "spatial" in self.mesh.shape:
+            if self._multiprocess and (
+                    "spatial" in self.mesh.shape or "model" in self.mesh.shape):
                 raise NotImplementedError(
-                    "multi-host spatial (GSPMD) training is not wired yet — "
-                    "use a pure data mesh (mesh_axes={'data': n}) across "
-                    "hosts")
-            if "spatial" in self.mesh.shape:
+                    "multi-host spatial/model (GSPMD) training is not wired "
+                    "yet — use a pure data mesh (mesh_axes={'data': n}) "
+                    "across hosts")
+            if "spatial" in self.mesh.shape or "model" in self.mesh.shape:
                 from vsr_tpu.parallel.gspmd import make_gspmd_step
+                from vsr_tpu.parallel.tp import reject_spatial_x_model
 
+                # 'model' (tensor parallelism, parallel/tp.py): parameters
+                # and optimizer moments shard their output-feature dims over
+                # the axis instead of replicating. spatial x model together
+                # is refused — the SPMD partitioner miscompiles it (see
+                # reject_spatial_x_model).
+                reject_spatial_x_model(self.mesh)
+                model_axis = "model" if "model" in self.mesh.shape else None
                 in_spec, tgt_spec = self._partition_specs()
                 self._dp_train_step = make_gspmd_step(
                     lambda p, o, i, t: self._step(p, o, i, t, training=True),
-                    self.mesh, in_spec, tgt_spec,
+                    self.mesh, in_spec, tgt_spec, model_axis=model_axis,
                 )
                 self._dp_eval_step = make_gspmd_step(
                     lambda p, o, i, t: self._step(p, o, i, t, training=False),
                     self.mesh, in_spec, tgt_spec, donate=False,
+                    model_axis=model_axis,
                 )
             else:
                 from vsr_tpu.parallel.data_parallel import make_dp_step
@@ -281,6 +291,13 @@ class BaseTrainer:
         init_kwargs = {"train": False} if self._net_train_kwarg else {}
         self.params = self.net.init(self.rng_tree.jax_key("init"), inputs, **init_kwargs)
         self.opt_state = self.tx.init(self.params["params"])
+        if self.mesh is not None and "model" in self.mesh.shape:
+            # Tensor parallelism: place params/moments SPLIT from the start
+            # so per-device HBM never holds the replicated copies.
+            from vsr_tpu.parallel.tp import shard_model_params
+
+            self.params = shard_model_params(self.params, self.mesh)
+            self.opt_state = shard_model_params(self.opt_state, self.mesh)
         if self.lr_scheduler is not None:
             self.lr_scheduler.bind(get_learning_rate(self.opt_state))
 
