@@ -1,0 +1,236 @@
+"""GPipe-style pipeline parallelism over a ``'pipe'`` mesh axis.
+
+The reference framework is single-GPU (SURVEY.md §2.9 — no parallelism);
+this module is the TPU-native pipeline-parallel capability for the deep
+residual chains of the EDSR family (``/root/reference/src/model/nets/
+edsr_net.py:30-36``: head conv -> N identical resblocks -> tail): the
+resblock chain is cut into ``P = mesh.shape['pipe']`` stages (each device
+holds ``N/P`` stacked blocks), the batch is split into ``M`` microbatches,
+and a ``lax.scan`` over ``M + P - 1`` ticks streams activations stage to
+stage with ``jax.lax.ppermute`` over ICI — the classic GPipe schedule with
+a ``(P-1)/(M+P-1)`` bubble, written as SPMD code under ``shard_map``.
+
+Exactness: every stage calls the net's OWN flax submodules (``_ResBlock``,
+the head ``Conv``, the tail ``Conv/_UpBlock/ShuffleConv``) on re-rooted
+subtrees of the standard ``EDSRNet`` parameter tree, so the pipelined
+forward is the sequential forward up to float reassociation — checkpoints
+interoperate unchanged (``split_edsr_params``/``merge_edsr_params`` are
+exact inverses).
+
+SPMD caveat (documented, inherent to the uniform-program formulation): the
+thin head/tail convs run masked on every stage each tick; the resblock
+chain — where EDSR's FLOPs live — is what actually partitions. Use
+``'pipe'`` when one chip cannot hold the model+activations of a very deep
+chain; for throughput on small nets prefer ``'data'``/``'spatial'``.
+
+Composes with data parallelism: a ``{'data': d, 'pipe': p}`` mesh shards
+the batch over ``'data'`` outside the pipeline (each data row runs its own
+pipeline over its batch shard) and grads psum across both axes through
+``shard_map`` autodiff.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from vsr_tpu.models.common import Conv, ShuffleConv
+from vsr_tpu.models.edsr import EDSRNet, _ResBlock, _UpBlock
+
+#: The reserved mesh-axis name for pipeline (stage) sharding.
+PIPE_AXIS = "pipe"
+
+
+class _Head(nn.Module):
+    """EDSR head conv as a standalone module (params re-rooted from the
+    net's ``Conv_0`` subtree — same submodule class, same math)."""
+
+    num_features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv(self.num_features, 3, padding=1, dtype=self.dtype)(x)
+
+
+class _Tail(nn.Module):
+    """EDSR tail (body conv + global skip -> upsampling ladder -> shuffle
+    conv), params re-rooted from the net's ``Conv_1 / _UpBlock_0 /
+    ShuffleConv_0`` subtrees."""
+
+    num_features: int
+    out_channels: int
+    upscale_factor: int
+    fused_tail: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, body, skip):
+        body = Conv(self.num_features, 3, padding=1, dtype=self.dtype)(body)
+        body = body + skip
+        pre = _UpBlock(self.num_features, self.upscale_factor,
+                       dtype=self.dtype)(body)
+        return ShuffleConv(self.out_channels, 3,
+                           factor=_UpBlock.split(self.upscale_factor),
+                           fused=self.fused_tail, dtype=self.dtype)(pre)
+
+
+def split_edsr_params(params, num_resblocks: int):
+    """Standard ``EDSRNet`` param tree -> ``(head, stacked_blocks, tail)``.
+
+    ``stacked_blocks`` stacks the ``_ResBlock_i`` subtrees on a new leading
+    axis (the pipeline-stage shard axis); head/tail are ``{'params': ...}``
+    trees for :class:`_Head` / :class:`_Tail`.
+    """
+    p = params["params"]
+    blocks = [p[f"_ResBlock_{i}"] for i in range(num_resblocks)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    head = {"params": {"Conv_0": p["Conv_0"]}}
+    tail = {"params": {"Conv_0": p["Conv_1"], "_UpBlock_0": p["_UpBlock_0"],
+                       "ShuffleConv_0": p["ShuffleConv_0"]}}
+    return head, stacked, tail
+
+
+def merge_edsr_params(head, stacked, tail):
+    """Exact inverse of :func:`split_edsr_params` (checkpoint interop)."""
+    leaves = jax.tree_util.tree_leaves(stacked)
+    num = int(leaves[0].shape[0])
+    p = {"Conv_0": head["params"]["Conv_0"],
+         "Conv_1": tail["params"]["Conv_0"],
+         "_UpBlock_0": tail["params"]["_UpBlock_0"],
+         "ShuffleConv_0": tail["params"]["ShuffleConv_0"]}
+    for i in range(num):
+        p[f"_ResBlock_{i}"] = jax.tree_util.tree_map(
+            lambda v, i=i: v[i], stacked)
+    return {"params": p}
+
+
+def make_pipelined_apply(net: EDSRNet, mesh: Mesh, num_microbatches: int,
+                         axis: str = PIPE_AXIS):
+    """Build ``apply(params, x)`` == ``net.apply(params, x)`` (up to float
+    reassociation), pipelined over the ``axis`` stages of ``mesh``.
+
+    ``params`` is the standard ``EDSRNet`` tree; ``x``: (N, H, W, C) with
+    ``N`` divisible by ``num_microbatches`` (times the ``'data'`` axis size
+    when the mesh has one). ``net.num_resblocks`` must divide evenly into
+    the stage count.
+    """
+    stages = mesh.shape[axis]
+    if net.num_resblocks % stages != 0:
+        raise ValueError(
+            f"num_resblocks={net.num_resblocks} does not split over "
+            f"'{axis}'={stages} stages")
+    M = int(num_microbatches)
+    if M < 1:
+        raise ValueError(f"num_microbatches must be >= 1, got {M}")
+    head_mod = _Head(net.num_features, dtype=net.dtype)
+    tail_mod = _Tail(net.num_features, net.out_channels, net.upscale_factor,
+                     fused_tail=net.fused_tail, dtype=net.dtype)
+    block_mod = _ResBlock(net.num_features, net.res_scale, dtype=net.dtype)
+    data = mesh.shape.get("data", 1)
+
+    def per_device(x, head_p, my_blocks, tail_p):
+        rank = jax.lax.axis_index(axis)
+        n = x.shape[0]
+        assert n % M == 0, (n, M)  # apply() validated divisibility
+        mb = n // M
+        xs = x.reshape(M, mb, *x.shape[1:])
+
+        def run_blocks(h, bp):
+            return block_mod.apply({"params": bp}, h), None
+
+        perm = [(i, i + 1) for i in range(stages - 1)]
+
+        def tick(carry, t):
+            act, skip = carry
+            # Stage-0 injection: the t-th microbatch through the head conv.
+            # (Computed masked on every stage — SPMD uniform program; the
+            # resblock chain below is the partitioned compute.)
+            inj = head_mod.apply(head_p, xs[jnp.minimum(t, M - 1)])
+            is_first = (rank == 0)
+            act_in = jnp.where(is_first, inj, act)
+            skip_in = jnp.where(is_first, inj, skip)
+            out = jax.lax.scan(run_blocks, act_in, my_blocks)[0]
+            y = tail_mod.apply(tail_p, out, skip_in)
+            y = jnp.where(rank == stages - 1, y, jnp.zeros_like(y))
+            if stages > 1:
+                act_next = jax.lax.ppermute(out, axis, perm)
+                skip_next = jax.lax.ppermute(skip_in, axis, perm)
+            else:
+                act_next, skip_next = out, skip_in
+            return (act_next, skip_next), y
+
+        carry_sd = jax.eval_shape(
+            head_mod.apply, head_p,
+            jax.ShapeDtypeStruct(xs.shape[1:], x.dtype))
+        zero = jnp.zeros(carry_sd.shape, carry_sd.dtype)
+        init = (zero, zero)
+        _, ys = jax.lax.scan(tick, init, jnp.arange(M + stages - 1))
+        # Valid outputs leave the last stage at ticks P-1 .. P-2+M; every
+        # other (tick, stage) cell was zeroed, so the psum that replicates
+        # the result across the pipe axis adds exact zeros.
+        ys = ys[stages - 1:]
+        y = ys.reshape(M * mb, *ys.shape[2:])
+        return jax.lax.psum(y, axis)
+
+    x_spec = P("data") if data > 1 else P()
+    sharded = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(x_spec, P(), P(axis), P()),
+        out_specs=x_spec,
+        check_vma=False,
+    )
+
+    def apply(params, x):
+        per = data * M
+        if x.shape[0] % per != 0:
+            raise ValueError(
+                f"batch size {x.shape[0]} is not divisible by "
+                f"data_axis*num_microbatches = {data}*{M}")
+        head_p, stacked, tail_p = split_edsr_params(params, net.num_resblocks)
+        return sharded(x, head_p, stacked, tail_p)
+
+    # Callers (the trainer's _apply hook) fall back to the sequential
+    # net.apply — same math — for batches that do not divide this.
+    apply.batch_multiple = data * M
+    return apply
+
+
+def make_pipelined_train_step(net: EDSRNet, mesh: Mesh, tx,
+                              num_microbatches: int, loss_fn,
+                              axis: str = PIPE_AXIS):
+    """jitted ``step(params, opt_state, inputs, targets) -> (params,
+    opt_state, loss)`` where the forward/backward runs the GPipe schedule.
+
+    ``loss_fn(output, target) -> scalar``; grads flow through the
+    ``shard_map`` (ppermute transposes to the reverse permute, the psum
+    replication to a broadcast), so the step matches the sequential one up
+    to reassociation.
+    """
+    apply = make_pipelined_apply(net, mesh, num_microbatches, axis=axis)
+
+    @jax.jit
+    def step(params, opt_state, inputs, targets):
+        def loss(p):
+            return loss_fn(apply(p, inputs), targets)
+
+        l, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state2 = tx.update(grads["params"],
+                                        opt_state, params["params"])
+        import optax
+
+        params2 = {**params,
+                   "params": optax.apply_updates(params["params"], updates)}
+        return params2, opt_state2, l
+
+    return step

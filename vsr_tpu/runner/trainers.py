@@ -72,6 +72,7 @@ class BaseTrainer:
         random_seed: int | str = "vsr",
         device: str | None = None,
         mesh_axes: dict | None = None,
+        pipe_microbatches: int | None = None,
         profile_dir: str | None = None,
         prefetch_to_device: bool = True,
         grad_accumulation: int = 1,
@@ -134,6 +135,7 @@ class BaseTrainer:
         #   reductions, so the math matches the unsharded step.
         self.mesh = None
         self._dp_train_step = self._dp_eval_step = None
+        self._pipe_apply = None
         from vsr_tpu.parallel.distributed import is_multiprocess
 
         # Multi-host: every process runs this same trainer; batches are
@@ -149,13 +151,36 @@ class BaseTrainer:
             from vsr_tpu.parallel.mesh import make_mesh
 
             self.mesh = make_mesh(dict(mesh_axes))
-            if self._multiprocess and (
-                    "spatial" in self.mesh.shape or "model" in self.mesh.shape):
+            if self._multiprocess and any(
+                    a in self.mesh.shape for a in ("spatial", "model", "pipe")):
                 raise NotImplementedError(
-                    "multi-host spatial/model (GSPMD) training is not wired "
+                    "multi-host spatial/model/pipe training is not wired "
                     "yet — use a pure data mesh (mesh_axes={'data': n}) "
                     "across hosts")
-            if "spatial" in self.mesh.shape or "model" in self.mesh.shape:
+            if "pipe" in self.mesh.shape:
+                # Pipeline parallelism (parallel/pipeline.py): the EDSR
+                # resblock chain cut into 'pipe' stages, microbatches
+                # streamed with ppermute (GPipe schedule). The pipelined
+                # apply replaces net.apply via the _apply hook; the step
+                # itself goes through the GSPMD jit path with the batch
+                # sharded over 'data' (if present).
+                if any(a in self.mesh.shape for a in ("spatial", "model")):
+                    raise NotImplementedError(
+                        "'pipe' composes with 'data' only (GPipe schedule "
+                        "over replicated stage params); spatial/model axes "
+                        "cannot join a pipelined mesh")
+                from vsr_tpu.models.edsr import EDSRNet
+                from vsr_tpu.parallel.pipeline import make_pipelined_apply
+
+                if not isinstance(net, EDSRNet):
+                    raise NotImplementedError(
+                        "pipeline parallelism covers the EDSR-family chain "
+                        f"(head -> resblocks -> tail); got {type(net).__name__}")
+                self._pipe_apply = make_pipelined_apply(
+                    net, self.mesh,
+                    pipe_microbatches or self.mesh.shape["pipe"])
+            if any(a in self.mesh.shape
+                   for a in ("spatial", "model", "pipe")):
                 from vsr_tpu.parallel.gspmd import make_gspmd_step
                 from vsr_tpu.parallel.tp import reject_spatial_x_model
 
@@ -202,6 +227,16 @@ class BaseTrainer:
         """Apply the net; returns (outputs, new_non-trainable-state)."""
         kwargs = {"train": training} if self._net_train_kwarg else {}
         state_keys = [k for k in variables if k != "params"]
+        if (self._pipe_apply is not None
+                and inputs.shape[0] % self._pipe_apply.batch_multiple == 0):
+            # Pipeline-parallel mesh: the GPipe shard_map apply (exact same
+            # params/math, stages over 'pipe'). EDSR nets carry no mutable
+            # collections or train kwarg, so the plain apply signature holds.
+            # Batches that don't divide data*microbatches (e.g. the
+            # reference-style valid_batch_size=1) take the sequential apply
+            # below — identical math, just unpipelined.
+            return self._pipe_apply(variables, inputs), {
+                k: variables[k] for k in state_keys}
         if training and state_keys:
             outputs, new_vars = self.net.apply(
                 variables, inputs, mutable=state_keys, **kwargs
