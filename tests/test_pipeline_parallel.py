@@ -13,11 +13,14 @@ import numpy as np
 import pytest
 
 from vsr_tpu.models import EDSRNet
+from vsr_tpu.models.vol3d import Volume3DSRNet
 from vsr_tpu.optim import Adam
 from vsr_tpu.parallel.mesh import make_mesh
-from vsr_tpu.parallel.pipeline import (make_pipelined_apply,
+from vsr_tpu.parallel.pipeline import (chain_spec, make_pipelined_apply,
                                        make_pipelined_train_step,
-                                       merge_edsr_params, split_edsr_params)
+                                       merge_edsr_params,
+                                       merge_vol3d_params, split_edsr_params,
+                                       split_vol3d_params)
 
 pytestmark = pytest.mark.skipif(
     jax.device_count() < 8, reason="needs 8 virtual devices")
@@ -58,6 +61,67 @@ def test_pipelined_forward_matches_sequential(stages, microbatches):
     out = jax.jit(apply)(params, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("upscale", [2, 4])
+def test_vol3d_split_merge_roundtrip(upscale):
+    net = Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=4,
+                        num_features=8, upscale_factor=upscale)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 3, 8, 8, 1)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    merged = merge_vol3d_params(
+        *split_vol3d_params(params, net.num_resblocks))
+    ref = jax.tree_util.tree_leaves_with_path(params)
+    got = dict(jax.tree_util.tree_leaves_with_path(merged))
+    assert len(ref) == len(got)
+    for path, leaf in ref:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(got[path]))
+
+
+def test_vol3d_pipelined_forward_matches_sequential():
+    net = Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=4,
+                        num_features=8, upscale_factor=2)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4, 3, 8, 8, 1)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    ref = net.apply(params, x)
+    mesh = make_mesh({"pipe": 4}, devices=jax.devices()[:4])
+    out = jax.jit(make_pipelined_apply(net, mesh, 2))(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_vol3d_pipelined_train_step_matches_sequential():
+    net = Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=4,
+                        num_features=8, upscale_factor=2)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 3, 8, 8, 1)), jnp.float32)
+    targets = jnp.asarray(rng.standard_normal((4, 3, 16, 16, 1)),
+                          jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    loss_fn = lambda out, tgt: jnp.abs(out - tgt).mean()
+    tx = Adam(lr=1e-3)
+    opt = tx.init(params["params"])
+
+    @jax.jit
+    def seq_step(p, o):
+        l, g = jax.value_and_grad(
+            lambda p: loss_fn(net.apply(p, x), targets))(p)
+        import optax
+        upd, o2 = tx.update(g["params"], o, p["params"])
+        return {**p, "params": optax.apply_updates(p["params"], upd)}, o2, l
+
+    p_ref, o_ref, l_ref = seq_step(params, opt)
+    mesh = make_mesh({"data": 2, "pipe": 4})
+    step = make_pipelined_train_step(net, mesh, tx, 2, loss_fn)
+    p, o, l = step(params, opt, x, targets)
+    np.testing.assert_allclose(float(l), float(l_ref), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
 
 
 def test_pipelined_forward_data_x_pipe():

@@ -2,26 +2,25 @@
 
 The reference framework is single-GPU (SURVEY.md §2.9 — no parallelism);
 this module is the TPU-native pipeline-parallel capability for the deep
-residual chains of the EDSR family (``/root/reference/src/model/nets/
-edsr_net.py:30-36``: head conv -> N identical resblocks -> tail): the
-resblock chain is cut into ``P = mesh.shape['pipe']`` stages (each device
-holds ``N/P`` stacked blocks), the batch is split into ``M`` microbatches,
-and a ``lax.scan`` over ``M + P - 1`` ticks streams activations stage to
-stage with ``jax.lax.ppermute`` over ICI — the classic GPipe schedule with
-a ``(P-1)/(M+P-1)`` bubble, written as SPMD code under ``shard_map``.
+residual-chain nets (``/root/reference/src/model/nets/edsr_net.py:30-36``:
+head conv -> N identical resblocks -> tail, and this framework's 3D twin
+``Volume3DSRNet``): the resblock chain is cut into
+``P = mesh.shape['pipe']`` stages (each device holds ``N/P`` stacked
+blocks), the batch is split into ``M`` microbatches, and a ``lax.scan``
+over ``M + P - 1`` ticks streams activations stage to stage with
+``jax.lax.ppermute`` over ICI — the classic GPipe schedule with a
+``(P-1)/(M+P-1)`` bubble, written as SPMD code under ``shard_map``.
 
-Exactness: every stage calls the net's OWN flax submodules (``_ResBlock``,
-the head ``Conv``, the tail ``Conv/_UpBlock/ShuffleConv``) on re-rooted
-subtrees of the standard ``EDSRNet`` parameter tree, so the pipelined
-forward is the sequential forward up to float reassociation — checkpoints
-interoperate unchanged (``split_edsr_params``/``merge_edsr_params`` are
-exact inverses).
+Exactness: every stage calls the net's OWN flax submodules on re-rooted
+subtrees of the standard parameter tree, so the pipelined forward is the
+sequential forward up to float reassociation — checkpoints interoperate
+unchanged (each net's ``split``/``merge`` are exact inverses).
 
 SPMD caveat (documented, inherent to the uniform-program formulation): the
 thin head/tail convs run masked on every stage each tick; the resblock
-chain — where EDSR's FLOPs live — is what actually partitions. Use
-``'pipe'`` when one chip cannot hold the model+activations of a very deep
-chain; for throughput on small nets prefer ``'data'``/``'spatial'``.
+chain — where the FLOPs live — is what actually partitions. Use ``'pipe'``
+when one chip cannot hold the model+activations of a very deep chain; for
+throughput on small nets prefer ``'data'``/``'spatial'``.
 
 Composes with data parallelism: a ``{'data': d, 'pipe': p}`` mesh shards
 the batch over ``'data'`` outside the pipeline (each data row runs its own
@@ -31,7 +30,9 @@ pipeline over its batch shard) and grads psum across both axes through
 
 from __future__ import annotations
 
-from typing import Any
+import dataclasses
+import math
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -44,11 +45,34 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from vsr_tpu.models.common import Conv, ShuffleConv
+from vsr_tpu.models.common import Conv, Conv3D, ShuffleConv
 from vsr_tpu.models.edsr import EDSRNet, _ResBlock, _UpBlock
+from vsr_tpu.models.vol3d import (Volume3DSRNet, _ResBlock3D,
+                                  _pixel_shuffle_2d_in_3d)
 
 #: The reserved mesh-axis name for pipeline (stage) sharding.
 PIPE_AXIS = "pipe"
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainSpec:
+    """How to run one net as a head -> stacked-blocks -> tail chain.
+
+    ``head.apply(head_p, x) -> h`` produces both the stage-0 activation and
+    the global-skip carry; ``block.apply({'params': bp}, h) -> h`` is one
+    resblock; ``tail.apply(tail_p, body, skip) -> y`` closes the global
+    skip and upsamples. ``split(params) -> (head_p, stacked, tail_p)`` and
+    ``merge`` are exact inverses on the net's standard parameter tree
+    (``stacked`` stacks the per-block subtrees on a new leading axis — the
+    pipeline-stage shard axis).
+    """
+
+    head: nn.Module
+    block: nn.Module
+    tail: nn.Module
+    num_blocks: int
+    split: Callable[[Any], tuple]
+    merge: Callable[[Any, Any, Any], Any]
 
 
 class _Head(nn.Module):
@@ -86,12 +110,7 @@ class _Tail(nn.Module):
 
 
 def split_edsr_params(params, num_resblocks: int):
-    """Standard ``EDSRNet`` param tree -> ``(head, stacked_blocks, tail)``.
-
-    ``stacked_blocks`` stacks the ``_ResBlock_i`` subtrees on a new leading
-    axis (the pipeline-stage shard axis); head/tail are ``{'params': ...}``
-    trees for :class:`_Head` / :class:`_Tail`.
-    """
+    """Standard ``EDSRNet`` param tree -> ``(head, stacked_blocks, tail)``."""
     p = params["params"]
     blocks = [p[f"_ResBlock_{i}"] for i in range(num_resblocks)]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
@@ -115,28 +134,124 @@ def merge_edsr_params(head, stacked, tail):
     return {"params": p}
 
 
-def make_pipelined_apply(net: EDSRNet, mesh: Mesh, num_microbatches: int,
+class _Head3D(nn.Module):
+    """``Volume3DSRNet`` head conv (re-rooted ``Conv3D_0`` subtree)."""
+
+    num_features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv3D(self.num_features, (3, 3, 3), padding=(1, 1, 1),
+                      dtype=self.dtype)(x)
+
+
+class _Tail3D(nn.Module):
+    """``Volume3DSRNet`` tail: body conv + global skip -> in-plane
+    sub-pixel ladder -> final conv (vol3d.py:64-78), params re-rooted from
+    the net's ``Conv3D_1..k`` subtrees."""
+
+    num_features: int
+    out_channels: int
+    upscale_factor: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, body, skip):
+        f = self.upscale_factor
+        body = Conv3D(self.num_features, (3, 3, 3), padding=(1, 1, 1),
+                      dtype=self.dtype)(body) + skip
+        if math.log2(f).is_integer():
+            for _ in range(int(math.log2(f))):
+                body = Conv3D(4 * self.num_features, (3, 3, 3),
+                              padding=(1, 1, 1), dtype=self.dtype)(body)
+                body = _pixel_shuffle_2d_in_3d(body, 2)
+        elif f == 3:
+            body = Conv3D(9 * self.num_features, (3, 3, 3),
+                          padding=(1, 1, 1), dtype=self.dtype)(body)
+            body = _pixel_shuffle_2d_in_3d(body, 3)
+        else:  # pragma: no cover - rejected by the net itself
+            raise NotImplementedError(f"upscale_factor={f}")
+        return Conv3D(self.out_channels, (3, 3, 3), padding=(1, 1, 1),
+                      dtype=self.dtype)(body)
+
+
+def split_vol3d_params(params, num_resblocks: int):
+    """``Volume3DSRNet`` tree -> ``(head, stacked_blocks, tail)``: the
+    net's ``Conv3D_{i>=1}`` renumber to the tail's ``Conv3D_{i-1}``."""
+    p = params["params"]
+    blocks = [p[f"_ResBlock3D_{i}"] for i in range(num_resblocks)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    head = {"params": {"Conv3D_0": p["Conv3D_0"]}}
+    n_convs = sum(1 for k in p if k.startswith("Conv3D_"))
+    tail = {"params": {f"Conv3D_{i - 1}": p[f"Conv3D_{i}"]
+                       for i in range(1, n_convs)}}
+    return head, stacked, tail
+
+
+def merge_vol3d_params(head, stacked, tail):
+    """Exact inverse of :func:`split_vol3d_params`."""
+    leaves = jax.tree_util.tree_leaves(stacked)
+    num = int(leaves[0].shape[0])
+    p = {"Conv3D_0": head["params"]["Conv3D_0"]}
+    for k, v in tail["params"].items():
+        p[f"Conv3D_{int(k.split('_')[1]) + 1}"] = v
+    for i in range(num):
+        p[f"_ResBlock3D_{i}"] = jax.tree_util.tree_map(
+            lambda v, i=i: v[i], stacked)
+    return {"params": p}
+
+
+def chain_spec(net: nn.Module) -> ChainSpec:
+    """The :class:`ChainSpec` for ``net``, or ``NotImplementedError`` for
+    nets without a head -> identical-blocks -> tail chain (recurrent /
+    feedback zoo members cannot GPipe over their time dependency)."""
+    if isinstance(net, EDSRNet):
+        return ChainSpec(
+            head=_Head(net.num_features, dtype=net.dtype),
+            block=_ResBlock(net.num_features, net.res_scale, dtype=net.dtype),
+            tail=_Tail(net.num_features, net.out_channels, net.upscale_factor,
+                       fused_tail=net.fused_tail, dtype=net.dtype),
+            num_blocks=net.num_resblocks,
+            split=lambda p: split_edsr_params(p, net.num_resblocks),
+            merge=merge_edsr_params,
+        )
+    if isinstance(net, Volume3DSRNet):
+        return ChainSpec(
+            head=_Head3D(net.num_features, dtype=net.dtype),
+            block=_ResBlock3D(net.num_features, net.res_scale,
+                              dtype=net.dtype),
+            tail=_Tail3D(net.num_features, net.out_channels,
+                         net.upscale_factor, dtype=net.dtype),
+            num_blocks=net.num_resblocks,
+            split=lambda p: split_vol3d_params(p, net.num_resblocks),
+            merge=merge_vol3d_params,
+        )
+    raise NotImplementedError(
+        "pipeline parallelism covers the residual-chain nets "
+        f"(EDSRNet, Volume3DSRNet); got {type(net).__name__}")
+
+
+def make_pipelined_apply(net: nn.Module, mesh: Mesh, num_microbatches: int,
                          axis: str = PIPE_AXIS):
     """Build ``apply(params, x)`` == ``net.apply(params, x)`` (up to float
     reassociation), pipelined over the ``axis`` stages of ``mesh``.
 
-    ``params`` is the standard ``EDSRNet`` tree; ``x``: (N, H, W, C) with
-    ``N`` divisible by ``num_microbatches`` (times the ``'data'`` axis size
-    when the mesh has one). ``net.num_resblocks`` must divide evenly into
-    the stage count.
+    ``params`` is the net's standard tree; ``x``: (N, ...) with ``N``
+    divisible by ``num_microbatches`` times the ``'data'`` axis size (when
+    the mesh has one). ``net.num_resblocks`` must divide evenly into the
+    stage count.
     """
+    spec = chain_spec(net)
     stages = mesh.shape[axis]
-    if net.num_resblocks % stages != 0:
+    if spec.num_blocks % stages != 0:
         raise ValueError(
-            f"num_resblocks={net.num_resblocks} does not split over "
+            f"num_resblocks={spec.num_blocks} does not split over "
             f"'{axis}'={stages} stages")
     M = int(num_microbatches)
     if M < 1:
         raise ValueError(f"num_microbatches must be >= 1, got {M}")
-    head_mod = _Head(net.num_features, dtype=net.dtype)
-    tail_mod = _Tail(net.num_features, net.out_channels, net.upscale_factor,
-                     fused_tail=net.fused_tail, dtype=net.dtype)
-    block_mod = _ResBlock(net.num_features, net.res_scale, dtype=net.dtype)
+    head_mod, block_mod, tail_mod = spec.head, spec.block, spec.tail
     data = mesh.shape.get("data", 1)
 
     def per_device(x, head_p, my_blocks, tail_p):
@@ -197,7 +312,7 @@ def make_pipelined_apply(net: EDSRNet, mesh: Mesh, num_microbatches: int,
             raise ValueError(
                 f"batch size {x.shape[0]} is not divisible by "
                 f"data_axis*num_microbatches = {data}*{M}")
-        head_p, stacked, tail_p = split_edsr_params(params, net.num_resblocks)
+        head_p, stacked, tail_p = spec.split(params)
         return sharded(x, head_p, stacked, tail_p)
 
     # Callers (the trainer's _apply hook) fall back to the sequential
@@ -206,7 +321,7 @@ def make_pipelined_apply(net: EDSRNet, mesh: Mesh, num_microbatches: int,
     return apply
 
 
-def make_pipelined_train_step(net: EDSRNet, mesh: Mesh, tx,
+def make_pipelined_train_step(net: nn.Module, mesh: Mesh, tx,
                               num_microbatches: int, loss_fn,
                               axis: str = PIPE_AXIS):
     """jitted ``step(params, opt_state, inputs, targets) -> (params,

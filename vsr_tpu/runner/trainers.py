@@ -169,13 +169,10 @@ class BaseTrainer:
                         "'pipe' composes with 'data' only (GPipe schedule "
                         "over replicated stage params); spatial/model axes "
                         "cannot join a pipelined mesh")
-                from vsr_tpu.models.edsr import EDSRNet
                 from vsr_tpu.parallel.pipeline import make_pipelined_apply
 
-                if not isinstance(net, EDSRNet):
-                    raise NotImplementedError(
-                        "pipeline parallelism covers the EDSR-family chain "
-                        f"(head -> resblocks -> tail); got {type(net).__name__}")
+                # Raises NotImplementedError (via chain_spec) for nets
+                # without a head -> identical-blocks -> tail chain.
                 self._pipe_apply = make_pipelined_apply(
                     net, self.mesh,
                     pipe_microbatches or self.mesh.shape["pipe"])
@@ -230,8 +227,9 @@ class BaseTrainer:
         if (self._pipe_apply is not None
                 and inputs.shape[0] % self._pipe_apply.batch_multiple == 0):
             # Pipeline-parallel mesh: the GPipe shard_map apply (exact same
-            # params/math, stages over 'pipe'). EDSR nets carry no mutable
-            # collections or train kwarg, so the plain apply signature holds.
+            # params/math, stages over 'pipe'). The chain nets (EDSR/vol3d)
+            # carry no mutable collections or train kwarg, so the plain
+            # apply signature holds.
             # Batches that don't divide data*microbatches (e.g. the
             # reference-style valid_batch_size=1) take the sequential apply
             # below — identical math, just unpipelined.
