@@ -47,43 +47,73 @@ def make_gspmd_step(
     target_spec: Any,
     donate: bool = True,
     model_axis: str | None = None,
+    zero_axis: str | None = None,
 ):
     """jit ``step_fn(params, opt_state, inputs, targets)`` with the given
     input/target PartitionSpec trees.
 
-    Params/opt_state are replicated unless ``model_axis`` names a mesh axis
-    (tensor parallelism): then each of their leaves shards its trailing
-    output-feature dim over that axis per :func:`vsr_tpu.parallel.tp.model_spec`
-    — a per-leaf shape rule, so the jit is built lazily on the first call,
-    when the actual leaf shapes are in hand.
+    Params/opt_state are replicated unless:
+
+    - ``model_axis`` names a mesh axis (tensor parallelism): each of their
+      leaves shards its trailing output-feature dim over that axis per
+      :func:`vsr_tpu.parallel.tp.model_spec`;
+    - ``zero_axis`` names a mesh axis (ZeRO-1 optimizer-state sharding):
+      only the OPTIMIZER moments shard their trailing dims over that axis
+      (typically ``'data'``) while the params stay replicated — the
+      partitioner turns the update into reduce-scatter(grads) ->
+      shard-local moment update -> all-gather(new params), so per-device
+      HBM holds 1/N of the moments instead of full copies.
+
+    The two are mutually exclusive (``model_axis`` already distributes the
+    moments). Both are per-leaf shape rules, so the jit is built lazily on
+    the first call, when the actual leaf shapes are in hand.
     """
     rep = NamedSharding(mesh, P())
     donate_argnums = (0, 1) if donate else ()
     io = (_shardings(mesh, input_spec), _shardings(mesh, target_spec))
-    if not (model_axis and mesh.shape.get(model_axis, 1) > 1):
+    use_model = bool(model_axis) and mesh.shape.get(model_axis, 1) > 1
+    use_zero = bool(zero_axis) and mesh.shape.get(zero_axis, 1) > 1
+    if use_model and use_zero:
+        raise NotImplementedError(
+            "zero_axis composes with replicated params only; "
+            f"'{model_axis}' tensor parallelism already shards the "
+            "optimizer moments")
+    if not (use_model or use_zero):
         return jax.jit(step_fn, in_shardings=(rep, rep) + io,
                        donate_argnums=donate_argnums)
 
     from vsr_tpu.parallel.tp import model_shardings
 
+    p_axis = model_axis if use_model else None
+    o_axis = model_axis if use_model else zero_axis
+
     def pinned(params, opt_state, inputs, targets):
         # Pin the returned params/opt_state to the input layout so the
         # donated buffers match and the next call never reshards.
         p, o, scalars, outputs = step_fn(params, opt_state, inputs, targets)
-        p = jax.lax.with_sharding_constraint(
-            p, model_shardings(p, mesh, model_axis))
+        if p_axis:
+            p = jax.lax.with_sharding_constraint(
+                p, model_shardings(p, mesh, p_axis))
+        else:
+            # ZeRO: the partitioner would otherwise leave the updated
+            # params sharded like the moments — pin the all-gather here so
+            # callers always see replicated params.
+            p = jax.lax.with_sharding_constraint(
+                p, jax.tree_util.tree_map(lambda _: rep, p))
         o = jax.lax.with_sharding_constraint(
-            o, model_shardings(o, mesh, model_axis))
+            o, model_shardings(o, mesh, o_axis))
         return p, o, scalars, outputs
 
     cache: dict = {}
 
     def call(params, opt_state, inputs, targets):
         if "jit" not in cache:
+            p_sh = (model_shardings(params, mesh, p_axis)
+                    if p_axis else rep)
             cache["jit"] = jax.jit(
                 pinned,
-                in_shardings=(model_shardings(params, mesh, model_axis),
-                              model_shardings(opt_state, mesh, model_axis)) + io,
+                in_shardings=(p_sh,
+                              model_shardings(opt_state, mesh, o_axis)) + io,
                 donate_argnums=donate_argnums,
             )
         return cache["jit"](params, opt_state, inputs, targets)

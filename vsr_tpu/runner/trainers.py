@@ -73,6 +73,7 @@ class BaseTrainer:
         device: str | None = None,
         mesh_axes: dict | None = None,
         pipe_microbatches: int | None = None,
+        zero_optim: bool = False,
         profile_dir: str | None = None,
         prefetch_to_device: bool = True,
         grad_accumulation: int = 1,
@@ -136,6 +137,7 @@ class BaseTrainer:
         self.mesh = None
         self._dp_train_step = self._dp_eval_step = None
         self._pipe_apply = None
+        self._zero_axis = None
         from vsr_tpu.parallel.distributed import is_multiprocess
 
         # Multi-host: every process runs this same trainer; batches are
@@ -176,8 +178,23 @@ class BaseTrainer:
                 self._pipe_apply = make_pipelined_apply(
                     net, self.mesh,
                     pipe_microbatches or self.mesh.shape["pipe"])
-            if any(a in self.mesh.shape
-                   for a in ("spatial", "model", "pipe")):
+            if zero_optim:
+                # ZeRO-1: shard the optimizer moments over 'data' (params
+                # stay replicated) — reduce-scatter(grads) -> 1/N moment
+                # update -> all-gather(params) via GSPMD annotations.
+                if self._multiprocess:
+                    raise NotImplementedError(
+                        "zero_optim across hosts is not wired yet")
+                if "model" in self.mesh.shape:
+                    raise NotImplementedError(
+                        "zero_optim is redundant with a 'model' axis — "
+                        "tensor parallelism already shards the moments")
+                if self.mesh.shape.get("data", 1) < 2:
+                    raise ValueError(
+                        "zero_optim needs a 'data' mesh axis of size >= 2")
+                self._zero_axis = "data"
+            if zero_optim or any(a in self.mesh.shape
+                                 for a in ("spatial", "model", "pipe")):
                 from vsr_tpu.parallel.gspmd import make_gspmd_step
                 from vsr_tpu.parallel.tp import reject_spatial_x_model
 
@@ -192,11 +209,12 @@ class BaseTrainer:
                 self._dp_train_step = make_gspmd_step(
                     lambda p, o, i, t: self._step(p, o, i, t, training=True),
                     self.mesh, in_spec, tgt_spec, model_axis=model_axis,
+                    zero_axis=self._zero_axis,
                 )
                 self._dp_eval_step = make_gspmd_step(
                     lambda p, o, i, t: self._step(p, o, i, t, training=False),
                     self.mesh, in_spec, tgt_spec, donate=False,
-                    model_axis=model_axis,
+                    model_axis=model_axis, zero_axis=self._zero_axis,
                 )
             else:
                 from vsr_tpu.parallel.data_parallel import make_dp_step
@@ -331,6 +349,12 @@ class BaseTrainer:
 
             self.params = shard_model_params(self.params, self.mesh)
             self.opt_state = shard_model_params(self.opt_state, self.mesh)
+        elif self._zero_axis is not None:
+            # ZeRO-1: place the moments SPLIT over 'data' from the start.
+            from vsr_tpu.parallel.tp import shard_model_params
+
+            self.opt_state = shard_model_params(
+                self.opt_state, self.mesh, axis=self._zero_axis)
         if self.lr_scheduler is not None:
             self.lr_scheduler.bind(get_learning_rate(self.opt_state))
 
