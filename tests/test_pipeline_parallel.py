@@ -183,12 +183,12 @@ def test_trainer_data_x_pipe_matches_single_device():
     from vsr_tpu.runner.trainers import AcdcSISRTrainer
 
     def make(mesh_axes):
+        kw = {"pipe_microbatches": 2} if mesh_axes else {}
         return AcdcSISRTrainer(
             train_dataloader=None, valid_dataloader=None, net=_net(4),
             loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[PSNR()],
             optimizer=Adam(lr=1e-3), lr_scheduler=None, logger=None,
-            monitor=None, num_epochs=1, mesh_axes=mesh_axes,
-            pipe_microbatches=2)
+            monitor=None, num_epochs=1, mesh_axes=mesh_axes, **kw)
 
     rng = np.random.default_rng(3)
     batch = {

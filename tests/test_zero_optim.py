@@ -98,3 +98,26 @@ def test_zero_guards():
         _make({"data": 4, "model": 2}, zero_optim=True)
     with pytest.raises(ValueError, match="zero_optim needs"):
         _make({"spatial": 2}, zero_optim=True)
+    # Silent-no-op guards: meshless zero_optim / pipe-less microbatches.
+    with pytest.raises(ValueError, match="zero_optim needs"):
+        _make(None, zero_optim=True)
+    with pytest.raises(ValueError, match="pipe_microbatches"):
+        _make({"data": 8}, pipe_microbatches=2)
+
+
+def test_device_trainer_rejects_zero_and_pipe():
+    from vsr_tpu.runner.device_trainer import AcdcSISRDeviceTrainer
+
+    def make_dev(**kw):
+        return AcdcSISRDeviceTrainer(
+            train_dataloader=None, valid_dataloader=None, net=_net(),
+            loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[PSNR()],
+            optimizer=Adam(lr=1e-3), lr_scheduler=None, logger=None,
+            monitor=None, num_epochs=1, patch=8, ratio=2, **kw)
+
+    with pytest.raises(NotImplementedError, match="ZeRO"):
+        make_dev(mesh_axes={"data": 8}, zero_optim=True)
+    with pytest.raises(NotImplementedError, match="pipe"):
+        make_dev(mesh_axes={"data": 2, "pipe": 2}, pipe_microbatches=2)
+    with pytest.raises(NotImplementedError, match="model"):
+        make_dev(mesh_axes={"data": 4, "model": 2})

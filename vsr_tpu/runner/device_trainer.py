@@ -321,6 +321,23 @@ class DeviceTrainerMixin:
                  buffer_limit: int | None = None,
                  scan_unroll: int | str = "auto", **kwargs):
         super().__init__(*args, **kwargs)
+        # The device epoch is ONE shard_map over the whole mesh; a nested
+        # GSPMD/pipe/ZeRO step inside it would either crash (nested
+        # shard_map over the same mesh) or silently replicate — reject the
+        # combinations up front. 'spatial' gets the same treatment at
+        # buffer time (_ensure_buffers) for historical reasons.
+        if self.mesh is not None:
+            bad = [a for a in ("model", "pipe") if a in self.mesh.shape]
+            if bad:
+                raise NotImplementedError(
+                    f"device trainers support data-parallel meshes only "
+                    f"(mesh_axes={{'data': n}}); {bad} axes are host-loop "
+                    f"trainer features")
+        if self._zero_axis is not None:
+            raise NotImplementedError(
+                "zero_optim is not wired into the device-epoch shard_map "
+                "(its opt_state in_specs are replicated) — use the "
+                "host-loop trainer for ZeRO-1")
         self.patch = int(patch)
         self.ratio = int(ratio)
         self._steps_cfg = steps_per_epoch

@@ -149,6 +149,16 @@ class BaseTrainer:
                 "multi-host training needs mesh_axes={'data': n} so the "
                 "processes train ONE model on the global batch; without a "
                 "mesh each process would train its own copy on its shard")
+        # Settings that only act through a mesh must not silently no-op
+        # (config typos would otherwise run un-sharded with no warning).
+        if zero_optim and not mesh_axes:
+            raise ValueError(
+                "zero_optim needs mesh_axes with a 'data' axis of size "
+                ">= 2 — without a mesh the moments stay replicated")
+        if pipe_microbatches and not (mesh_axes and "pipe" in mesh_axes):
+            raise ValueError(
+                "pipe_microbatches has no effect without a 'pipe' mesh "
+                "axis (mesh_axes={'data': n, 'pipe': p})")
         if mesh_axes:
             from vsr_tpu.parallel.mesh import make_mesh
 
