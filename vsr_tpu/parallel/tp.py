@@ -47,13 +47,19 @@ def reject_spatial_x_model(mesh: Mesh, spatial_axis: str = "spatial",
     cannot exonerate the TPU partitioner, so the combination is refused
     rather than risking silently-wrong training/serving.
     """
-    if mesh.shape.get(spatial_axis, 1) > 1 and mesh.shape.get(axis, 1) > 1:
-        raise NotImplementedError(
-            f"A mesh with both '{spatial_axis}' and '{axis}' axes is "
-            "rejected: the XLA SPMD partitioner (jax 0.9.0) returns wrong "
-            "numerics for spatially-partitioned convs with feature-sharded "
-            "kernels (see scripts/repro_spmd_spatial_model_conv.py). Use "
-            f"'data' x '{axis}' or 'data' x '{spatial_axis}' instead.")
+    if mesh.shape.get(axis, 1) > 1:
+        # 'seq' shards another activation dim the convs reach over (volume
+        # depth / temporal windows) — same halo-exchange machinery, same
+        # miscompile exposure as 'spatial'.
+        for act_axis in (spatial_axis, "seq"):
+            if mesh.shape.get(act_axis, 1) > 1:
+                raise NotImplementedError(
+                    f"A mesh with both '{act_axis}' and '{axis}' axes is "
+                    "rejected: the XLA SPMD partitioner (jax 0.9.0) "
+                    "returns wrong numerics for activation-partitioned "
+                    "convs with feature-sharded kernels (see "
+                    "scripts/repro_spmd_spatial_model_conv.py). Use "
+                    f"'data' x '{axis}' or 'data' x '{act_axis}' instead.")
 
 
 def model_spec(shape, axis_size: int, axis: str = MODEL_AXIS) -> P:

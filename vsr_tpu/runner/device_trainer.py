@@ -327,7 +327,8 @@ class DeviceTrainerMixin:
         # combinations up front. 'spatial' gets the same treatment at
         # buffer time (_ensure_buffers) for historical reasons.
         if self.mesh is not None:
-            bad = [a for a in ("model", "pipe") if a in self.mesh.shape]
+            bad = [a for a in ("model", "pipe", "seq")
+                   if a in self.mesh.shape]
             if bad:
                 raise NotImplementedError(
                     f"device trainers support data-parallel meshes only "

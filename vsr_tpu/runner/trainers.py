@@ -164,11 +164,12 @@ class BaseTrainer:
 
             self.mesh = make_mesh(dict(mesh_axes))
             if self._multiprocess and any(
-                    a in self.mesh.shape for a in ("spatial", "model", "pipe")):
+                    a in self.mesh.shape
+                    for a in ("spatial", "seq", "model", "pipe")):
                 raise NotImplementedError(
-                    "multi-host spatial/model/pipe training is not wired "
-                    "yet — use a pure data mesh (mesh_axes={'data': n}) "
-                    "across hosts")
+                    "multi-host spatial/seq/model/pipe training is not "
+                    "wired yet — use a pure data mesh (mesh_axes="
+                    "{'data': n}) across hosts")
             if "pipe" in self.mesh.shape:
                 # Pipeline parallelism (parallel/pipeline.py): the EDSR
                 # resblock chain cut into 'pipe' stages, microbatches
@@ -176,11 +177,12 @@ class BaseTrainer:
                 # apply replaces net.apply via the _apply hook; the step
                 # itself goes through the GSPMD jit path with the batch
                 # sharded over 'data' (if present).
-                if any(a in self.mesh.shape for a in ("spatial", "model")):
+                if any(a in self.mesh.shape
+                       for a in ("spatial", "seq", "model")):
                     raise NotImplementedError(
                         "'pipe' composes with 'data' only (GPipe schedule "
-                        "over replicated stage params); spatial/model axes "
-                        "cannot join a pipelined mesh")
+                        "over replicated stage params); spatial/seq/model "
+                        "axes cannot join a pipelined mesh")
                 from vsr_tpu.parallel.pipeline import make_pipelined_apply
 
                 # Raises NotImplementedError (via chain_spec) for nets
@@ -204,7 +206,7 @@ class BaseTrainer:
                         "zero_optim needs a 'data' mesh axis of size >= 2")
                 self._zero_axis = "data"
             if zero_optim or any(a in self.mesh.shape
-                                 for a in ("spatial", "model", "pipe")):
+                                 for a in ("spatial", "seq", "model", "pipe")):
                 from vsr_tpu.parallel.gspmd import make_gspmd_step
                 from vsr_tpu.parallel.tp import reject_spatial_x_model
 
@@ -216,6 +218,23 @@ class BaseTrainer:
                 reject_spatial_x_model(self.mesh)
                 model_axis = "model" if "model" in self.mesh.shape else None
                 in_spec, tgt_spec = self._partition_specs()
+                if self.mesh.shape.get("seq", 1) > 1:
+                    # 'seq' shards the volume depth / MISR window axis
+                    # (SURVEY §5: the conv-world analogue of context
+                    # parallelism). Recurrent-T and frame tasks have no
+                    # shardable sequence dim — fail loudly, never silently
+                    # replicate a whole mesh axis.
+                    from jax.sharding import PartitionSpec as _P
+
+                    specs = jax.tree_util.tree_leaves(
+                        (in_spec, tgt_spec),
+                        is_leaf=lambda x: isinstance(x, _P))
+                    if not any("seq" in s for s in specs):
+                        raise NotImplementedError(
+                            f"{type(self).__name__} has no 'seq'-shardable "
+                            "axis (recurrent/scanned T or single-frame "
+                            "task) — 'seq' covers the 3D/4D volume depth "
+                            "and MISR window axes")
                 self._dp_train_step = make_gspmd_step(
                     lambda p, o, i, t: self._step(p, o, i, t, training=True),
                     self.mesh, in_spec, tgt_spec, model_axis=model_axis,
@@ -715,8 +734,10 @@ class MISRTrainer(BaseTrainer):
     def _partition_specs(self):
         from jax.sharding import PartitionSpec as P
 
-        # inputs (N, T, h, w, C); target center frame (N, H, W, C).
-        return P("data", None, "spatial"), P("data", "spatial")
+        # inputs (N, T, h, w, C): window frames over 'seq' (DUF's temporal
+        # convs get GSPMD halos; per-frame nets partition trivially), H
+        # over 'spatial'. Target center frame (N, H, W, C).
+        return P("data", "seq", "spatial"), P("data", "spatial")
 
     def _compute_losses(self, outputs, targets):
         return [fn(outputs, targets) for fn in self.loss_fns]
@@ -833,8 +854,9 @@ class VolumeTrainer(BaseTrainer):
     def _partition_specs(self):
         from jax.sharding import PartitionSpec as P
 
-        # (N, D, H, W, C): shard H over 'spatial'.
-        vol = P("data", None, "spatial")
+        # (N, D, H, W, C): depth over 'seq' (3x3x3 conv halos over slices),
+        # H over 'spatial'.
+        vol = P("data", "seq", "spatial")
         return vol, vol
 
     def _compute_losses(self, outputs, targets):
@@ -880,8 +902,9 @@ class Volume4DTrainer(VSRTrainer):
     def _partition_specs(self):
         from jax.sharding import PartitionSpec as P
 
-        # (N, T, D, H, W, C): shard H over 'spatial'.
-        seq = P("data", None, None, "spatial")
+        # (N, T, D, H, W, C): T is the net's causal scan (not shardable);
+        # depth over 'seq', H over 'spatial'.
+        seq = P("data", None, "seq", "spatial")
         return seq, (seq, P("data"))
 
     def _batch_weight(self, batch):
