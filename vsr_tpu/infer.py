@@ -32,13 +32,19 @@ from vsr_tpu.utils.normalize import DATASET_STATS
 
 
 def make_prep(factor: int, dataset: str, video_t: int | None = None,
-              window: tuple[int, int, str] | None = None):
+              window: tuple[int, int, str] | None = None,
+              volume: tuple[str, int] | None = None):
     """The serving pipeline's input stage as a standalone traceable fn:
     HR float frames (N, H, W) -> (lr_frames, z) where ``z`` is the
     net-input batch (frames / ``video_t`` sequences / circular MISR
-    windows). Shared by :func:`make_pipeline` and export-time W8A8
-    calibration (vsr_tpu/export.py) so the calibration inputs are exactly
-    the batches the artifact will see."""
+    windows / ``volume`` stacks). Shared by :func:`make_pipeline` and
+    export-time W8A8 calibration (vsr_tpu/export.py) so the calibration
+    inputs are exactly the batches the artifact will see.
+
+    ``volume``: ``("3d"|"4d", t)`` for the volumetric nets — the N = D*t
+    slice-major frames regroup into T volumes of D slices: ``"3d"`` gives
+    (T, D, h, w, 1) (each time point one sample), ``"4d"`` adds the scan
+    batch dim (1, T, D, h, w, 1)."""
     import jax.numpy as jnp
 
     from vsr_tpu.preprocess.kspace import kspace_downscale_jax
@@ -49,7 +55,14 @@ def make_prep(factor: int, dataset: str, video_t: int | None = None,
         lr = kspace_downscale_jax(hr_frames, factor)
         z = (lr - mean) / (std + 1e-10)
         z = z[..., None]
-        if video_t:
+        if volume:
+            vmode, vt = volume
+            n, h, w, c = z.shape
+            z = z.reshape(n // vt, vt, h, w, c)  # (D, T, h, w, c)
+            z = jnp.swapaxes(z, 0, 1)            # (T, D, h, w, c)
+            if vmode == "4d":
+                z = z[None]                      # (1, T, D, h, w, c)
+        elif video_t:
             n, h, w, c = z.shape
             z = z.reshape(n // video_t, video_t, h, w, c)
         elif window:
@@ -76,17 +89,23 @@ def make_prep(factor: int, dataset: str, video_t: int | None = None,
 # bench/calibration scripts) keys off this one list.
 TRAIN_FLAG_NETS = ("TOFlowNet", "DUFNet")
 
+# The volumetric net families (beyond-reference members): the CLI serves
+# them automatically in volume mode — each NIfTI time point becomes one
+# (D, h, w) sample ("3d") or the whole scan one (T, D, h, w) sample ("4d").
+VOLUME_NETS = {"Volume3DSRNet": "3d", "Volume4DSRNet": "4d"}
+
 
 def build_serving_net(net_name: str, net_kwargs: dict, checkpoint: str = "",
                       *, lr_hw: tuple[int, int], video: bool = False,
-                      windows: int = 0):
+                      windows: int = 0, volume: str | None = None):
     """Registry-build a net and template-init (+ optionally checkpoint-load)
     its params for serving: the shared block behind the ``infer`` CLI, the
     ``export`` CLI, and the serving daemon's live pipelines.
 
-    ``lr_hw``: the LR (net-input) spatial geometry. ``video``/``windows``
-    pick the example rank (whole-sequence VSR / circular MISR windows /
-    per-frame). Returns ``(net, params, train_flag)``.
+    ``lr_hw``: the LR (net-input) spatial geometry. ``video``/``windows``/
+    ``volume`` pick the example rank (whole-sequence VSR / circular MISR
+    windows / volumetric stacks / per-frame). Returns
+    ``(net, params, train_flag)``.
     """
     import jax
     import jax.numpy as jnp
@@ -94,7 +113,11 @@ def build_serving_net(net_name: str, net_kwargs: dict, checkpoint: str = "",
     net = build("net", {"name": net_name, "kwargs": dict(net_kwargs)})
     lh, lw = lr_hw
     train_flag = net_name in TRAIN_FLAG_NETS
-    if video:
+    if volume == "3d":
+        example = jnp.zeros((1, 2, lh, lw, 1))
+    elif volume == "4d":
+        example = jnp.zeros((1, 2, 2, lh, lw, 1))
+    elif video:
         example = jnp.zeros((1, 2, lh, lw, 1))
     elif windows:
         example = jnp.zeros((1, windows, lh, lw, 1))
@@ -148,6 +171,7 @@ def _check_scales_match(params, scales: dict, w8a8_kernels) -> dict:
 def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
                   video_t: int | None = None, mesh=None,
                   window: tuple[int, int, str] | None = None,
+                  volume: tuple[str, int] | None = None,
                   train_flag: bool = False, chunk: int = 0,
                   w8a8=False, w8a8_kernels=None):
     """One jitted device program: HR float frames (N, H, W) ->
@@ -178,6 +202,11 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     slice-sequences; the net sees (D, T, h, w, 1) and every SR frame is
     kept (frame order preserved).
 
+    ``volume``: ``("3d"|"4d", t)`` for the volumetric nets
+    (Volume3D/4DSRNet) — the N = D*t slice-major frames regroup into T
+    volumes of D slices ("3d": batch of T samples; "4d": one (T, D, ...)
+    scan sample); outputs flatten back to the input frame order.
+
     ``mesh``: a ``jax.sharding.Mesh`` — the pipeline is partitioned over it
     (frames over ``'data'``, H over ``'spatial'``; parallel/serving.py) for
     multi-chip batch serving.
@@ -205,6 +234,14 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
         raise ValueError(
             "chunk applies to frame/window serving; the video_t (whole-"
             "sequence) path is already sequence-batched")
+    if volume and (video_t or window):
+        raise ValueError("volume serving excludes video_t/window modes")
+    if volume and volume[0] == "4d" and chunk:
+        raise ValueError("chunk has no effect on 4D volume serving (the "
+                         "whole scan is one sample)")
+    if volume and mesh is not None:
+        raise ValueError("volume serving under a mesh is not wired yet — "
+                         "serve volumes without --mesh")
     mean, std = DATASET_STATS[dataset]
 
     if mesh is not None and "model" in mesh.shape:
@@ -260,7 +297,8 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     else:
         net_apply = lambda z: net.apply(params, z, **extra)
 
-    prep = make_prep(factor, dataset, video_t=video_t, window=window)
+    prep = make_prep(factor, dataset, video_t=video_t, window=window,
+                     volume=volume)
 
     def make_fn(net_apply):
         def pipeline(hr_frames):
@@ -272,7 +310,7 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
                 out = net_apply(zb)
                 if isinstance(out, tuple):
                     out = out[0]
-                if out.ndim == 5 and not video_t:
+                if out.ndim == 5 and not video_t and not volume:
                     out = out[-1]  # feedback nets stack steps on axis 0
                 return out
 
@@ -287,7 +325,14 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
                 sr = sr.reshape(-1, *sr.shape[2:])[:n_items]
             else:
                 sr = apply_reduce(z)
-            if sr.ndim == 5:
+            if volume:
+                # (T, D, H, W, C) [3d] / (1, T, D, H, W, C) [4d] back to
+                # slice-major frames, the inverse of prep's regrouping.
+                if volume[0] == "4d":
+                    sr = sr[0]
+                sr = jnp.swapaxes(sr, 0, 1)  # (D, T, H, W, C)
+                sr = sr.reshape(-1, *sr.shape[2:])
+            elif sr.ndim == 5:
                 if video_t:  # whole-sequence SR: flatten frames back out
                     sr = sr.reshape(-1, *sr.shape[2:])
             sr = sr.astype(jnp.float32)[..., 0]
@@ -400,6 +445,18 @@ def run(args) -> dict:
         if windows and video:
             raise SystemExit("--windows (MISR) and --video (VSR) are "
                              "mutually exclusive")
+        vmode = VOLUME_NETS.get(args.net)
+        if vmode:
+            if video or windows:
+                raise SystemExit("--video/--windows do not apply to the "
+                                 "volumetric nets (volume mode is "
+                                 "automatic)")
+            if mesh is not None:
+                raise SystemExit("volume serving under --mesh is not "
+                                 "wired yet")
+            if vmode == "4d" and getattr(args, "chunk", 0):
+                raise SystemExit("--chunk has no effect on 4D volume "
+                                 "serving (the whole scan is one sample)")
         if int(getattr(args, "chunk", 0) or 0) < 0:
             raise SystemExit("--chunk must be >= 0 (0 = disabled)")
         if getattr(args, "chunk", 0) and mesh is not None:
@@ -431,9 +488,9 @@ def run(args) -> dict:
             net, params, train_flag = build_serving_net(
                 args.net, net_kwargs, args.checkpoint,
                 lr_hw=(h // args.factor, w // args.factor),
-                video=video, windows=windows)
+                video=video, windows=windows, volume=vmode)
 
-        key = (h, w, t_eff if video else (t if windows else None))
+        key = (h, w, t_eff if video else (t if (windows or vmode) else None))
         if key not in pipelines:
             pipelines[key] = make_pipeline(
                 net, params, args.factor, args.dataset,
@@ -444,6 +501,7 @@ def run(args) -> dict:
                 mesh=mesh,
                 window=((windows, t, getattr(args, "window_order", "middle"))
                         if windows else None),
+                volume=(vmode, t) if vmode else None,
                 train_flag=train_flag,
                 chunk=int(getattr(args, "chunk", 0) or 0))
         lr, sr = pipelines[key](frames if mesh is not None
