@@ -222,3 +222,23 @@ def test_export_batchnorm_misr_windows(tmp_path, rng):
     _, ref = make_serving_fn(net, params, 2, "acdc", window=window,
                              train_flag=True)(x)
     np.testing.assert_array_equal(np.asarray(sr), np.asarray(ref))
+
+
+def test_export_roundtrip_volume_net(tmp_path, rng):
+    """Volumetric-net export: volume mode baked into the artifact."""
+    from vsr_tpu.models import Volume3DSRNet
+
+    net = Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=1,
+                        num_features=4, upscale_factor=2)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 12, 12, 1)))
+    shape, volume = (6, 24, 24), ("3d", 3)
+    blob, meta = export_serving(net, params, shape, 2, volume=volume)
+    path = tmp_path / "vol.vsrx"
+    save_artifact(path, blob, meta)
+    served = ExportedServing(path)
+    assert served.meta["volume"] == ["3d", 3]
+    x = jnp.asarray(np.round(rng.random(shape) * 255), jnp.float32)
+    _, sr = served(x)
+    _, ref = jax.jit(make_serving_fn(net, params, 2, "acdc",
+                                     volume=volume))(x)
+    np.testing.assert_array_equal(np.asarray(sr), np.asarray(ref))

@@ -418,3 +418,28 @@ def test_stream_error_paths(stream_server, server):
         health = json.loads(resp.read())
     assert health["stream"]["net"] == "DRFNet"
     assert health["stream"]["sessions"] >= 1
+
+
+def test_route_volume_programs_exact_only():
+    """Volume-mode programs serve their exact D*T frame count: routing
+    never bridges a mismatched request through them."""
+    import pytest
+
+    from vsr_tpu.serve import ArtifactPool
+
+    class _Fake:
+        def __init__(self, meta):
+            self.meta = meta
+
+    vol = _Fake({"frames_shape": [6, 24, 24], "volume": ["3d", 3],
+                 "net": "Volume3DSRNet"})
+    plain = _Fake({"frames_shape": [4, 24, 24], "volume": None,
+                   "net": "EDSRNet"})
+    pool = ArtifactPool([], warmup=False, live=[vol, plain],
+                        allow_empty=False)
+    assert pool.route((6, 24, 24)) is vol          # exact match wins
+    assert pool.route((9, 24, 24)) is plain        # bridge via plain only
+    pool_vol_only = ArtifactPool([], warmup=False, live=[vol],
+                                 allow_empty=False)
+    with pytest.raises(LookupError, match="exact"):
+        pool_vol_only.route((9, 24, 24))

@@ -44,7 +44,7 @@ FORMAT_VERSION = 1
 def make_serving_fn(net, params, factor: int, dataset: str,
                     video_t: int | None = None, train_flag: bool = False,
                     int8: bool = False, window=None, chunk: int = 0,
-                    w8a8=False):
+                    w8a8=False, volume=None):
     """The fused HR-frames -> (lr, sr) serving program — delegated to
     ``vsr_tpu.infer.make_pipeline`` (mesh=None) so the exported artifact is
     THE SAME program the CLI serves: frame, whole-sequence (``video_t``),
@@ -63,7 +63,8 @@ def make_serving_fn(net, params, factor: int, dataset: str,
             "calibration cannot be serialized")
     return make_pipeline(net, params, factor, dataset, int8=int8,
                          video_t=video_t, mesh=None, window=window,
-                         train_flag=train_flag, chunk=chunk, w8a8=w8a8)
+                         volume=volume, train_flag=train_flag, chunk=chunk,
+                         w8a8=w8a8)
 
 
 def export_serving(
@@ -78,6 +79,7 @@ def export_serving(
     window=None,
     chunk: int = 0,
     w8a8=False,
+    volume=None,
     platforms: Sequence[str] | None = None,
 ) -> tuple[bytes, dict]:
     """Serialize the fused serving program. Returns (blob, meta)."""
@@ -86,7 +88,7 @@ def export_serving(
 
     fn = make_serving_fn(net, params, factor, dataset, video_t=video_t,
                          train_flag=train_flag, int8=int8, window=window,
-                         chunk=chunk, w8a8=w8a8)
+                         chunk=chunk, w8a8=w8a8, volume=volume)
     spec = jax.ShapeDtypeStruct(tuple(frames_shape), jax.numpy.float32)
     kw = {"platforms": tuple(platforms)} if platforms else {}
     exp = jexport.export(fn, **kw)(spec)
@@ -97,6 +99,7 @@ def export_serving(
         "dataset": dataset,
         "video_t": video_t,
         "window": list(window) if window else None,
+        "volume": list(volume) if volume else None,
         "chunk": chunk,
         "int8": int8,
         "w8a8_convs": len(w8a8) if isinstance(w8a8, dict) else 0,
@@ -159,13 +162,28 @@ def _cmd_export(args) -> None:
         raise SystemExit("--chunk applies to frame/window serving; the "
                          "--video-t path is already sequence-batched")
 
-    from vsr_tpu.infer import build_serving_net
+    from vsr_tpu.infer import VOLUME_NETS, build_serving_net
+
+    vmode = VOLUME_NETS.get(args.net)
+    volume = None
+    if vmode:
+        if args.video_t or windows:
+            raise SystemExit("--video-t/--windows do not apply to the "
+                             "volumetric nets (volume mode is automatic)")
+        if not args.seq_t:
+            raise SystemExit("volumetric nets need --seq-t (frames per "
+                             "slice in the artifact geometry, T of the "
+                             "N = D*T frame dim)")
+        if vmode == "4d" and chunk:
+            raise SystemExit("--chunk has no effect on 4D volume serving "
+                             "(the whole scan is one sample)")
+        volume = (vmode, args.seq_t)
 
     h, w = shape[-2], shape[-1]
     net, params, train_flag = build_serving_net(
         args.net, net_kwargs, args.checkpoint,
         lr_hw=(h // args.factor, w // args.factor),
-        video=bool(args.video_t), windows=windows)
+        video=bool(args.video_t), windows=windows, volume=vmode)
 
     # MISR window serving needs the per-slice sequence length (seq_t) to
     # build circular windows on device: --seq-t, like infer's per-volume t.
@@ -213,7 +231,7 @@ def _cmd_export(args) -> None:
         net, params, shape, args.factor, dataset=args.dataset,
         video_t=args.video_t or None, train_flag=train_flag,
         int8=getattr(args, "int8", False), window=window,
-        chunk=chunk, w8a8=w8a8, platforms=platforms)
+        chunk=chunk, w8a8=w8a8, volume=volume, platforms=platforms)
     meta.update({"net": args.net, "net_kwargs": net_kwargs
                  if not args.bf16 else {**net_kwargs, "dtype": "bfloat16"}})
     save_artifact(args.out, blob, meta)
@@ -325,8 +343,9 @@ def main() -> None:
                    help="MISR net (DUF/EDVR/RBPN/TOFlow): one circular "
                         "N-frame window per output frame")
     p.add_argument("--seq-t", dest="seq_t", type=int, default=0,
-                   help="with --windows: frames per slice sequence in the "
-                        "serving geometry")
+                   help="frames per slice sequence in the serving geometry "
+                        "(required with --windows and with the volumetric "
+                        "nets' automatic volume mode)")
     p.add_argument("--window-order", dest="window_order",
                    choices=["middle", "last"], default="middle")
     p.add_argument("--chunk", type=int, default=0,

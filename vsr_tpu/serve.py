@@ -135,7 +135,8 @@ class LivePipeline:
 
     def __init__(self, *, net_name: str, net_kwargs: dict, checkpoint: str,
                  frames_shape, factor: int, dataset: str = "acdc",
-                 mesh=None, video_t=None, window=None, chunk: int = 0,
+                 mesh=None, video_t=None, window=None, volume=None,
+                 chunk: int = 0,
                  int8: bool = False, w8a8=False, w8a8_kernels=None):
         from vsr_tpu.infer import build_serving_net, make_pipeline
 
@@ -149,10 +150,12 @@ class LivePipeline:
         net, params, train_flag = build_serving_net(
             net_name, net_kwargs, checkpoint,
             lr_hw=(h // factor, w // factor), video=bool(video_t),
-            windows=window[0] if window else 0)
+            windows=window[0] if window else 0,
+            volume=volume[0] if volume else None)
         self._pipe = make_pipeline(
             net, params, factor, dataset, mesh=mesh, video_t=video_t,
-            window=window, chunk=chunk, train_flag=train_flag, int8=int8,
+            window=window, volume=volume, chunk=chunk,
+            train_flag=train_flag, int8=int8,
             w8a8=w8a8, w8a8_kernels=w8a8_kernels)
         self.meta = {
             "frames_shape": list(frames_shape),
@@ -161,6 +164,7 @@ class LivePipeline:
             "net": net_name,
             "video_t": video_t,
             "window": list(window) if window else None,
+            "volume": list(volume) if volume else None,
             "chunk": chunk,
             "int8": int8,
             "w8a8_convs": len(w8a8) if isinstance(w8a8, dict) else 0,
@@ -328,10 +332,19 @@ class ArtifactPool:
         exact = [s for s in same_hw if s.meta["frames_shape"][0] == n]
         if exact:
             return exact[0]
-        fits = [s for s in same_hw if s.meta["frames_shape"][0] <= n]
+        # Volume-mode programs regroup N = D*T slice-major frames into
+        # volumes; bridging through the frame dim would scramble the
+        # (D, T) grouping — they serve their exact frame count only.
+        bridgeable = [s for s in same_hw if not s.meta.get("volume")]
+        if not bridgeable:
+            raise LookupError(
+                f"only volume-mode programs serve {h}x{w} and none has "
+                f"frame dim {n} (volume mode serves its exact D*T frame "
+                "count only — add a program per volume geometry)")
+        fits = [s for s in bridgeable if s.meta["frames_shape"][0] <= n]
         if fits:
             return max(fits, key=lambda s: s.meta["frames_shape"][0])
-        return min(same_hw, key=lambda s: s.meta["frames_shape"][0])
+        return min(bridgeable, key=lambda s: s.meta["frames_shape"][0])
 
     def sr_volume(self, frames: np.ndarray, metrics: Metrics) -> np.ndarray:
         """Super-resolve (M, H, W) HR frames through the routed artifact,
@@ -647,6 +660,18 @@ def live_from_args(args) -> list:
         if not args.seq_t:
             raise SystemExit("--windows needs --seq-t")
         window = (args.windows, args.seq_t, args.window_order)
+    from vsr_tpu.infer import VOLUME_NETS
+
+    vmode = VOLUME_NETS.get(args.net)
+    volume = None
+    if vmode:
+        if args.video_t or args.windows:
+            raise SystemExit("--video-t/--windows do not apply to the "
+                             "volumetric nets (volume mode is automatic)")
+        if not args.seq_t:
+            raise SystemExit("volumetric nets need --seq-t (frames per "
+                             "slice, T of the N = D*T frame dim)")
+        volume = (vmode, args.seq_t)
     w8a8: object = False
     if args.w8a8_scales:
         with open(args.w8a8_scales) as f:
@@ -662,7 +687,8 @@ def live_from_args(args) -> list:
             net_name=args.net, net_kwargs=net_kwargs,
             checkpoint=args.checkpoint, frames_shape=shape,
             factor=args.factor, dataset=args.dataset, mesh=mesh,
-            video_t=args.video_t or None, window=window, chunk=args.chunk,
+            video_t=args.video_t or None, window=window, volume=volume,
+            chunk=args.chunk,
             int8=args.int8, w8a8=w8a8, w8a8_kernels=w8a8_kernels))
     return live
 
