@@ -443,3 +443,29 @@ def test_route_volume_programs_exact_only():
                                  allow_empty=False)
     with pytest.raises(LookupError, match="exact"):
         pool_vol_only.route((9, 24, 24))
+    # video/window programs regroup N = D*T too: same exact-only rule.
+    vid = _Fake({"frames_shape": [6, 24, 24], "video_t": 3, "volume": None,
+                 "net": "DRFNet"})
+    pool_vid = ArtifactPool([], warmup=False, live=[vid], allow_empty=False)
+    assert pool_vid.route((6, 24, 24)) is vid
+    with pytest.raises(LookupError, match="exact"):
+        pool_vid.route((9, 24, 24))
+
+
+def test_sr_volume_refuses_mismatched_dt_geometry():
+    """Exact-N route to a regrouping program still refuses a NIfTI whose
+    (d, t) factorization differs from the program's per-slice T."""
+    import pytest
+
+    from vsr_tpu.serve import ArtifactPool, Metrics
+
+    class _Fake:
+        def __init__(self, meta):
+            self.meta = meta
+
+    vol = _Fake({"frames_shape": [12, 24, 24], "volume": ["3d", 4],
+                 "net": "Volume3DSRNet"})
+    pool = ArtifactPool([], warmup=False, live=[vol], allow_empty=False)
+    frames = np.zeros((12, 24, 24), np.float32)
+    with pytest.raises(LookupError, match="T=4"):
+        pool.sr_volume(frames, Metrics(), nii_geom=(24, 24, 4, 3))

@@ -162,22 +162,18 @@ def _cmd_export(args) -> None:
         raise SystemExit("--chunk applies to frame/window serving; the "
                          "--video-t path is already sequence-batched")
 
-    from vsr_tpu.infer import VOLUME_NETS, build_serving_net
+    from vsr_tpu.infer import build_serving_net, resolve_volume
 
-    vmode = VOLUME_NETS.get(args.net)
-    volume = None
-    if vmode:
-        if args.video_t or windows:
-            raise SystemExit("--video-t/--windows do not apply to the "
-                             "volumetric nets (volume mode is automatic)")
-        if not args.seq_t:
-            raise SystemExit("volumetric nets need --seq-t (frames per "
-                             "slice in the artifact geometry, T of the "
-                             "N = D*T frame dim)")
-        if vmode == "4d" and chunk:
-            raise SystemExit("--chunk has no effect on 4D volume serving "
-                             "(the whole scan is one sample)")
-        volume = (vmode, args.seq_t)
+    volume = resolve_volume(args.net, video=bool(args.video_t),
+                            windows=windows,
+                            seq_t=int(getattr(args, "seq_t", 0) or 0),
+                            chunk=chunk, n_frames=shape[0], exc=SystemExit)
+    vmode = volume[0] if volume else None
+    if volume and (getattr(args, "w8a8", False) or
+                   getattr(args, "w8a8_scales", "")):
+        raise SystemExit("W8A8 quantizes wide 2D nn.Conv layers; the "
+                         "volumetric nets' 3D convs have no quantizable "
+                         "path — drop --w8a8/--w8a8-scales")
 
     h, w = shape[-2], shape[-1]
     net, params, train_flag = build_serving_net(
@@ -209,7 +205,8 @@ def _cmd_export(args) -> None:
                 "calibrate from sample volumes here")
         w8a8 = _calibrate_from_volumes(
             net, params, Path(args.calib), shape, args.factor, args.dataset,
-            args.video_t or None, window, train_flag, args.calib_method)
+            args.video_t or None, window, train_flag, args.calib_method,
+            volume=volume)
         logging.info(f"Calibrated {len(w8a8)} conv activation scales "
                      f"from {args.calib} (method={args.calib_method})")
     if w8a8 and getattr(args, "int8", False):
@@ -259,7 +256,8 @@ def _load_hr_frames(path: Path) -> tuple[np.ndarray, tuple[int, ...]]:
 
 def _calibrate_from_volumes(net, params, calib_dir: Path, want, factor,
                             dataset, video_t, window, train_flag,
-                            method: str, max_volumes: int = 4) -> dict:
+                            method: str, max_volumes: int = 4,
+                            volume=None) -> dict:
     """Export-time W8A8 calibration: build net-input batches from sample
     NIfTI volumes of the artifact geometry (via the SAME prep stage the
     artifact will run, ``infer.make_prep``) and return static activation
@@ -271,7 +269,7 @@ def _calibrate_from_volumes(net, params, calib_dir: Path, want, factor,
     from vsr_tpu.quantize import calibrate_w8a8
 
     prep = jax.jit(lambda h: make_prep(factor, dataset, video_t=video_t,
-                                       window=window)(h)[1])
+                                       window=window, volume=volume)(h)[1])
     zs = []
     for path in sorted(Path(calib_dir).glob("**/*.nii*")):
         frames, _ = _load_hr_frames(path)

@@ -95,6 +95,34 @@ TRAIN_FLAG_NETS = ("TOFlowNet", "DUFNet")
 VOLUME_NETS = {"Volume3DSRNet": "3d", "Volume4DSRNet": "4d"}
 
 
+def resolve_volume(net_name: str, *, video=False, windows: int = 0,
+                   seq_t: int = 0, chunk: int = 0, mesh=None,
+                   n_frames: int | None = None,
+                   exc=ValueError) -> tuple[str, int] | None:
+    """The ONE volume-mode guard cluster shared by every serving surface
+    (infer CLI, export, serve live pipelines): returns ``(mode, t)`` for a
+    volumetric net (``None`` otherwise) after validating the flag
+    combination, raising ``exc`` with the canonical message on misuse."""
+    vmode = VOLUME_NETS.get(net_name)
+    if not vmode:
+        return None
+    if video or windows:
+        raise exc("--video/--video-t/--windows do not apply to the "
+                  "volumetric nets (volume mode is automatic)")
+    if mesh is not None:
+        raise exc("volume serving under --mesh is not wired yet")
+    if not seq_t:
+        raise exc("volumetric nets need --seq-t (frames per slice, T of "
+                  "the N = D*T frame dim)")
+    if vmode == "4d" and chunk:
+        raise exc("--chunk has no effect on 4D volume serving (the whole "
+                  "scan is one sample)")
+    if n_frames is not None and n_frames % seq_t:
+        raise exc(f"frames dim {n_frames} is not a multiple of the "
+                  f"per-slice T {seq_t} (volume mode regroups N = D*T)")
+    return (vmode, seq_t)
+
+
 def build_serving_net(net_name: str, net_kwargs: dict, checkpoint: str = "",
                       *, lr_hw: tuple[int, int], video: bool = False,
                       windows: int = 0, volume: str | None = None):
@@ -445,18 +473,11 @@ def run(args) -> dict:
         if windows and video:
             raise SystemExit("--windows (MISR) and --video (VSR) are "
                              "mutually exclusive")
-        vmode = VOLUME_NETS.get(args.net)
-        if vmode:
-            if video or windows:
-                raise SystemExit("--video/--windows do not apply to the "
-                                 "volumetric nets (volume mode is "
-                                 "automatic)")
-            if mesh is not None:
-                raise SystemExit("volume serving under --mesh is not "
-                                 "wired yet")
-            if vmode == "4d" and getattr(args, "chunk", 0):
-                raise SystemExit("--chunk has no effect on 4D volume "
-                                 "serving (the whole scan is one sample)")
+        vol = resolve_volume(
+            args.net, video=video, windows=windows, seq_t=t,
+            chunk=int(getattr(args, "chunk", 0) or 0), mesh=mesh,
+            n_frames=frames.shape[0], exc=SystemExit)
+        vmode = vol[0] if vol else None
         if int(getattr(args, "chunk", 0) or 0) < 0:
             raise SystemExit("--chunk must be >= 0 (0 = disabled)")
         if getattr(args, "chunk", 0) and mesh is not None:

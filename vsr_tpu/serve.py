@@ -279,6 +279,19 @@ class StreamManager:
                 "max_sessions": self.MAX_SESSIONS}
 
 
+def _regroup_t(meta: dict) -> int | None:
+    """The per-slice T a sequence-regrouping program assumes for its
+    N = D*T frame dim (volume / whole-sequence video / MISR window modes),
+    or None for per-frame programs."""
+    if meta.get("volume"):
+        return int(meta["volume"][1])
+    if meta.get("video_t"):
+        return int(meta["video_t"])
+    if meta.get("window"):
+        return int(meta["window"][1])
+    return None
+
+
 class ArtifactPool:
     """Loaded artifacts + routing + the serialized device executor."""
 
@@ -332,24 +345,39 @@ class ArtifactPool:
         exact = [s for s in same_hw if s.meta["frames_shape"][0] == n]
         if exact:
             return exact[0]
-        # Volume-mode programs regroup N = D*T slice-major frames into
-        # volumes; bridging through the frame dim would scramble the
-        # (D, T) grouping — they serve their exact frame count only.
-        bridgeable = [s for s in same_hw if not s.meta.get("volume")]
+        # Regrouping programs (volume / whole-sequence video_t / MISR
+        # windows) interpret N = D*T slice-major frames as sequences;
+        # bridging a mismatched N through them would scramble the (D, T)
+        # grouping — they serve their exact frame count only. Per-frame
+        # programs bridge by edge-padded chunking.
+        bridgeable = [s for s in same_hw if not _regroup_t(s.meta)]
         if not bridgeable:
             raise LookupError(
-                f"only volume-mode programs serve {h}x{w} and none has "
-                f"frame dim {n} (volume mode serves its exact D*T frame "
-                "count only — add a program per volume geometry)")
+                f"only sequence-regrouping programs (volume/video/window "
+                f"modes) serve {h}x{w} and none has frame dim {n} — they "
+                "serve their exact D*T frame count only; add a program "
+                "per geometry")
         fits = [s for s in bridgeable if s.meta["frames_shape"][0] <= n]
         if fits:
             return max(fits, key=lambda s: s.meta["frames_shape"][0])
         return min(bridgeable, key=lambda s: s.meta["frames_shape"][0])
 
-    def sr_volume(self, frames: np.ndarray, metrics: Metrics) -> np.ndarray:
+    def sr_volume(self, frames: np.ndarray, metrics: Metrics,
+                  nii_geom=None) -> np.ndarray:
         """Super-resolve (M, H, W) HR frames through the routed artifact,
-        bridging M to the artifact's frame dim by edge-padded chunking."""
+        bridging M to the artifact's frame dim by edge-padded chunking.
+
+        ``nii_geom``: the request's (h, w, d, t) when it arrived as NIfTI —
+        validated against sequence-regrouping programs so an exact-N match
+        with a DIFFERENT (d, t) factorization is refused instead of
+        silently scrambling slices/time."""
         serving = self.route(frames.shape)
+        want_t = _regroup_t(serving.meta)
+        if want_t and nii_geom is not None and nii_geom[3] != want_t:
+            raise LookupError(
+                f"program expects sequences of T={want_t} frames per "
+                f"slice; this volume has t={nii_geom[3]} (d={nii_geom[2]})"
+                " — regrouping would scramble the (D, T) order")
         step = serving.meta["frames_shape"][0]
         outs = []
         for i in range(0, frames.shape[0], step):
@@ -608,7 +636,7 @@ def make_server(artifact_paths, host: str = "127.0.0.1", port: int = 0,
                     self._send_json(400, {"error": f"unknown format {fmt!r}"})
                     return
                 try:
-                    sr = pool.sr_volume(frames, metrics)
+                    sr = pool.sr_volume(frames, metrics, nii_geom=geom)
                 except LookupError as exc:  # no artifact for this geometry
                     status = 400
                     self._send_json(400, {"error": str(exc)})
@@ -660,18 +688,7 @@ def live_from_args(args) -> list:
         if not args.seq_t:
             raise SystemExit("--windows needs --seq-t")
         window = (args.windows, args.seq_t, args.window_order)
-    from vsr_tpu.infer import VOLUME_NETS
-
-    vmode = VOLUME_NETS.get(args.net)
-    volume = None
-    if vmode:
-        if args.video_t or args.windows:
-            raise SystemExit("--video-t/--windows do not apply to the "
-                             "volumetric nets (volume mode is automatic)")
-        if not args.seq_t:
-            raise SystemExit("volumetric nets need --seq-t (frames per "
-                             "slice, T of the N = D*T frame dim)")
-        volume = (vmode, args.seq_t)
+    from vsr_tpu.infer import resolve_volume
     w8a8: object = False
     if args.w8a8_scales:
         with open(args.w8a8_scales) as f:
@@ -683,6 +700,11 @@ def live_from_args(args) -> list:
         shape = tuple(int(s) for s in spec.split(","))
         if len(shape) != 3:
             raise SystemExit(f"--frames-shape must be N,H,W, got {spec!r}")
+        volume = resolve_volume(args.net, video=bool(args.video_t),
+                                windows=args.windows,
+                                seq_t=int(getattr(args, "seq_t", 0) or 0),
+                                chunk=args.chunk, mesh=mesh,
+                                n_frames=shape[0], exc=SystemExit)
         live.append(LivePipeline(
             net_name=args.net, net_kwargs=net_kwargs,
             checkpoint=args.checkpoint, frames_shape=shape,
@@ -780,6 +802,13 @@ def main() -> None:
     live = live_from_args(args)
     stream_spec = None
     if args.stream_net:
+        from vsr_tpu.infer import VOLUME_NETS
+
+        if args.stream_net in VOLUME_NETS:
+            raise SystemExit(
+                "the volumetric nets do not stream (their unit is a whole "
+                "(D, h, w) volume, not a frame) — serve them via "
+                "--artifact / live --net volume mode instead")
         kw = (json.loads(args.stream_net_kwargs)
               if args.stream_net_kwargs else {})
         if args.stream_bf16:
