@@ -54,7 +54,7 @@ def build_cases(subpixel: bool = False, fsq: bool = False):
 
     from vsr_tpu.models import (
         Bicubic, DRFNet, DRFSISRNet, DUFNet, EDSRNet, EDVRNet, FRVSRNet,
-        RBPNet, SRFBNet, TOFlowNet,
+        RBPNet, SRFBNet, TOFlowNet, Volume3DSRNet, Volume4DSRNet,
     )
 
     bf16 = jnp.bfloat16
@@ -97,6 +97,18 @@ def build_cases(subpixel: bool = False, fsq: bool = False):
          EDVRNet(in_channels=1, out_channels=1, nf=64, nframes=5, groups=8,
                  front_RBs=5, back_RBs=10, dtype=bf16),
          {"win": 5, "chunk": 30}),
+        # The volumetric families (beyond-reference; configs/train/acdc_
+        # {3d,4d}_vol_x2.yaml sizes): each time point is one (D, h, w)
+        # sample (3d) / the whole scan one (T, D, h, w) sample (4d) —
+        # vsr_tpu.infer serves them the same way (volume mode).
+        ("Volume3DSRNet", 2, "vol3d",
+         Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=8,
+                       num_features=32, upscale_factor=2, dtype=bf16),
+         {"vpc": 2}),
+        ("Volume4DSRNet", 2, "vol4d",
+         Volume4DSRNet(in_channels=1, out_channels=1, num_features=32,
+                       num_resblocks=4, upscale_factor=2, dtype=bf16),
+         {"vpc": 2}),
     ]
 
 
@@ -110,6 +122,13 @@ def make_build_z(jnp, kspace_downscale_jax, factor, task, win, vpc):
         hh, ww = z.shape[1:3]
         if task == "vsr":
             return z.reshape(vpc * D, T, hh, ww, 1)
+        if task in ("vol3d", "vol4d"):
+            # Slice-major frames -> volumes per time point: (vpc, D, T,
+            # h, w, 1) -> (vpc, T, D, ...) -> batch.
+            vols = jnp.swapaxes(z.reshape(vpc, D, T, hh, ww, 1), 1, 2)
+            if task == "vol3d":
+                return vols.reshape(vpc * T, D, hh, ww, 1)
+            return vols  # (vpc, T, D, h, w, 1)
         if task == "misr":
             seq = z.reshape(vpc * D, T, hh, ww, 1)
             # Circular win-frame window centered on every t, on device.
@@ -155,6 +174,10 @@ def main(only: list[str]) -> None:
             example = jnp.zeros((1, h, w, 1))
         elif task == "vsr":
             example = jnp.zeros((1, 2, h, w, 1))
+        elif task == "vol3d":
+            example = jnp.zeros((1, 2, h, w, 1))
+        elif task == "vol4d":
+            example = jnp.zeros((1, 2, 2, h, w, 1))
         else:
             example = jnp.zeros((1, win, h, w, 1))
         extra = {"train": False} if name in TRAIN_FLAG_NETS else {}
@@ -172,7 +195,8 @@ def main(only: list[str]) -> None:
             apply_fn = (lambda c, net=net, params=params, extra=extra:
                         net.apply(params, c, **extra))
             n_cal = 0
-            if w8a8 and name != "Bicubic":
+            if (w8a8 and name != "Bicubic"
+                    and task not in ("vol3d", "vol4d")):
                 from vsr_tpu.quantize import calibrate_w8a8, make_w8a8_apply
 
                 if name in SCAN_NETS:
@@ -243,6 +267,12 @@ def main(only: list[str]) -> None:
                     if isinstance(sr, tuple):  # FRVSR: (sr, warped_lr)
                         sr = sr[0]
                     sr = sr.reshape(vpc * D * T, *sr.shape[2:])
+                elif task in ("vol3d", "vol4d"):
+                    sr = apply_fn(z)  # (vpc*T, D, ...) / (vpc, T, D, ...)
+                    vols = (sr.reshape(vpc, T, D, *sr.shape[2:])
+                            if task == "vol3d" else sr)
+                    sr = jnp.swapaxes(vols, 1, 2).reshape(
+                        vpc * D * T, *vols.shape[3:])
                 else:
                     sr = net_chunks(z, apply_fn)
                 sr = sr.astype(jnp.float32)
@@ -263,7 +293,8 @@ def main(only: list[str]) -> None:
                 "hr_frames_per_sec": round(vps * D * T, 1),
                 "compile_s": round(compile_s, 1),
             }
-            if w8a8 and name != "Bicubic":
+            if (w8a8 and name != "Bicubic"
+                    and task not in ("vol3d", "vol4d")):
                 # Quality vs the bf16 path on the SAME buffer.
                 base_apply = (lambda c, net=net, params=params, extra=extra:
                               net.apply(params, c, **extra))

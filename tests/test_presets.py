@@ -186,7 +186,17 @@ def test_apply_export_namespace_calib_paths(tmp_path):
 
 def test_apply_unknown_net_is_clean_cli_error():
     with pytest.raises(SystemExit, match="preset"):
-        apply_preset_to_args(_infer_args(net="Volume3DSRNet"), "tuned")
+        apply_preset_to_args(_infer_args(net="NoSuchNet"), "tuned")
+
+
+def test_volume_net_presets_exist():
+    """The volumetric families carry measured presets (zoo round-3 s5)."""
+    from vsr_tpu.presets import serving_config
+
+    for name in ("Volume3DSRNet", "Volume4DSRNet"):
+        cfg = serving_config(name, "tuned")
+        assert cfg.get("volumes_per_call") == 2
+        assert "w8a8" not in serving_config(name, "fast")  # no 2D convs
 
 
 def test_infer_preset_end_to_end(tmp_path, rng):

@@ -87,6 +87,11 @@ SERVING_PRESETS: dict[str, dict] = {
     "DUFNet": {"windows": 7, "chunk": 100, "w8a8": "lazy"},     # 1.15x
     "RBPNet": {"windows": 5, "chunk": 30, "w8a8": "lazy"},      # 1.34x
     "EDVRNet": {"windows": 5, "chunk": 30, "w8a8": "lazy"},     # 1.04x
+    # Volumetric families: volume mode is automatic (infer.VOLUME_NETS);
+    # 2 volumes/call measured on chip (zoo_serving.json: 13.9 / 8.2 vol/s).
+    # No W8A8 — their 3D convs have no quantizable path.
+    "Volume3DSRNet": {"volumes_per_call": 2},
+    "Volume4DSRNet": {"volumes_per_call": 2},
 }
 
 
