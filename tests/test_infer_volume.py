@@ -109,3 +109,21 @@ def test_volume_guards(tmp_path, rng):
     with pytest.raises(SystemExit, match="video"):
         run(_args(net="Volume3DSRNet", video=True, input_dir=src,
                   output_dir=tmp_path / "out"))
+
+
+def test_volume3d_int8_pipeline_close(rng):
+    """Weight-only int8 covers the 3D conv kernels (name+ndim rule in
+    quantize._is_kernel) — the volume pipeline serves --int8 too."""
+    d, t, hr = 2, 4, 24
+    frames = jnp.asarray(
+        np.round(rng.random((d * t, hr, hr)) * 255), jnp.float32)
+    net = Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=1,
+                        num_features=8, upscale_factor=2)
+    _, z = jax.jit(make_prep(2, "acdc", volume=("3d", t)))(frames)
+    params = net.init(jax.random.PRNGKey(0), z)
+    _, sr = make_pipeline(net, params, 2, "acdc", volume=("3d", t))(frames)
+    _, sr_q = make_pipeline(net, params, 2, "acdc", volume=("3d", t),
+                            int8=True)(frames)
+    # Same uint8-valued outputs within a couple of grey levels.
+    diff = np.abs(np.asarray(sr) - np.asarray(sr_q))
+    assert diff.max() <= 2.0, diff.max()

@@ -193,9 +193,9 @@ def test_volume_net_presets_exist():
     """The volumetric families carry measured presets (zoo round-3 s5)."""
     from vsr_tpu.presets import serving_config
 
-    for name in ("Volume3DSRNet", "Volume4DSRNet"):
+    for name, vpc in (("Volume3DSRNet", 4), ("Volume4DSRNet", 1)):
         cfg = serving_config(name, "tuned")
-        assert cfg.get("volumes_per_call") == 2
+        assert cfg.get("volumes_per_call") == vpc
         assert "w8a8" not in serving_config(name, "fast")  # no 2D convs
 
 

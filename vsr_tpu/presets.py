@@ -88,10 +88,11 @@ SERVING_PRESETS: dict[str, dict] = {
     "RBPNet": {"windows": 5, "chunk": 30, "w8a8": "lazy"},      # 1.34x
     "EDVRNet": {"windows": 5, "chunk": 30, "w8a8": "lazy"},     # 1.04x
     # Volumetric families: volume mode is automatic (infer.VOLUME_NETS);
-    # 2 volumes/call measured on chip (zoo_serving.json: 13.9 / 8.2 vol/s).
-    # No W8A8 — their 3D convs have no quantizable path.
-    "Volume3DSRNet": {"volumes_per_call": 2},
-    "Volume4DSRNet": {"volumes_per_call": 2},
+    # volumes/call swept on chip (scripts/probe_vol_serving.py: 3D scales
+    # 5.9 -> 25.2 vol/s from vpc 1 -> 4, vpc 8 only +3.7% more; 4D peaks
+    # at vpc=1). No W8A8 — their 3D convs have no quantizable path.
+    "Volume3DSRNet": {"volumes_per_call": 4},
+    "Volume4DSRNet": {"volumes_per_call": 1},
 }
 
 
