@@ -381,16 +381,24 @@ def main() -> None:
                    help="lowering platforms, e.g. 'tpu' or 'tpu,cpu' "
                         "(default: current backend)")
     p.add_argument("--out", default="model.vsrx")
+    p.add_argument("--preset-file", dest="preset_file", default="",
+                   help="JSON of {net: preset_entry} measured on THIS "
+                        "machine (python -m vsr_tpu.tune); overrides the "
+                        "built-in table. Implies --preset tuned")
     p.add_argument("--preset", choices=["tuned", "fast"], default="",
                    help="apply the net's measured serving knobs "
                         "(vsr_tpu/presets.py) to the exported program; "
                         "explicit flags win. W8A8 at export time needs "
                         "--calib or --w8a8-scales")
     args = p.parse_args()
+    if args.preset_file and not args.preset:
+        args.preset = "tuned"
     if args.preset and not args.run:
-        from vsr_tpu.presets import apply_preset_to_args
+        from vsr_tpu.presets import apply_preset_to_args, load_preset_file
 
-        apply_preset_to_args(args, args.preset)
+        overrides = (load_preset_file(args.preset_file)
+                     if args.preset_file else None)
+        apply_preset_to_args(args, args.preset, overrides=overrides)
     if args.run:
         if not (args.input_dir and args.output_dir):
             raise SystemExit("--run needs input_dir and output_dir")

@@ -649,6 +649,11 @@ def main() -> None:
     parser.add_argument("--fused-tail", dest="fused_tail", action="store_true",
                         help="fold the final conv through the pixel-shuffle "
                              "(EDSR/DRF; +~9%% serving throughput)")
+    parser.add_argument("--preset-file", dest="preset_file", default="",
+                        help="JSON of {net: preset_entry} measured on THIS "
+                             "machine (python -m vsr_tpu.tune); overrides "
+                             "the built-in table for the nets it names. "
+                             "Implies --preset tuned unless --preset given")
     parser.add_argument("--preset", choices=["tuned", "fast"], default="",
                         help="apply the net's measured serving knobs "
                              "(vsr_tpu/presets.py): 'tuned' = exact knobs "
@@ -657,10 +662,14 @@ def main() -> None:
                              "faster (quality gated per net in BENCH.md). "
                              "Explicit flags win over the preset")
     args = parser.parse_args()
+    if args.preset_file and not args.preset:
+        args.preset = "tuned"
     if args.preset:
-        from vsr_tpu.presets import apply_preset_to_args
+        from vsr_tpu.presets import apply_preset_to_args, load_preset_file
 
-        apply_preset_to_args(args, args.preset)
+        overrides = (load_preset_file(args.preset_file)
+                     if args.preset_file else None)
+        apply_preset_to_args(args, args.preset, overrides=overrides)
     run(args)
 
 

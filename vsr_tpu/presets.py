@@ -96,9 +96,28 @@ SERVING_PRESETS: dict[str, dict] = {
 }
 
 
+def load_preset_file(path: str) -> dict:
+    """A ``--preset-file`` JSON (written by ``python -m vsr_tpu.tune``, or
+    by hand): ``{net_name: preset_entry}`` in SERVING_PRESETS shape. The
+    entries OVERRIDE the built-ins for the nets they name — machine-local
+    measurements beat the shipped v5e numbers."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    entries = data.get("presets", data)  # tune.py wraps under "presets"
+    if not isinstance(entries, dict) or not all(
+            isinstance(v, dict) for v in entries.values()):
+        raise ValueError(
+            f"{path}: expected {{net_name: preset_entry}} (optionally "
+            "under a 'presets' key)")
+    return entries
+
+
 def serving_config(net_name: str, level: str = "tuned",
                    net_kwargs: dict | None = None,
-                   have_scales: bool = False) -> dict:
+                   have_scales: bool = False,
+                   overrides: dict | None = None) -> dict:
     """The measured serving knobs for ``net_name`` at ``level``.
 
     Returns a dict with any of: ``net_kwargs`` (extra construction kwargs,
@@ -107,15 +126,19 @@ def serving_config(net_name: str, level: str = "tuned",
     calibration), ``w8a8_kernels``.  ``net_kwargs`` (the user's) is
     consulted for window-length overrides; ``have_scales`` says whether a
     precomputed activation-scales file is available (required to quantize
-    the scan-body nets).
+    the scan-body nets). ``overrides`` (from :func:`load_preset_file`)
+    replaces the built-in entry for nets it names.
     """
     if level not in LEVELS:
         raise ValueError(f"Unknown preset level {level!r}; one of {LEVELS}")
-    if net_name not in SERVING_PRESETS:
+    table = dict(SERVING_PRESETS)
+    if overrides:
+        table.update(overrides)
+    if net_name not in table:
         raise ValueError(
             f"No serving preset for net {net_name!r}; presets exist for: "
-            f"{', '.join(sorted(SERVING_PRESETS))}")
-    preset = SERVING_PRESETS[net_name]
+            f"{', '.join(sorted(table))}")
+    preset = table[net_name]
     out: dict = {}
     if preset.get("net_kwargs"):
         out["net_kwargs"] = dict(preset["net_kwargs"])
@@ -123,8 +146,9 @@ def serving_config(net_name: str, level: str = "tuned",
         if knob in preset:
             out[knob] = preset[knob]
     if "windows" in preset:
-        kw = _WINDOW_KWARG[net_name]
-        out["windows"] = int((net_kwargs or {}).get(kw, preset["windows"]))
+        kw = _WINDOW_KWARG.get(net_name)
+        out["windows"] = int((net_kwargs or {}).get(kw, preset["windows"])
+                             if kw else preset["windows"])
     if level == "fast" and "w8a8" in preset:
         mode = preset["w8a8"]
         if mode == "lazy":
@@ -137,7 +161,8 @@ def serving_config(net_name: str, level: str = "tuned",
     return out
 
 
-def apply_preset_to_args(args, level: str) -> list[str]:
+def apply_preset_to_args(args, level: str,
+                         overrides: dict | None = None) -> list[str]:
     """Fill a CLI namespace in place from the net's preset.
 
     Works for all three serving CLIs — ``vsr_tpu.infer`` (bool ``--video``,
@@ -158,7 +183,7 @@ def apply_preset_to_args(args, level: str) -> list[str]:
         cfg = serving_config(
             args.net, level,
             net_kwargs=json.loads(args.net_kwargs) if args.net_kwargs else {},
-            have_scales=have_scales)
+            have_scales=have_scales, overrides=overrides)
     except ValueError as exc:  # unknown net/level: a clean CLI error
         raise SystemExit(str(exc)) from None
     applied: list[str] = []

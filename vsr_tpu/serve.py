@@ -763,6 +763,10 @@ def main() -> None:
                    choices=["middle", "last"], default="middle")
     p.add_argument("--chunk", type=int, default=0,
                    help="lax.map chunking inside the live program")
+    p.add_argument("--preset-file", dest="preset_file", default="",
+                   help="JSON of {net: preset_entry} measured on THIS "
+                        "machine (python -m vsr_tpu.tune); overrides the "
+                        "built-in table. Implies --preset tuned")
     p.add_argument("--preset", choices=["tuned", "fast"], default="",
                    help="apply the net's measured serving knobs "
                         "(vsr_tpu/presets.py) to the live pipeline; "
@@ -788,10 +792,14 @@ def main() -> None:
                    choices=["middle", "last"], default="middle")
     p.add_argument("--stream-bf16", dest="stream_bf16", action="store_true")
     args = p.parse_args()
+    if args.preset_file and not args.preset:
+        args.preset = "tuned"
     if args.preset and args.net:
-        from vsr_tpu.presets import apply_preset_to_args
+        from vsr_tpu.presets import apply_preset_to_args, load_preset_file
 
-        apply_preset_to_args(args, args.preset)
+        overrides = (load_preset_file(args.preset_file)
+                     if args.preset_file else None)
+        apply_preset_to_args(args, args.preset, overrides=overrides)
 
     import jax
 
