@@ -150,3 +150,50 @@ def test_recurrent_stream_reset_restarts_sequence(hr):
     again = [np.asarray(stream.push(hr.reshape(D, T, H, W)[:, t])[1])
              for t in range(3)]
     np.testing.assert_array_equal(np.stack(first), np.stack(again))
+
+
+def test_volume3d_stream_matches_batch_pipeline(hr):
+    """Each push = one (D, H, W) time point through the 3D net; outputs
+    bitwise equal to the batch volume pipeline's frames."""
+    from vsr_tpu.models import Volume3DSRNet
+
+    net = Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=1,
+                        num_features=4, upscale_factor=2)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, D, H // 2, W // 2, 1)))
+    _, sr_batch = make_pipeline(net, params, 2, "acdc",
+                                volume=("3d", T))(jnp.asarray(hr))
+    stream = make_stream(net, params, factor=2)
+    seq = hr.reshape(D, T, H, W)
+    srs = [np.asarray(stream.push(seq[:, t])[1]) for t in range(T)]
+    got = np.stack(srs, axis=1).reshape(D * T, H, W)
+    np.testing.assert_array_equal(got, np.asarray(sr_batch))
+
+
+def test_volume4d_stream_matches_batch_pipeline(hr):
+    """The 4D net's time recurrence crosses push boundaries with the
+    hidden volume carry in HBM — bitwise equal to the whole-scan scan."""
+    from vsr_tpu.models.vol4d import Volume4DSRNet
+
+    net = Volume4DSRNet(in_channels=1, out_channels=1, num_features=4,
+                        num_resblocks=1, upscale_factor=2)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 2, D, H // 2, W // 2, 1)))
+    _, sr_batch = make_pipeline(net, params, 2, "acdc",
+                                volume=("4d", T))(jnp.asarray(hr))
+    stream = make_stream(net, params, factor=2)
+    seq = hr.reshape(D, T, H, W)
+    srs = [np.asarray(stream.push(seq[:, t])[1]) for t in range(T)]
+    got = np.stack(srs, axis=1).reshape(D * T, H, W)
+    np.testing.assert_array_equal(got, np.asarray(sr_batch))
+
+
+def test_volume_stream_rejects_windows(hr):
+    from vsr_tpu.models import Volume3DSRNet
+
+    net = Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=1,
+                        num_features=4, upscale_factor=2)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, D, H // 2, W // 2, 1)))
+    with pytest.raises(ValueError, match="volume per push"):
+        make_stream(net, params, factor=2, windows=5)

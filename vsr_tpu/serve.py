@@ -196,18 +196,19 @@ class StreamManager:
 
     def _build_template(self):
         if self._template is None:
-            from vsr_tpu.infer import build_serving_net
+            from vsr_tpu.infer import VOLUME_NETS, build_serving_net
             from vsr_tpu.stream import RECURRENT_STREAMS, make_stream
 
             s = self.spec
             # Conv nets' params are geometry-independent — init at a
             # placeholder LR size; each session compiles at its own pushed
             # geometry (jit caches per shape).
+            vmode = VOLUME_NETS.get(s["net"])
             net, params, train_flag = build_serving_net(
                 s["net"], s.get("net_kwargs", {}), s.get("checkpoint", ""),
                 lr_hw=(48, 48),
-                video=s["net"] in RECURRENT_STREAMS,
-                windows=s.get("windows", 0))
+                video=(not vmode) and s["net"] in RECURRENT_STREAMS,
+                windows=s.get("windows", 0), volume=vmode)
             self._template = make_stream(
                 net, params, factor=s.get("factor", 2),
                 dataset=s.get("dataset", "acdc"),
@@ -812,11 +813,10 @@ def main() -> None:
     if args.stream_net:
         from vsr_tpu.infer import VOLUME_NETS
 
-        if args.stream_net in VOLUME_NETS:
+        if args.stream_net in VOLUME_NETS and args.stream_windows:
             raise SystemExit(
-                "the volumetric nets do not stream (their unit is a whole "
-                "(D, h, w) volume, not a frame) — serve them via "
-                "--artifact / live --net volume mode instead")
+                "the volumetric nets stream one (D, H, W) volume per "
+                "push — --stream-windows does not apply")
         kw = (json.loads(args.stream_net_kwargs)
               if args.stream_net_kwargs else {})
         if args.stream_bf16:

@@ -24,6 +24,10 @@ Three stream families cover the whole zoo:
   wrap around the sequence are emitted by :meth:`WindowStream.flush` once
   the sequence ends (the head/tail context is retained, O(nf) memory).
 - **per-frame** (EDSR and the other SISR nets): stateless, zero latency.
+- **volumetric** (Volume3DSRNet: stateless per time-point volume;
+  Volume4DSRNet: the DRF recurrence over volumetric features — hidden
+  (D, lh, lw, F) carry in HBM, O(1) latency online 4D SR): one push = one
+  (D, H, W) volume of the scan's next time point.
 
 Usage::
 
@@ -267,8 +271,83 @@ def _frvsr_stream(net):
     return apply_step, init_state
 
 
+def _vol4d_stream(net):
+    """Volume4DSRNet: the DRF recurrence over volumetric features — carry =
+    hidden (D, lh, lw, F) volume features, frame 0's hidden is its own
+    input features (``models/vol4d.py:92-95``). One push = one (D, H, W)
+    time-point volume."""
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from vsr_tpu.models.common import Conv3D
+    from vsr_tpu.models.vol4d import _Vol4DStep
+
+    class _Step(nn.Module):
+        """Parameter-compatible with Volume4DSRNet by construction: the
+        same auto-named head ``Conv3D_0`` and the scan body under
+        ``step``."""
+
+        @nn.compact
+        def __call__(self, hidden, first, frame):
+            in_feat = Conv3D(net.num_features, (3, 3, 3), padding=(1, 1, 1),
+                             dtype=net.dtype)(frame)
+            hidden = jnp.where(first, in_feat, hidden.astype(in_feat.dtype))
+            h2, out = _Vol4DStep(
+                net.num_features, net.num_resblocks, net.out_channels,
+                net.upscale_factor, net.res_scale, dtype=net.dtype,
+                name="step",
+            )(hidden, in_feat)
+            return h2, out
+
+    mod = _Step()
+    dtype = net.dtype or jnp.float32
+
+    def apply_step(params, state, z):
+        hidden, first = state
+        # The push payload (D, h, w, 1) is ONE volume: batch dim 1.
+        hidden, sr = mod.apply(params, hidden, first, z[None])
+        return (hidden, jnp.zeros((), bool)), sr[0]
+
+    def init_state(n, h, w):
+        # n = D slices of the pushed time-point volume.
+        lh, lw = h // net.upscale_factor, w // net.upscale_factor
+        return (jnp.zeros((1, n, lh, lw, net.num_features), dtype),
+                jnp.ones((), bool))
+
+    return apply_step, init_state
+
+
 #: net class name -> recurrent stream adapter
-RECURRENT_STREAMS = {"DRFNet": _drf_stream, "FRVSRNet": _frvsr_stream}
+RECURRENT_STREAMS = {"DRFNet": _drf_stream, "FRVSRNet": _frvsr_stream,
+                     "Volume4DSRNet": _vol4d_stream}
+
+
+class Volume3DStream(_StreamBase):
+    """Stateless volumetric SR (Volume3DSRNet): each push is one (D, H, W)
+    time-point volume served as a single 3D sample — zero latency, same
+    math as the batch volume pipeline (one time point per batch row)."""
+
+    def __init__(self, net, params, factor: int, dataset: str):
+        super().__init__()
+        import jax
+
+        mean, std = DATASET_STATS[dataset]
+        prep = _make_frame_prep(factor, dataset)
+
+        def step(hr_frames):
+            lr, z = prep(hr_frames)          # (D, h, w, 1)
+            out = net.apply(params, z[None])[0]
+            return lr, _postprocess(out, mean, std)
+
+        self._step = jax.jit(step)
+
+    def reset(self):
+        self._shape = None
+
+    def push(self, hr_frames):
+        hr_frames = np.asarray(hr_frames, np.float32)
+        self._check_shape(hr_frames)
+        return self._step(hr_frames)
 
 
 class WindowStream(_StreamBase):
@@ -385,14 +464,20 @@ def make_stream(net, params, factor: int, dataset: str = "acdc",
     ``windows > 0`` forces a :class:`WindowStream` of that many frames
     (the MISR serving protocol); otherwise recurrent nets stream via their
     scan carry and everything else streams per-frame."""
-    from vsr_tpu.infer import TRAIN_FLAG_NETS
+    from vsr_tpu.infer import TRAIN_FLAG_NETS, VOLUME_NETS
 
     name = type(net).__name__
     if train_flag is None:
         train_flag = name in TRAIN_FLAG_NETS
+    if name in VOLUME_NETS and windows:
+        raise ValueError(
+            "the volumetric nets stream one (D, H, W) volume per push — "
+            "circular windows do not apply")
     if windows:
         return WindowStream(net, params, factor, dataset, windows,
                             order=order, train_flag=train_flag)
+    if name == "Volume3DSRNet":
+        return Volume3DStream(net, params, factor, dataset)
     if name in RECURRENT_STREAMS:
         return RecurrentStream(net, params, factor, dataset,
                                RECURRENT_STREAMS[name])
