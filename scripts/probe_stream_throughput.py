@@ -28,7 +28,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     from vsr_tpu.infer import make_pipeline
-    from vsr_tpu.models import DRFNet, FRVSRNet
+    from vsr_tpu.models import (DRFNet, FRVSRNet, Volume3DSRNet,
+                                Volume4DSRNet)
     from vsr_tpu.stream import make_stream
 
     jax.config.update("jax_compilation_cache_dir",
@@ -53,12 +54,28 @@ def main() -> None:
         ("FRVSRNet-10",
          FRVSRNet(in_channels=1, out_channels=1, upscale_factor=2,
                   num_resblocks=10, is_prediction=True, dtype=jnp.bfloat16)),
+        # Volumetric streams (round-3 s5): one (D, H, W) volume per push.
+        ("Volume3DSRNet 8RB/32",
+         Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=8,
+                       num_features=32, upscale_factor=2,
+                       dtype=jnp.bfloat16)),
+        ("Volume4DSRNet 4RB/32",
+         Volume4DSRNet(in_channels=1, out_channels=1, num_features=32,
+                       num_resblocks=4, upscale_factor=2,
+                       dtype=jnp.bfloat16)),
     ]:
-        params = jax.jit(lambda k: net.init(k, jnp.zeros(
-            (1, 2, H // 2, W // 2, 1))))(jax.random.PRNGKey(0))
+        vmode = {"Volume3DSRNet": "3d",
+                 "Volume4DSRNet": "4d"}.get(type(net).__name__)
+        ex = (jnp.zeros((1, 2, 2, H // 2, W // 2, 1)) if vmode == "4d"
+              else jnp.zeros((1, 2, H // 2, W // 2, 1)))
+        params = jax.jit(lambda k, ex=ex: net.init(k, ex))(
+            jax.random.PRNGKey(0))
 
         # Batch reference: whole-sequence pipeline, one volume per call.
-        pipe = jax.jit(make_pipeline(net, params, 2, "acdc", video_t=T))
+        pipe = jax.jit(make_pipeline(
+            net, params, 2, "acdc",
+            video_t=None if vmode else T,
+            volume=(vmode, T) if vmode else None))
         _lr, sr = pipe(vols[0])
         np.asarray(sr)  # compile + settle
         t0 = time.perf_counter()
