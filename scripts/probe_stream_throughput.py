@@ -64,8 +64,9 @@ def main() -> None:
                        num_resblocks=4, upscale_factor=2,
                        dtype=jnp.bfloat16)),
     ]:
-        vmode = {"Volume3DSRNet": "3d",
-                 "Volume4DSRNet": "4d"}.get(type(net).__name__)
+        from vsr_tpu.infer import VOLUME_NETS
+
+        vmode = VOLUME_NETS.get(type(net).__name__)
         ex = (jnp.zeros((1, 2, 2, H // 2, W // 2, 1)) if vmode == "4d"
               else jnp.zeros((1, 2, H // 2, W // 2, 1)))
         params = jax.jit(lambda k, ex=ex: net.init(k, ex))(

@@ -36,12 +36,23 @@ def test_tune_edsr_writes_preset_file(tmp_path):
     ok = [r for r in out["measured"] if "error" not in r]
     assert len(ok) == 4
     data = json.loads((tmp_path / "tuned.json").read_text())
-    assert "EDSRNet" in data["presets"]
-    # The file round-trips through the --preset-file loader and overrides
-    # the shipped entry.
+    entry = data["presets"]["EDSRNet"]
+    # EVERY swept knob is written explicitly (chunk 0 / fused_tail False
+    # included) so the per-net merge below can't resurrect shipped values
+    # the sweep measured against.
+    assert "chunk" in entry and "net_kwargs" in entry
+    assert "fused_tail" in entry["net_kwargs"]
+    # The file round-trips through the --preset-file loader; swept knobs
+    # take the measured values, unswept shipped knobs (volumes_per_call,
+    # fast-level w8a8) survive the merge.
     overrides = load_preset_file(str(tmp_path / "tuned.json"))
     cfg = serving_config("EDSRNet", "tuned", overrides=overrides)
-    assert cfg == {k: v for k, v in data["presets"]["EDSRNet"].items()}
+    if entry["chunk"]:
+        assert cfg["chunk"] == entry["chunk"]
+    assert cfg["net_kwargs"]["fused_tail"] == \
+        entry["net_kwargs"]["fused_tail"]
+    assert cfg["volumes_per_call"] == 4  # shipped knob survives
+    assert "w8a8" in serving_config("EDSRNet", "fast", overrides=overrides)
 
 
 def test_tune_volume_net(tmp_path):
@@ -79,3 +90,21 @@ def test_serving_config_override_unknown_net(tmp_path):
     overrides = {"MyCustomNet": {"chunk": 7}}
     cfg = serving_config("MyCustomNet", "tuned", overrides=overrides)
     assert cfg == {"chunk": 7}
+    # ... including through apply_preset_to_args at level 'fast' (this
+    # used to KeyError on the raw SERVING_PRESETS index).
+    from vsr_tpu.presets import apply_preset_to_args
+
+    ns = argparse.Namespace(net="MyCustomNet", net_kwargs="", chunk=0,
+                            mesh="", video=False, windows=0, seq_t=0,
+                            w8a8=False, w8a8_scales="", w8a8_kernels="")
+    apply_preset_to_args(ns, "fast", overrides=overrides)
+    assert ns.chunk == 7
+
+
+def test_tune_windows_divisibility_guard(tmp_path):
+    with pytest.raises(SystemExit, match="multiple of --seq-t"):
+        tune_run(_args(tmp_path, net="DUFNet", windows=5, seq_t=4,
+                       shape="7,24,24",
+                       net_kwargs='{"in_channels": 1, "out_channels": 1, '
+                                  '"num_frames": 5, "size_filter": 3, '
+                                  '"upscale_factor": 2}'))

@@ -396,8 +396,11 @@ def main() -> None:
     if args.preset and not args.run:
         from vsr_tpu.presets import apply_preset_to_args, load_preset_file
 
-        overrides = (load_preset_file(args.preset_file)
-                     if args.preset_file else None)
+        try:
+            overrides = (load_preset_file(args.preset_file)
+                         if args.preset_file else None)
+        except (OSError, ValueError) as exc:
+            raise SystemExit(f"--preset-file: {exc}") from None
         apply_preset_to_args(args, args.preset, overrides=overrides)
     if args.run:
         if not (args.input_dir and args.output_dir):

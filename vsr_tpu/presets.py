@@ -133,7 +133,19 @@ def serving_config(net_name: str, level: str = "tuned",
         raise ValueError(f"Unknown preset level {level!r}; one of {LEVELS}")
     table = dict(SERVING_PRESETS)
     if overrides:
-        table.update(overrides)
+        for name, entry in overrides.items():
+            # MERGE per net, override keys winning: a tune.py file carries
+            # only the exact knobs it swept; wholesale replacement would
+            # silently strip the shipped w8a8/volumes_per_call knobs.
+            # tune.py writes explicit values (chunk 0, fused_tail False)
+            # for everything it DID sweep, so its measurements still win.
+            merged = dict(table.get(name, {}))
+            nk = {**merged.get("net_kwargs", {}),
+                  **entry.get("net_kwargs", {})}
+            merged.update(entry)
+            if nk:
+                merged["net_kwargs"] = nk
+            table[name] = merged
     if net_name not in table:
         raise ValueError(
             f"No serving preset for net {net_name!r}; presets exist for: "
@@ -260,8 +272,11 @@ def apply_preset_to_args(args, level: str,
             applied.append("w8a8 skipped (this net's eligible convs live in "
                            "scan bodies; re-run with --calib-method "
                            "callback)")
+    merged_entry = dict(SERVING_PRESETS.get(args.net, {}))
+    if overrides and args.net in overrides:
+        merged_entry.update(overrides[args.net])
     if level == "fast" and "w8a8" not in cfg \
-            and SERVING_PRESETS[args.net].get("w8a8") == "scales":
+            and merged_entry.get("w8a8") == "scales":
         applied.append("w8a8 skipped (eligible convs live in scan bodies; "
                        "pass --w8a8-scales from scripts/calibrate_zoo_net.py "
                        "to quantize)")

@@ -795,11 +795,19 @@ def main() -> None:
     args = p.parse_args()
     if args.preset_file and not args.preset:
         args.preset = "tuned"
+    if args.preset_file and not args.net:
+        raise SystemExit(
+            "--preset-file applies to live --net serving; stream sessions "
+            "take their own --stream-* flags and artifacts bake their "
+            "knobs at export time")
     if args.preset and args.net:
         from vsr_tpu.presets import apply_preset_to_args, load_preset_file
 
-        overrides = (load_preset_file(args.preset_file)
-                     if args.preset_file else None)
+        try:
+            overrides = (load_preset_file(args.preset_file)
+                         if args.preset_file else None)
+        except (OSError, ValueError) as exc:
+            raise SystemExit(f"--preset-file: {exc}") from None
         apply_preset_to_args(args, args.preset, overrides=overrides)
 
     import jax

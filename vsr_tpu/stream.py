@@ -112,10 +112,13 @@ class _StreamBase:
 
 
 class FrameStream(_StreamBase):
-    """Stateless per-frame SR (SISR nets): push -> (lr, sr) immediately."""
+    """Stateless SR: push -> (lr, sr) immediately.
+
+    ``volume=False``: per-frame SISR nets. ``volume=True``: the push is
+    ONE (D, H, W) volume served as a single 3D sample (Volume3DSRNet)."""
 
     def __init__(self, net, params, factor: int, dataset: str,
-                 train_flag: bool = False):
+                 train_flag: bool = False, volume: bool = False):
         super().__init__()
         import jax
 
@@ -125,7 +128,9 @@ class FrameStream(_StreamBase):
 
         def step(hr_frames):
             lr, z = prep(hr_frames)
-            out = net.apply(params, z, **extra)
+            out = net.apply(params, z[None] if volume else z, **extra)
+            if volume:
+                out = out[0]  # de-batch the single (D, H, W, C) volume
             if isinstance(out, tuple):
                 out = out[0]
             if out.ndim == 5:
@@ -322,32 +327,13 @@ RECURRENT_STREAMS = {"DRFNet": _drf_stream, "FRVSRNet": _frvsr_stream,
                      "Volume4DSRNet": _vol4d_stream}
 
 
-class Volume3DStream(_StreamBase):
+class Volume3DStream(FrameStream):
     """Stateless volumetric SR (Volume3DSRNet): each push is one (D, H, W)
     time-point volume served as a single 3D sample — zero latency, same
     math as the batch volume pipeline (one time point per batch row)."""
 
     def __init__(self, net, params, factor: int, dataset: str):
-        super().__init__()
-        import jax
-
-        mean, std = DATASET_STATS[dataset]
-        prep = _make_frame_prep(factor, dataset)
-
-        def step(hr_frames):
-            lr, z = prep(hr_frames)          # (D, h, w, 1)
-            out = net.apply(params, z[None])[0]
-            return lr, _postprocess(out, mean, std)
-
-        self._step = jax.jit(step)
-
-    def reset(self):
-        self._shape = None
-
-    def push(self, hr_frames):
-        hr_frames = np.asarray(hr_frames, np.float32)
-        self._check_shape(hr_frames)
-        return self._step(hr_frames)
+        super().__init__(net, params, factor, dataset, volume=True)
 
 
 class WindowStream(_StreamBase):

@@ -39,16 +39,25 @@ def _parse_grid(spec: str) -> list[int]:
 
 
 def _time_pipeline(pipeline, bufs, repeats: int) -> float:
-    """Seconds per sweep over all buffers (min of ``repeats``), with one
-    warmup call (compile) and a single block per repeat."""
+    """Seconds per sweep over all buffers (min of ``repeats``).
+
+    CHAINED timing (CLAUDE.md relay audit): ``block_until_ready`` can be
+    a no-op through a remote device relay, so call ``i+1`` consumes a
+    zero-valued scalar derived from call ``i``'s output (a genuine data
+    dependency that changes no math) and ONE ``float()`` readback at the
+    end forces the whole chain."""
     import jax
+    import jax.numpy as jnp
 
     jax.block_until_ready(pipeline(bufs[0]))  # compile + warm
     best = float("inf")
     for _ in range(repeats):
+        carry = jnp.zeros((), bufs[0].dtype)
         t0 = time.perf_counter()
-        outs = [pipeline(b) for b in bufs]
-        jax.block_until_ready(outs)
+        for b in bufs:
+            _lr, sr = pipeline(b + carry)
+            carry = (sr.ravel()[0] * 0).astype(bufs[0].dtype)
+        float(carry)  # the single readback that drains the chain
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -82,6 +91,9 @@ def run(args) -> dict:
                             n_frames=n, exc=SystemExit)
     if args.video_t and n % args.video_t:
         raise SystemExit(f"frames dim {n} not a multiple of --video-t")
+    if args.windows and n % args.seq_t:
+        raise SystemExit(f"frames dim {n} is not a multiple of --seq-t "
+                         f"{args.seq_t} (windows regroup N = D*T)")
     window = ((args.windows, args.seq_t, args.window_order)
               if args.windows else None)
     video_t = args.video_t or None
@@ -141,11 +153,13 @@ def run(args) -> dict:
     if best is None:
         raise SystemExit("every knob combination failed — see the log")
     vps, knobs = best
-    entry: dict[str, Any] = {}
-    if knobs.get("chunk"):
-        entry["chunk"] = knobs["chunk"]
-    if knobs.get("fused_tail"):
-        entry["net_kwargs"] = {"fused_tail": True}
+    # EXPLICIT values for every swept knob (chunk 0 / fused_tail False
+    # included): the --preset-file loader merges the entry over the
+    # shipped one, so an omitted knob would silently resurrect the v5e
+    # value this sweep just measured against.
+    entry: dict[str, Any] = {"chunk": knobs["chunk"]}
+    if "fused_tail" in knobs:
+        entry["net_kwargs"] = {"fused_tail": knobs["fused_tail"]}
     if video_t:
         entry["video"] = True
     if args.windows:
