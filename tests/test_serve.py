@@ -469,3 +469,39 @@ def test_sr_volume_refuses_mismatched_dt_geometry():
     frames = np.zeros((12, 24, 24), np.float32)
     with pytest.raises(LookupError, match="T=4"):
         pool.sr_volume(frames, Metrics(), nii_geom=(24, 24, 4, 3))
+
+
+def test_volume_artifact_over_http(tmp_path):
+    """A volume-mode .vsrx serves over /v1/sr: exact-N npy requests work;
+    a mismatched frame count gets a clean 400 (no bridging through the
+    regrouping program)."""
+    from vsr_tpu.models import Volume3DSRNet
+
+    net = Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=1,
+                        num_features=4, upscale_factor=FACTOR)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 2, H // FACTOR, W // FACTOR, 1)))
+    blob, meta = export_serving(net, params, (N, H, W), FACTOR,
+                                volume=("3d", 3))
+    path = tmp_path / "vol.vsrx"
+    save_artifact(path, blob, meta)
+    srv = make_server([path], port=0, warmup=True)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        frames = np.round(
+            np.random.default_rng(0).random((N, H, W)) * 255
+        ).astype(np.float32)
+        status, body, ctype = _post_npy(srv, frames)
+        assert status == 200 and ctype == "application/x-npy"
+        sr = np.load(io.BytesIO(body))
+        assert sr.shape == (N, H, W)
+        ref = np.asarray(ExportedServing(path)(frames)[1], np.float32)
+        np.testing.assert_array_equal(sr, ref)
+        # Mismatched N: volume programs never bridge.
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_npy(srv, frames[:4])
+        assert e.value.code == 400
+        assert "exact" in json.loads(e.value.read())["error"]
+    finally:
+        srv.shutdown()
