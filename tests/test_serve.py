@@ -505,3 +505,22 @@ def test_volume_artifact_over_http(tmp_path):
         assert "exact" in json.loads(e.value.read())["error"]
     finally:
         srv.shutdown()
+
+
+def test_debug_profile_endpoint(server):
+    """POST /debug/profile captures a jax trace zip; bad/concurrent
+    requests get clean errors."""
+    req = urllib.request.Request(
+        _url(server, "/debug/profile?seconds=0.6"), data=b"")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+        assert resp.headers.get("Content-Type") == "application/zip"
+        body = resp.read()
+    import zipfile as _zf
+
+    with _zf.ZipFile(io.BytesIO(body)) as zf:
+        assert any(n.startswith("trace") for n in zf.namelist())
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(urllib.request.Request(
+            _url(server, "/debug/profile?seconds=999"), data=b""))
+    assert e.value.code == 400

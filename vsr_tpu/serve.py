@@ -453,6 +453,7 @@ def make_server(artifact_paths, host: str = "127.0.0.1", port: int = 0,
                         allow_empty=stream_spec is not None)
     streams = StreamManager(stream_spec)
     metrics = Metrics()
+    profile_lock = threading.Lock()  # one /debug/profile capture at a time
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through logging
@@ -608,10 +609,53 @@ def make_server(artifact_paths, host: str = "127.0.0.1", port: int = 0,
             self._send_json(404, {"error": f"unknown path {path}"})
             metrics.observe("<other>", 404, 0.0)
 
+        def _profile_request(self, query: str) -> None:
+            """POST /debug/profile?seconds=S — capture a jax.profiler
+            device trace WHILE live traffic runs (the lock is NOT held, so
+            concurrent /v1/sr requests are what gets traced) and return it
+            as a zip for TensorBoard/XProf. One capture at a time."""
+            import shutil
+
+            try:
+                seconds = float(parse_qs(query).get("seconds", ["3"])[0])
+            except ValueError:
+                self._send_json(400, {"error": "seconds must be a number"})
+                return
+            if not 0.5 <= seconds <= 60:
+                self._send_json(
+                    400, {"error": "seconds must be in [0.5, 60]"})
+                return
+            if not profile_lock.acquire(blocking=False):
+                self._send_json(
+                    409, {"error": "a profile capture is already running"})
+                return
+            try:
+                import jax
+
+                with tempfile.TemporaryDirectory() as td:
+                    trace_dir = Path(td) / "trace"
+                    jax.profiler.start_trace(str(trace_dir))
+                    time.sleep(seconds)
+                    jax.profiler.stop_trace()
+                    zip_base = Path(td) / "profile"
+                    shutil.make_archive(str(zip_base), "zip", td, "trace")
+                    payload = (zip_base.with_suffix(".zip")).read_bytes()
+                self._send(200, payload, "application/zip")
+                metrics.observe("/debug/profile", 200, seconds)
+            except Exception as exc:
+                logging.exception("profile capture failed")
+                self._send_json(500, {"error": str(exc)})
+                metrics.observe("/debug/profile", 500, 0.0)
+            finally:
+                profile_lock.release()
+
         def do_POST(self):
             parsed = urlparse(self.path)
             if parsed.path.startswith("/v1/stream/"):
                 self._stream_request(parsed.path)
+                return
+            if parsed.path == "/debug/profile":
+                self._profile_request(parsed.query)
                 return
             if parsed.path != "/v1/sr":
                 self._send_json(404, {"error": f"unknown path {parsed.path}"})
