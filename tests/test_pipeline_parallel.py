@@ -242,6 +242,16 @@ def test_trainer_pipe_guards():
     with pytest.raises(NotImplementedError, match="EDSR"):
         make(FRVSRNet(in_channels=1, out_channels=1, num_resblocks=2,
                       upscale_factor=2), {"pipe": 2})
+    # Training batches that cannot engage the pipeline fail LOUDLY (eval
+    # batches fall back to the sequential apply instead).
+    tr = make(_net(4), {"pipe": 4})
+    tr.params = tr.net.init(jax.random.PRNGKey(0),
+                            jnp.zeros((4, 8, 8, 1)))
+    bad_in = jnp.zeros((3, 8, 8, 1))
+    with pytest.raises(ValueError, match="cannot engage"):
+        tr._apply(tr.params, bad_in, training=True)
+    out, _ = tr._apply(tr.params, bad_in, training=False)  # eval: fine
+    assert out.shape == (3, 16, 16, 1)
 
 
 def test_validation_errors():

@@ -467,8 +467,18 @@ def test_sr_volume_refuses_mismatched_dt_geometry():
                  "net": "Volume3DSRNet"})
     pool = ArtifactPool([], warmup=False, live=[vol], allow_empty=False)
     frames = np.zeros((12, 24, 24), np.float32)
-    with pytest.raises(LookupError, match="T=4"):
+    # Only the wrong-T volume program exists: clean routing error.
+    with pytest.raises(LookupError, match="exact"):
         pool.sr_volume(frames, Metrics(), nii_geom=(24, 24, 4, 3))
+    # Same t: the exact volume program routes (geometry check passes).
+    assert pool.route((12, 24, 24), req_t=4) is vol
+    # With a bridgeable per-frame program alongside, the mismatched-T
+    # request routes THERE instead of 400ing on the volume program.
+    plain = _Fake({"frames_shape": [6, 24, 24], "volume": None,
+                   "net": "EDSRNet"})
+    pool2 = ArtifactPool([], warmup=False, live=[vol, plain],
+                         allow_empty=False)
+    assert pool2.route((12, 24, 24), req_t=3) is plain
 
 
 def test_volume_artifact_over_http(tmp_path):

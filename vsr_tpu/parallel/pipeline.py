@@ -17,10 +17,12 @@ sequential forward up to float reassociation — checkpoints interoperate
 unchanged (each net's ``split``/``merge`` are exact inverses).
 
 SPMD caveat (documented, inherent to the uniform-program formulation): the
-thin head/tail convs run masked on every stage each tick; the resblock
-chain — where the FLOPs live — is what actually partitions. Use ``'pipe'``
-when one chip cannot hold the model+activations of a very deep chain; for
-throughput on small nets prefer ``'data'``/``'spatial'``.
+thin head conv runs masked on every stage each tick, and the tail (applied
+ONCE, batched over the M valid microbatches after the tick loop) runs
+masked on every stage; the resblock chain — where the FLOPs live — is what
+actually partitions. Use ``'pipe'`` when one chip cannot hold the
+model+activations of a very deep chain; for throughput on small nets
+prefer ``'data'``/``'spatial'``.
 
 Composes with data parallelism: a ``{'data': d, 'pipe': p}`` mesh shards
 the batch over ``'data'`` outside the pipeline (each data row runs its own
@@ -270,32 +272,38 @@ def make_pipelined_apply(net: nn.Module, mesh: Mesh, num_microbatches: int,
             act, skip = carry
             # Stage-0 injection: the t-th microbatch through the head conv.
             # (Computed masked on every stage — SPMD uniform program; the
-            # resblock chain below is the partitioned compute.)
+            # head is genuinely thin. The TAIL is applied OUTSIDE this loop
+            # on the collected valid outputs only — per-tick tails would
+            # run the HR upsampling ladder M+P-1 times per device instead
+            # of once on the M valid microbatches.)
             inj = head_mod.apply(head_p, xs[jnp.minimum(t, M - 1)])
             is_first = (rank == 0)
             act_in = jnp.where(is_first, inj, act)
             skip_in = jnp.where(is_first, inj, skip)
             out = jax.lax.scan(run_blocks, act_in, my_blocks)[0]
-            y = tail_mod.apply(tail_p, out, skip_in)
-            y = jnp.where(rank == stages - 1, y, jnp.zeros_like(y))
             if stages > 1:
                 act_next = jax.lax.ppermute(out, axis, perm)
                 skip_next = jax.lax.ppermute(skip_in, axis, perm)
             else:
                 act_next, skip_next = out, skip_in
-            return (act_next, skip_next), y
+            return (act_next, skip_next), (out, skip_in)
 
         carry_sd = jax.eval_shape(
             head_mod.apply, head_p,
             jax.ShapeDtypeStruct(xs.shape[1:], x.dtype))
         zero = jnp.zeros(carry_sd.shape, carry_sd.dtype)
         init = (zero, zero)
-        _, ys = jax.lax.scan(tick, init, jnp.arange(M + stages - 1))
-        # Valid outputs leave the last stage at ticks P-1 .. P-2+M; every
-        # other (tick, stage) cell was zeroed, so the psum that replicates
-        # the result across the pipe axis adds exact zeros.
-        ys = ys[stages - 1:]
-        y = ys.reshape(M * mb, *ys.shape[2:])
+        _, (outs, skips) = jax.lax.scan(
+            tick, init, jnp.arange(M + stages - 1))
+        # Completed microbatches leave the LAST stage at ticks
+        # P-1 .. P-2+M (on earlier stages these slots hold intermediates —
+        # masked to zero below, so the psum that replicates the result
+        # across the pipe axis adds exact zeros). One batched tail apply
+        # over all M valid microbatches.
+        outs = outs[stages - 1:].reshape(M * mb, *outs.shape[2:])
+        skips = skips[stages - 1:].reshape(M * mb, *skips.shape[2:])
+        y = tail_mod.apply(tail_p, outs, skips)
+        y = jnp.where(rank == stages - 1, y, jnp.zeros_like(y))
         return jax.lax.psum(y, axis)
 
     x_spec = P("data") if data > 1 else P()

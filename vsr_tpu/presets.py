@@ -105,6 +105,10 @@ def load_preset_file(path: str) -> dict:
 
     with open(path) as f:
         data = json.load(f)
+    if not isinstance(data, dict):
+        raise ValueError(
+            f"{path}: expected a JSON object of {{net_name: preset_entry}}"
+            f", got {type(data).__name__}")
     entries = data.get("presets", data)  # tune.py wraps under "presets"
     if not isinstance(entries, dict) or not all(
             isinstance(v, dict) for v in entries.values()):
@@ -112,6 +116,27 @@ def load_preset_file(path: str) -> dict:
             f"{path}: expected {{net_name: preset_entry}} (optionally "
             "under a 'presets' key)")
     return entries
+
+
+def merged_preset_table(overrides: dict | None) -> dict:
+    """SERVING_PRESETS with ``overrides`` (a --preset-file) MERGED per net,
+    override keys winning: a tune.py file carries only the exact knobs it
+    swept; wholesale replacement would silently strip the shipped
+    w8a8/volumes_per_call knobs. tune.py writes explicit values (chunk 0,
+    fused_tail False) for everything it DID sweep, so its measurements
+    still win. The single merge authority — serving_config and
+    apply_preset_to_args both consult it."""
+    table = dict(SERVING_PRESETS)
+    if overrides:
+        for name, entry in overrides.items():
+            merged = dict(table.get(name, {}))
+            nk = {**merged.get("net_kwargs", {}),
+                  **entry.get("net_kwargs", {})}
+            merged.update(entry)
+            if nk:
+                merged["net_kwargs"] = nk
+            table[name] = merged
+    return table
 
 
 def serving_config(net_name: str, level: str = "tuned",
@@ -131,21 +156,7 @@ def serving_config(net_name: str, level: str = "tuned",
     """
     if level not in LEVELS:
         raise ValueError(f"Unknown preset level {level!r}; one of {LEVELS}")
-    table = dict(SERVING_PRESETS)
-    if overrides:
-        for name, entry in overrides.items():
-            # MERGE per net, override keys winning: a tune.py file carries
-            # only the exact knobs it swept; wholesale replacement would
-            # silently strip the shipped w8a8/volumes_per_call knobs.
-            # tune.py writes explicit values (chunk 0, fused_tail False)
-            # for everything it DID sweep, so its measurements still win.
-            merged = dict(table.get(name, {}))
-            nk = {**merged.get("net_kwargs", {}),
-                  **entry.get("net_kwargs", {})}
-            merged.update(entry)
-            if nk:
-                merged["net_kwargs"] = nk
-            table[name] = merged
+    table = merged_preset_table(overrides)
     if net_name not in table:
         raise ValueError(
             f"No serving preset for net {net_name!r}; presets exist for: "
@@ -272,9 +283,7 @@ def apply_preset_to_args(args, level: str,
             applied.append("w8a8 skipped (this net's eligible convs live in "
                            "scan bodies; re-run with --calib-method "
                            "callback)")
-    merged_entry = dict(SERVING_PRESETS.get(args.net, {}))
-    if overrides and args.net in overrides:
-        merged_entry.update(overrides[args.net])
+    merged_entry = merged_preset_table(overrides).get(args.net, {})
     if level == "fast" and "w8a8" not in cfg \
             and merged_entry.get("w8a8") == "scales":
         applied.append("w8a8 skipped (eligible convs live in scan bodies; "

@@ -271,17 +271,28 @@ class BaseTrainer:
         """Apply the net; returns (outputs, new_non-trainable-state)."""
         kwargs = {"train": training} if self._net_train_kwarg else {}
         state_keys = [k for k in variables if k != "params"]
-        if (self._pipe_apply is not None
-                and inputs.shape[0] % self._pipe_apply.batch_multiple == 0):
-            # Pipeline-parallel mesh: the GPipe shard_map apply (exact same
-            # params/math, stages over 'pipe'). The chain nets (EDSR/vol3d)
-            # carry no mutable collections or train kwarg, so the plain
-            # apply signature holds.
-            # Batches that don't divide data*microbatches (e.g. the
-            # reference-style valid_batch_size=1) take the sequential apply
-            # below — identical math, just unpipelined.
-            return self._pipe_apply(variables, inputs), {
-                k: variables[k] for k in state_keys}
+        if self._pipe_apply is not None:
+            if inputs.shape[0] % self._pipe_apply.batch_multiple == 0:
+                # Pipeline-parallel mesh: the GPipe shard_map apply (exact
+                # same params/math, stages over 'pipe'). The chain nets
+                # (EDSR/vol3d) carry no mutable collections or train
+                # kwarg, so the plain apply signature holds.
+                return self._pipe_apply(variables, inputs), {
+                    k: variables[k] for k in state_keys}
+            if training:
+                # Silently training un-pipelined would defeat the axis the
+                # config asked for (the whole point of 'pipe' is fitting
+                # model+activations) — fail loudly like the other mesh
+                # misconfigurations.
+                raise ValueError(
+                    f"training batch {inputs.shape[0]} does not divide "
+                    f"data_axis*pipe_microbatches = "
+                    f"{self._pipe_apply.batch_multiple} — the pipeline "
+                    "cannot engage; adjust train_batch_size or "
+                    "pipe_microbatches")
+            # Eval batches that don't divide (e.g. the reference-style
+            # valid_batch_size=1) take the sequential apply below —
+            # identical math, just unpipelined.
         if training and state_keys:
             outputs, new_vars = self.net.apply(
                 variables, inputs, mutable=state_keys, **kwargs

@@ -331,10 +331,17 @@ class ArtifactPool:
             self._warmed.add(id(serving))
             return np.asarray(sr, np.float32)
 
-    def route(self, frames_shape) -> "ExportedServing":
+    def route(self, frames_shape, req_t: int | None = None
+              ) -> "ExportedServing":
         """Pick the artifact for an (M, H, W) input: exact shape first, then
         same (H, W) with the largest frame dim <= M (fewest padded calls),
-        then the smallest frame dim (one padded call)."""
+        then the smallest frame dim (one padded call).
+
+        ``req_t``: the request's frames-per-slice (known for NIfTI
+        requests) — an exact-N sequence-regrouping program whose T differs
+        is NOT a match (it would scramble the (D, T) order), so routing
+        falls through to bridgeable per-frame programs instead of failing
+        later."""
         n, h, w = frames_shape
         same_hw = [s for s in self.servings
                    if tuple(s.meta["frames_shape"][1:]) == (h, w)]
@@ -343,7 +350,9 @@ class ArtifactPool:
                            for s in self.servings})
             raise LookupError(
                 f"no artifact for HR geometry {h}x{w}; loaded: {have}")
-        exact = [s for s in same_hw if s.meta["frames_shape"][0] == n]
+        exact = [s for s in same_hw if s.meta["frames_shape"][0] == n
+                 and (req_t is None
+                      or _regroup_t(s.meta) in (None, req_t))]
         if exact:
             return exact[0]
         # Regrouping programs (volume / whole-sequence video_t / MISR
@@ -372,7 +381,9 @@ class ArtifactPool:
         validated against sequence-regrouping programs so an exact-N match
         with a DIFFERENT (d, t) factorization is refused instead of
         silently scrambling slices/time."""
-        serving = self.route(frames.shape)
+        serving = self.route(
+            frames.shape,
+            req_t=nii_geom[3] if nii_geom is not None else None)
         want_t = _regroup_t(serving.meta)
         if want_t and nii_geom is not None and nii_geom[3] != want_t:
             raise LookupError(
