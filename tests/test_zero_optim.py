@@ -121,3 +121,17 @@ def test_device_trainer_rejects_zero_and_pipe():
         make_dev(mesh_axes={"data": 2, "pipe": 2}, pipe_microbatches=2)
     with pytest.raises(NotImplementedError, match="model"):
         make_dev(mesh_axes={"data": 4, "model": 2})
+
+
+def test_device_trainer_rejects_multihost(monkeypatch):
+    import vsr_tpu.parallel.distributed as dist
+    from vsr_tpu.runner.device_trainer import AcdcSISRDeviceTrainer
+
+    monkeypatch.setattr(dist, "is_multiprocess", lambda: True)
+    with pytest.raises(NotImplementedError, match="single-host"):
+        AcdcSISRDeviceTrainer(
+            train_dataloader=None, valid_dataloader=None, net=_net(),
+            loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[PSNR()],
+            optimizer=Adam(lr=1e-3), lr_scheduler=None, logger=None,
+            monitor=None, num_epochs=1, patch=8, ratio=2,
+            mesh_axes={"data": 8})

@@ -339,6 +339,12 @@ class DeviceTrainerMixin:
                 "zero_optim is not wired into the device-epoch shard_map "
                 "(its opt_state in_specs are replicated) — use the "
                 "host-loop trainer for ZeRO-1")
+        if self._multiprocess:
+            raise NotImplementedError(
+                "device-epoch trainers are single-host (their HBM sample "
+                "buffers shard over the LOCAL mesh; a process-spanning "
+                "mesh would need global-array buffer assembly) — use the "
+                "host-loop trainer names for multi-host training")
         self.patch = int(patch)
         self.ratio = int(ratio)
         self._steps_cfg = steps_per_epoch
