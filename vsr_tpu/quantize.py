@@ -238,6 +238,37 @@ def _conv_eligible(mod, method_name: str, args, min_channels: int,
     return True
 
 
+def _dispatch_conv(mod, x, kernel, rank, kernel_shape, *,
+                   preferred_element_type):
+    """The lax convolution an eligible flax Conv/ConvTranspose lowers to,
+    shared by the integer (:func:`_w8a8_conv`) and fake-quant
+    (:func:`_fake_quant_conv`) paths so both run the identical geometry."""
+    import flax.linen as nn
+
+    if type(mod) is nn.ConvTranspose:
+        return jax.lax.conv_transpose(
+            x, kernel,
+            strides=_tuple_of(mod.strides, rank),
+            padding=_canonical_padding(mod.padding, rank),
+            rhs_dilation=_tuple_of(mod.kernel_dilation, rank),
+            dimension_numbers=_CONV_DIM_NUMBERS[rank],
+            transpose_kernel=False,
+            preferred_element_type=preferred_element_type,
+        )
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel_shape, _CONV_DIM_NUMBERS[rank])
+    return jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=_tuple_of(mod.strides, rank),
+        padding=_canonical_padding(mod.padding, rank),
+        lhs_dilation=_tuple_of(mod.input_dilation, rank),
+        rhs_dilation=_tuple_of(mod.kernel_dilation, rank),
+        dimension_numbers=dn,
+        feature_group_count=mod.feature_group_count,
+        preferred_element_type=preferred_element_type,
+    )
+
+
 def _w8a8_conv(mod, x, act_scale):
     """The intercepted body: s8 x s8 -> s32 (de)conv + f32 dequant/bias.
 
@@ -278,29 +309,8 @@ def _w8a8_conv(mod, x, act_scale):
     ws = jnp.where(amax_w > 0, amax_w / 127.0, 1.0)
     wq = jnp.clip(jnp.round(kf / ws), -127, 127).astype(jnp.int8)
 
-    if type(mod) is nn.ConvTranspose:
-        out = jax.lax.conv_transpose(
-            xq, wq,
-            strides=_tuple_of(mod.strides, rank),
-            padding=_canonical_padding(mod.padding, rank),
-            rhs_dilation=_tuple_of(mod.kernel_dilation, rank),
-            dimension_numbers=_CONV_DIM_NUMBERS[rank],
-            transpose_kernel=False,
-            preferred_element_type=jnp.int32,
-        )
-    else:
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, kernel.shape, _CONV_DIM_NUMBERS[rank])
-        out = jax.lax.conv_general_dilated(
-            xq, wq,
-            window_strides=_tuple_of(mod.strides, rank),
-            padding=_canonical_padding(mod.padding, rank),
-            lhs_dilation=_tuple_of(mod.input_dilation, rank),
-            rhs_dilation=_tuple_of(mod.kernel_dilation, rank),
-            dimension_numbers=dn,
-            feature_group_count=mod.feature_group_count,
-            preferred_element_type=jnp.int32,
-        )
+    out = _dispatch_conv(mod, xq, wq, rank, kernel.shape,
+                         preferred_element_type=jnp.int32)
     out = out.astype(jnp.float32) * (ws.reshape((1,) * (rank + 1) + (-1,)) * xs)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
@@ -442,3 +452,168 @@ def calibrate_w8a8(net, params, sample_inputs, min_channels=16,
         for k, v in stats.items():
             merged[k] = max(merged.get(k, 0.0), float(v))
     return {k: max(v, 1e-8) / 127.0 for k, v in merged.items()}
+
+
+# ---------------------------------------------------------------------------
+# Quantization-aware training (QAT): the differentiable twin of the W8A8
+# serving path. Fine-tuning through the fake-quantized forward lets the
+# weights absorb the quantization error the post-training calibration leaves
+# behind, closing the W8A8 PSNR gap before export. No reference counterpart
+# (the reference trains/serves fp32 torch); this backs the int8 serving
+# configuration that is this framework's throughput headline.
+#
+# Design: the SAME eligibility predicate, the SAME scale math (per-tensor
+# static/dynamic activation scales, per-output-channel symmetric weight
+# scales computed inline from the live params) and the SAME conv geometry
+# (_dispatch_conv) as _w8a8_conv — but computed in f32 on fake-quantized
+# operands, with straight-through-estimator gradients (round passes gradient
+# 1, clip masks it). The forward therefore matches the deployed s8xs8->s32
+# integer path to f32 rounding, and what the optimizer sees during QAT is
+# what serving runs. Scales themselves take no gradient (min-max QAT).
+# ---------------------------------------------------------------------------
+
+
+def fake_quant(x, scale, qmax: float = 127.0):
+    """``round(clip(x/s, ±qmax)) * s`` with straight-through gradients:
+    d/dx = 1 where ``|x/s| <= qmax`` and 0 where clipped (jnp.clip's own
+    subgradient supplies the mask; stop_gradient erases round's)."""
+    xs = x / scale
+    clipped = jnp.clip(xs, -qmax, qmax)
+    rounded = jnp.round(clipped)
+    return scale * (clipped + jax.lax.stop_gradient(rounded - clipped))
+
+
+def _fake_quant_conv(mod, x, act_scale):
+    """Differentiable twin of :func:`_w8a8_conv`: identical scale math and
+    conv geometry, f32 compute over fake-quantized operands, STE grads."""
+    from flax.linen import dtypes as _dtypes
+
+    rank = len(mod.kernel_size)
+    variables = mod.variables["params"]
+    kernel = variables["kernel"]
+    bias = variables.get("bias") if mod.use_bias else None
+    out_dtype = _dtypes.canonicalize_dtype(x, kernel, bias, dtype=mod.dtype)
+
+    orig_shape = x.shape
+    if x.ndim == rank + 1:
+        x = x[None]
+    elif x.ndim > rank + 2:
+        x = x.reshape((-1,) + x.shape[-(rank + 1):])
+
+    x = x.astype(jnp.float32)
+    if act_scale is None:
+        amax = jax.lax.stop_gradient(jnp.max(jnp.abs(x)))
+        xs = jnp.maximum(amax, 1e-8) / 127.0
+    else:
+        xs = jnp.float32(act_scale)
+    xfq = fake_quant(x, xs)
+
+    kf = kernel.astype(jnp.float32)
+    amax_w = jax.lax.stop_gradient(
+        jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1)), keepdims=True))
+    ws = jnp.where(amax_w > 0, amax_w / 127.0, 1.0)
+    wfq = fake_quant(kf, ws)
+
+    out = _dispatch_conv(mod, xfq, wfq, rank, kernel.shape,
+                         preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    out = out.astype(out_dtype)
+    if len(orig_shape) == rank + 1:
+        out = out[0]
+    elif len(orig_shape) > rank + 2:
+        out = out.reshape(orig_shape[:-(rank + 1)] + out.shape[-(rank + 1):])
+    return out
+
+
+def kernel_size_filter(sizes):
+    """``conv_filter`` keeping only convs whose spatial kernel size is in
+    ``sizes`` — the interceptor-side twin of :func:`filter_scales_by_kernel`
+    (which needs a calibration dict; this one also covers dynamic scales),
+    so ``qat.kernels`` and ``--w8a8-kernels`` select the same conv set."""
+    sizes = set(int(s) for s in sizes)
+
+    def conv_filter(mod):
+        return int(mod.kernel_size[0]) in sizes
+
+    return conv_filter
+
+
+def make_qat_interceptor(act_scales="dynamic", min_channels=16,
+                         conv_filter=None, quantize_deconvs=False):
+    """flax method interceptor swapping eligible convs for the fake-quant
+    computation. Wrap any ``net.apply`` (trainer steps included — it is a
+    trace-time mechanism, so it composes with jit/grad/scan):
+
+        with nn.intercept_methods(make_qat_interceptor(scales)):
+            out = net.apply(params, x)
+
+    ``act_scales``/eligibility knobs exactly as :func:`make_w8a8_apply`;
+    uncalibrated convs under static scales run full precision, matching the
+    serving fallback.
+    """
+    static = None if act_scales == "dynamic" else dict(act_scales)
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if not _conv_eligible(mod, context.method_name, args, min_channels,
+                              conv_filter, quantize_deconvs):
+            return next_fun(*args, **kwargs)
+        if static is None:
+            scale = None
+        else:
+            scale = static.get("/".join(mod.path))
+            if scale is None:
+                return next_fun(*args, **kwargs)
+        return _fake_quant_conv(mod, args[0], scale)
+
+    return interceptor
+
+
+def make_fake_quant_apply(net, params, act_scales="dynamic", min_channels=16,
+                          conv_filter=None, quantize_deconvs=False,
+                          **apply_kwargs):
+    """``apply(x)`` running the fake-quant forward — the differentiable
+    stand-in for :func:`make_w8a8_apply` (standalone QAT loops and the
+    forward-agreement tests use it; trainers use the interceptor)."""
+    import flax.linen as nn
+
+    interceptor = make_qat_interceptor(act_scales, min_channels, conv_filter,
+                                       quantize_deconvs)
+
+    def apply(x, **kw):
+        with nn.intercept_methods(interceptor):
+            return net.apply(params, x, **apply_kwargs, **kw)
+
+    return apply
+
+
+def resolve_qat(qat):
+    """Normalize a trainer/CLI ``qat`` option into an interceptor.
+
+    ``qat`` may be ``True`` (dynamic scales, defaults) or a dict with keys
+    ``act_scales`` (``"dynamic"`` | ``{path: scale}`` | path to a JSON file
+    from ``scripts``' calibration dumps), ``min_channels``, ``kernels``
+    (spatial sizes, as ``--w8a8-kernels``) and ``quantize_deconvs``.
+    Unknown keys raise — a typo must not silently train un-quantized.
+    """
+    qat = {} if qat is True else dict(qat)
+    scales = qat.pop("act_scales", "dynamic")
+    if isinstance(scales, str) and scales != "dynamic":
+        import json
+        from pathlib import Path
+
+        scales = {k: float(v)
+                  for k, v in json.loads(Path(scales).read_text()).items()}
+    kernels = qat.pop("kernels", None)
+    interceptor = make_qat_interceptor(
+        act_scales=scales,
+        min_channels=int(qat.pop("min_channels", 16)),
+        conv_filter=kernel_size_filter(kernels) if kernels else None,
+        quantize_deconvs=bool(qat.pop("quantize_deconvs", False)),
+    )
+    if qat:
+        raise ValueError(f"unknown qat option(s): {sorted(qat)} — valid "
+                         "keys: act_scales, min_channels, kernels, "
+                         "quantize_deconvs")
+    return interceptor

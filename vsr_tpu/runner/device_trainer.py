@@ -167,6 +167,7 @@ class DeviceEpochTrainer:
         random_seed: int | str = "vsr",
         window: int | None = None,
         scan_unroll: int | str = "auto",
+        qat: dict | bool | None = None,
     ):
         # ``window``: when set and the buffers are whole sequences
         # (M, T_full, h, w, C), each sample is a ``window``-frame temporal
@@ -188,6 +189,13 @@ class DeviceEpochTrainer:
         self.steps_per_epoch = steps_per_epoch or max(1, self.m // batch_size)
         self.stats = DATASET_STATS[dataset_stats]
         self.rng_tree = RngTree(random_seed)
+        # QAT: the in-scan train step's forward runs under the fake-quant
+        # interceptor (same option schema as BaseTrainer.qat).
+        self._qat_interceptor = None
+        if qat:
+            from vsr_tpu.quantize import resolve_qat
+
+            self._qat_interceptor = resolve_qat(qat)
 
         self.lr_buf = jax.device_put(jnp.asarray(lr_data, jnp.float32))
         self.hr_buf = jax.device_put(jnp.asarray(hr_data, jnp.float32))
@@ -225,9 +233,17 @@ class DeviceEpochTrainer:
             hr = jnp.take_along_axis(hr, tidx[:, :, None, None, None], axis=1)
         return sample_crop_flip(k_aug, lr, hr, self.patch, self.ratio, self.stats)
 
+    def _apply_net(self, p, inputs):
+        if self._qat_interceptor is None:
+            return self.net.apply({"params": p}, inputs)
+        import flax.linen as nn
+
+        with nn.intercept_methods(self._qat_interceptor):
+            return self.net.apply({"params": p}, inputs)
+
     def _train_step(self, params, opt_state, inputs, targets):
         def loss_fn(p):
-            outputs = self.net.apply({"params": p}, inputs)
+            outputs = self._apply_net(p, inputs)
             if isinstance(outputs, tuple):
                 outputs = outputs[0]
             losses = [fn(outputs, targets) for fn in self.loss_fns]

@@ -74,6 +74,7 @@ class BaseTrainer:
         mesh_axes: dict | None = None,
         pipe_microbatches: int | None = None,
         zero_optim: bool = False,
+        qat: dict | bool | None = None,
         profile_dir: str | None = None,
         prefetch_to_device: bool = True,
         grad_accumulation: int = 1,
@@ -84,6 +85,16 @@ class BaseTrainer:
         # ``t_bucket`` frames with masked losses/metrics (causal sequence
         # trainers only; see vsr_tpu/utils/bucketing.py). <=1 disables.
         self.t_bucket = int(t_bucket)
+        # Quantization-aware training: every forward in the train/eval step
+        # runs under the fake-quant interceptor (vsr_tpu/quantize.py), so
+        # the optimizer sees the SAME quantized conv outputs W8A8 serving
+        # runs (STE gradients). Config: trainer.kwargs.qat (True or
+        # {act_scales, min_channels, kernels, quantize_deconvs}).
+        self._qat_interceptor = None
+        if qat:
+            from vsr_tpu.quantize import resolve_qat
+
+            self._qat_interceptor = resolve_qat(qat)
         self._epoch_training = True
         self._preempted = False
         self.profile_dir = profile_dir
@@ -185,6 +196,12 @@ class BaseTrainer:
                         "axes cannot join a pipelined mesh")
                 from vsr_tpu.parallel.pipeline import make_pipelined_apply
 
+                if self._qat_interceptor is not None:
+                    # The pipelined apply runs stage params through its own
+                    # shard_map body, not net.apply — the interceptor would
+                    # silently not fire there.
+                    raise NotImplementedError(
+                        "qat does not compose with a 'pipe' mesh axis")
                 # Raises NotImplementedError (via chain_spec) for nets
                 # without a head -> identical-blocks -> tail chain.
                 self._pipe_apply = make_pipelined_apply(
@@ -293,14 +310,23 @@ class BaseTrainer:
             # Eval batches that don't divide (e.g. the reference-style
             # valid_batch_size=1) take the sequential apply below —
             # identical math, just unpipelined.
-        if training and state_keys:
-            outputs, new_vars = self.net.apply(
-                variables, inputs, mutable=state_keys, **kwargs
-            )
-            return outputs, dict(new_vars)
-        return self.net.apply(variables, inputs, **kwargs), {
-            k: variables[k] for k in state_keys
-        }
+        import contextlib
+
+        if self._qat_interceptor is not None:
+            import flax.linen as nn
+
+            ctx = nn.intercept_methods(self._qat_interceptor)
+        else:
+            ctx = contextlib.nullcontext()
+        with ctx:
+            if training and state_keys:
+                outputs, new_vars = self.net.apply(
+                    variables, inputs, mutable=state_keys, **kwargs
+                )
+                return outputs, dict(new_vars)
+            return self.net.apply(variables, inputs, **kwargs), {
+                k: variables[k] for k in state_keys
+            }
 
     def _compute_losses(self, outputs, targets) -> list:
         raise NotImplementedError
