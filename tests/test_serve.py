@@ -443,13 +443,18 @@ def test_route_volume_programs_exact_only():
                                  allow_empty=False)
     with pytest.raises(LookupError, match="exact"):
         pool_vol_only.route((9, 24, 24))
-    # video/window programs regroup N = D*T too: same exact-only rule.
+    # video/window programs regroup N = D*T into INDEPENDENT per-slice
+    # sequences: any whole number of matching-T sequences bridges (batched
+    # granule-aligned calls); partial or mismatched-T sequences do not.
     vid = _Fake({"frames_shape": [6, 24, 24], "video_t": 3, "volume": None,
                  "net": "DRFNet"})
     pool_vid = ArtifactPool([], warmup=False, live=[vid], allow_empty=False)
     assert pool_vid.route((6, 24, 24)) is vid
-    with pytest.raises(LookupError, match="exact"):
-        pool_vid.route((9, 24, 24))
+    assert pool_vid.route((9, 24, 24)) is vid       # 3 sequences of T=3
+    with pytest.raises(LookupError, match="sequences"):
+        pool_vid.route((8, 24, 24))                 # partial sequence
+    with pytest.raises(LookupError, match="sequences"):
+        pool_vid.route((9, 24, 24), req_t=4)        # mismatched T
 
 
 def test_sr_volume_refuses_mismatched_dt_geometry():
@@ -534,3 +539,161 @@ def test_debug_profile_endpoint(server):
         urllib.request.urlopen(urllib.request.Request(
             _url(server, "/debug/profile?seconds=999"), data=b""))
     assert e.value.code == 400
+
+
+# ---------------------------------------------------------------------------
+# Dynamic cross-request batching (_Batcher / ArtifactPool coalescing)
+# ---------------------------------------------------------------------------
+
+def _run_threads(fns):
+    results = [None] * len(fns)
+    errs = []
+
+    def wrap(i, fn):
+        try:
+            results[i] = fn()
+        except Exception as exc:  # pragma: no cover - surfaced by assert
+            errs.append(exc)
+
+    ts = [threading.Thread(target=wrap, args=(i, fn))
+          for i, fn in enumerate(fns)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(30)
+    assert not errs, errs
+    return results
+
+
+def test_batcher_coalesces_and_is_exact():
+    """Concurrent sub-capacity segments share one call; each gets exactly
+    its own rows; padding repeats the final granule and is dropped."""
+    from vsr_tpu.serve import _Batcher
+
+    calls = []
+
+    def call_fn(x):
+        calls.append(np.array(x))
+        return x * 2.0  # any deterministic per-frame map
+
+    b = _Batcher(call_fn, cap=6, unit=1, wait_s=5.0, metrics_ref=lambda: None)
+    a = np.full((2, 4, 4), 1.0, np.float32)
+    c = np.full((4, 4, 4), 3.0, np.float32)
+    out_a, out_c = _run_threads([lambda: b.submit(a), lambda: b.submit(c)])
+    assert len(calls) == 1 and calls[0].shape == (6, 4, 4)
+    np.testing.assert_array_equal(out_a, a * 2)
+    np.testing.assert_array_equal(out_c, c * 2)
+
+    # partial batch alone: padded by repeating the last granule, sliced back
+    calls.clear()
+    b0 = _Batcher(call_fn, cap=6, unit=3, wait_s=0.0,
+                  metrics_ref=lambda: None)
+    seq = np.arange(3 * 16, dtype=np.float32).reshape(3, 4, 4)
+    out = b0.submit(seq)
+    assert calls[0].shape == (6, 4, 4)
+    np.testing.assert_array_equal(calls[0][3:], seq)  # tiled last unit
+    np.testing.assert_array_equal(out, seq * 2)
+
+
+def test_batcher_error_propagates_and_recovers():
+    from vsr_tpu.serve import _Batcher
+
+    state = {"fail": True}
+
+    def call_fn(x):
+        if state["fail"]:
+            raise RuntimeError("chip fell over")
+        return x + 1.0
+
+    b = _Batcher(call_fn, cap=4, unit=1, wait_s=2.0, metrics_ref=lambda: None)
+    x = np.zeros((2, 4, 4), np.float32)
+
+    def one():
+        return b.submit(x)
+
+    errs = []
+
+    def wrap():
+        try:
+            one()
+        except RuntimeError as exc:
+            errs.append(exc)
+
+    ts = [threading.Thread(target=wrap) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(30)
+    assert len(errs) == 2  # both coalesced requesters see the failure
+    state["fail"] = False
+    np.testing.assert_array_equal(one(), x + 1.0)  # batcher not poisoned
+
+
+def test_pool_coalesces_concurrent_http_requests(tmp_path):
+    """Two concurrent 3-frame requests to a 6-frame artifact share one
+    device call (with --batch-wait) and each result equals the request
+    served alone."""
+    paths = [_make_artifact(tmp_path, frames=6, name="c6.vsrx")]
+    srv = make_server(paths, port=0, warmup=True, batch_wait_ms=2000)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        rng = np.random.default_rng(7)
+        f1 = np.round(rng.random((3, H, W)) * 255).astype(np.float32)
+        f2 = np.round(rng.random((3, H, W)) * 255).astype(np.float32)
+        before_calls = srv.metrics.batch_calls
+
+        r1, r2 = _run_threads([lambda: _post_npy(srv, f1),
+                               lambda: _post_npy(srv, f2)])
+        assert r1[0] == 200 and r2[0] == 200
+        sr1 = np.load(io.BytesIO(r1[1]))
+        sr2 = np.load(io.BytesIO(r2[1]))
+        assert srv.metrics.batch_calls == before_calls + 1
+        assert srv.metrics.coalesced_requests >= 2
+
+        direct = ExportedServing(paths[0])
+        _, w1 = direct(np.pad(f1, ((0, 3), (0, 0), (0, 0)), mode="edge"))
+        _, w2 = direct(np.pad(f2, ((0, 3), (0, 0), (0, 0)), mode="edge"))
+        # each request's rows are bitwise those of ANY batch containing
+        # them at the same offsets; compare against the solo-call rows
+        joint = np.concatenate([f1, f2], axis=0)
+        _, wj = direct(joint)
+        np.testing.assert_allclose(sr1, np.asarray(wj)[:3], rtol=0,
+                                   atol=1e-5)
+        np.testing.assert_allclose(sr2, np.asarray(wj)[3:], rtol=0,
+                                   atol=1e-5)
+        # and equals the padded solo call on the same rows (per-frame
+        # program: batch composition cannot change a frame's result)
+        np.testing.assert_allclose(sr1, np.asarray(w1)[:3], rtol=0,
+                                   atol=1e-5)
+        np.testing.assert_allclose(sr2, np.asarray(w2)[:3], rtol=0,
+                                   atol=1e-5)
+    finally:
+        srv.shutdown()
+
+
+def test_pool_batching_single_request_unchanged(tmp_path):
+    """batch_wait_ms=0: a lone request flows straight through (no stall),
+    bit-identical to the direct padded call, with padding counted."""
+    paths = [_make_artifact(tmp_path, frames=4, name="c4.vsrx")]
+    srv = make_server(paths, port=0, warmup=True, batch_wait_ms=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        rng = np.random.default_rng(8)
+        frames = np.round(rng.random((6, H, W)) * 255).astype(np.float32)
+        before = srv.metrics.padded_frames
+        status, body, _ = _post_npy(srv, frames)
+        assert status == 200
+        sr = np.load(io.BytesIO(body))
+        assert sr.shape == (6, H, W)
+        assert srv.metrics.padded_frames == before + 2
+        direct = ExportedServing(paths[0])
+        _, a = direct(frames[:4])
+        _, b = direct(np.pad(frames[4:], ((0, 2), (0, 0), (0, 0)),
+                             mode="edge"))
+        want = np.concatenate([np.asarray(a), np.asarray(b)[:2]], axis=0)
+        np.testing.assert_allclose(sr, want.astype(np.float32), rtol=0,
+                                   atol=1e-5)
+    finally:
+        srv.shutdown()

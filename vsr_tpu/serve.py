@@ -28,6 +28,14 @@ Serving semantics, TPU-first:
 - One device executor: HTTP IO is threaded, device calls are serialized
   under a lock (a single chip runs one program at a time anyway; queueing
   in-process keeps tail latency visible in /metrics instead of in XLA).
+- DYNAMIC BATCHING: concurrent requests coalesce into shared program
+  calls at each program's sound granule (frames for per-frame programs,
+  whole T-frame sequences for video/window programs; volume programs are
+  exact-size only) — so a deployed multi-volume-per-call program (the
+  measured vpc-4/8 throughput optima) reaches its batch efficiency on
+  independent single-volume requests instead of padding most of every
+  call. Zero added latency by default (requests queued while the chip is
+  busy go out together); ``--batch-wait-ms`` optionally waits to fill.
 - Programs are warmed (compiled) at startup so the first request doesn't
   pay the compile.
 
@@ -78,6 +86,8 @@ class Metrics:
         self.volumes = 0
         self.padded_frames = 0
         self.inflight = 0
+        self.batch_calls = 0          # device dispatches through batchers
+        self.coalesced_requests = 0   # segments that shared a dispatch
 
     def observe(self, endpoint: str, status: int, seconds: float) -> None:
         with self._lock:
@@ -116,6 +126,11 @@ class Metrics:
             lines.append(f"vsr_volumes_served_total {self.volumes}")
             lines.append("# TYPE vsr_padded_frames_total counter")
             lines.append(f"vsr_padded_frames_total {self.padded_frames}")
+            lines.append("# TYPE vsr_batched_calls_total counter")
+            lines.append(f"vsr_batched_calls_total {self.batch_calls}")
+            lines.append("# TYPE vsr_coalesced_requests_total counter")
+            lines.append(
+                f"vsr_coalesced_requests_total {self.coalesced_requests}")
             lines.append("# TYPE vsr_inflight_requests gauge")
             lines.append(f"vsr_inflight_requests {self.inflight}")
             return "\n".join(lines) + "\n"
@@ -293,11 +308,147 @@ def _regroup_t(meta: dict) -> int | None:
     return None
 
 
+def _coalesce_unit(meta: dict) -> int | None:
+    """The frame granule at which independent requests can share one program
+    call, or None when cross-request coalescing is unsound.
+
+    - per-frame programs: every frame is an independent batch sample -> 1;
+    - whole-sequence video / MISR window programs: the program regroups
+      N = D*T frames into D INDEPENDENT per-slice sequences (infer.py
+      make_prep), so whole T-frame sequences from different requests
+      compose exactly -> T;
+    - volume programs: D is the net's depth axis — concatenating frames
+      from two patients would splice them into ONE volume and the 3D conv
+      halos would bleed across the boundary -> None (exact-size only).
+    """
+    if meta.get("volume"):
+        return None
+    t = _regroup_t(meta)
+    return int(t) if t else 1
+
+
+class _Item:
+    __slots__ = ("frames", "out", "err", "done")
+
+    def __init__(self, frames):
+        self.frames = frames
+        self.out = None
+        self.err = None
+        self.done = threading.Event()
+
+
+class _Batcher:
+    """Dynamic cross-request batching for ONE serving program.
+
+    Concurrent requests' frame segments coalesce into a single device call
+    (leader-follower: the thread whose segment completes the fill — or the
+    first whose fill-wait expires — dispatches everything pending). With
+    ``wait_s == 0`` batching is still opportunistic and latency-free:
+    segments that queue up while the chip is busy with the previous call go
+    out together in the next one. The deployed multi-volume-per-call
+    programs (the measured vpc-4/8 throughput optima, BENCH.md) thus reach
+    their batch efficiency on independent single-volume requests instead of
+    padding 3/4 of every call.
+
+    Exactness: segments are whole coalescing granules (frames for per-frame
+    programs, T-frame sequences for video/window programs — every granule
+    is an independent batch sample of the program), the remainder is padded
+    by repeating the final granule, and each requester gets back exactly
+    its own output rows. Per-request results are bitwise identical to a
+    batch the request filled alone.
+    """
+
+    def __init__(self, call_fn, cap: int, unit: int, wait_s: float,
+                 metrics_ref):
+        self._call = call_fn                  # (cap, H, W) -> (cap, H', W')
+        self.cap = (cap // unit) * unit       # usable, granule-aligned
+        self.unit = unit
+        self.wait_s = wait_s
+        self._metrics_ref = metrics_ref       # () -> Metrics | None
+        self._cond = threading.Condition()
+        self._pending: list[_Item] = []
+        self._size = 0
+        self._dispatching = False
+
+    def submit(self, frames: np.ndarray) -> np.ndarray:
+        """Blocking: returns this segment's SR rows. ``frames`` must be a
+        multiple of the granule and at most ``cap`` frames."""
+        item = _Item(frames)
+        with self._cond:
+            self._pending.append(item)
+            self._size += frames.shape[0]
+            if self._size >= self.cap:
+                self._cond.notify_all()       # wake a fill-waiting leader
+            elif self.wait_s > 0:
+                deadline = time.monotonic() + self.wait_s
+                while (not item.done.is_set() and self._size < self.cap):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cond.wait(remaining)
+            # Dispatch loop: whoever holds the lock while its item is still
+            # queued and no dispatch is in flight becomes the leader.
+            while not item.done.is_set():
+                if item in self._pending and not self._dispatching:
+                    self._dispatch_locked()
+                else:
+                    self._cond.wait(0.05)
+        if item.err is not None:
+            raise item.err
+        return item.out
+
+    def _dispatch_locked(self):
+        """Take a FIFO prefix of pending segments that fits the program,
+        run the call outside the lock, scatter outputs. Caller holds
+        ``self._cond``."""
+        batch: list[_Item] = []
+        total = 0
+        for it in self._pending:
+            if total + it.frames.shape[0] > self.cap:
+                break
+            batch.append(it)
+            total += it.frames.shape[0]
+        for it in batch:
+            self._pending.remove(it)
+        self._size -= total
+        self._dispatching = True
+        self._cond.release()
+        try:
+            x = np.concatenate([it.frames for it in batch], axis=0)
+            pad = self.cap - total
+            if pad:
+                x = np.concatenate(
+                    [x, np.tile(x[-self.unit:],
+                                (pad // self.unit, 1, 1))], axis=0)
+            sr = self._call(np.ascontiguousarray(x, np.float32))
+            m = self._metrics_ref()
+            if m is not None:
+                with m._lock:
+                    m.batch_calls += 1
+                    m.padded_frames += pad
+                    if len(batch) > 1:
+                        m.coalesced_requests += len(batch)
+            off = 0
+            for it in batch:
+                n = it.frames.shape[0]
+                it.out = sr[off:off + n]
+                off += n
+        except Exception as exc:  # surface to every waiting requester
+            for it in batch:
+                it.err = exc
+        finally:
+            self._cond.acquire()
+            self._dispatching = False
+            for it in batch:
+                it.done.set()
+            self._cond.notify_all()
+
+
 class ArtifactPool:
     """Loaded artifacts + routing + the serialized device executor."""
 
     def __init__(self, paths, warmup: bool = True, live=(),
-                 allow_empty: bool = False):
+                 allow_empty: bool = False, batch_wait_ms: float = 0.0):
         if not paths and not live and not allow_empty:
             raise ValueError(
                 "at least one --artifact or live --net serving is required")
@@ -306,6 +457,10 @@ class ArtifactPool:
             f"live:{s.meta['net']}" for s in live]
         self._device_lock = threading.Lock()
         self._warmed: set = set()  # ids of servings compiled at least once
+        self.metrics = None        # attached by make_server
+        self._batch_wait_s = float(batch_wait_ms) / 1000.0
+        self._batchers: dict[int, _Batcher] = {}
+        self._batchers_lock = threading.Lock()
         if warmup:
             self.warmup()
 
@@ -355,18 +510,27 @@ class ArtifactPool:
                       or _regroup_t(s.meta) in (None, req_t))]
         if exact:
             return exact[0]
-        # Regrouping programs (volume / whole-sequence video_t / MISR
-        # windows) interpret N = D*T slice-major frames as sequences;
-        # bridging a mismatched N through them would scramble the (D, T)
-        # grouping — they serve their exact frame count only. Per-frame
-        # programs bridge by edge-padded chunking.
-        bridgeable = [s for s in same_hw if not _regroup_t(s.meta)]
+        # Mismatched frame counts bridge at the program's coalescing
+        # granule (_coalesce_unit): per-frame programs chunk freely;
+        # video/window programs accept any whole number of T-frame
+        # sequences (each sequence is an independent batch sample, padding
+        # repeats whole sequences — exact); volume programs serve their
+        # exact D*T only (depth is structural, see _coalesce_unit).
+        def _bridge_ok(s):
+            unit = _coalesce_unit(s.meta)
+            if unit is None:
+                return False
+            if unit > 1 and (n % unit or req_t not in (None, unit)):
+                return False
+            return True
+
+        bridgeable = [s for s in same_hw if _bridge_ok(s)]
         if not bridgeable:
             raise LookupError(
-                f"only sequence-regrouping programs (volume/video/window "
-                f"modes) serve {h}x{w} and none has frame dim {n} — they "
-                "serve their exact D*T frame count only; add a program "
-                "per geometry")
+                f"no program bridges {n} frames at {h}x{w}: volume-mode "
+                f"programs serve their exact D*T frame count only, and "
+                f"video/window programs need a whole number of matching "
+                f"T-frame sequences; add a program per geometry")
         fits = [s for s in bridgeable if s.meta["frames_shape"][0] <= n]
         if fits:
             return max(fits, key=lambda s: s.meta["frames_shape"][0])
@@ -390,22 +554,38 @@ class ArtifactPool:
                 f"program expects sequences of T={want_t} frames per "
                 f"slice; this volume has t={nii_geom[3]} (d={nii_geom[2]})"
                 " — regrouping would scramble the (D, T) order")
-        step = serving.meta["frames_shape"][0]
-        outs = []
-        for i in range(0, frames.shape[0], step):
-            chunk = frames[i:i + step]
-            pad = step - chunk.shape[0]
-            if pad:
-                chunk = np.pad(chunk, ((0, pad), (0, 0), (0, 0)),
-                               mode="edge")
-                with metrics._lock:
-                    metrics.padded_frames += pad
-            sr = self._call(serving, np.ascontiguousarray(
-                chunk, dtype=np.float32))
-            outs.append(sr[:sr.shape[0] - pad] if pad else sr)
+        unit = _coalesce_unit(serving.meta)
+        if unit is None:
+            # Volume program: route guarantees the exact frame count
+            # (cross-request coalescing is unsound — see _coalesce_unit).
+            sr = self._call(serving,
+                            np.ascontiguousarray(frames, np.float32))
+        else:
+            if frames.shape[0] % unit:
+                raise LookupError(   # unreachable via route(); guards
+                    f"{frames.shape[0]} frames is not a whole number of "
+                    f"T={unit} sequences")  # direct pool callers
+            batcher = self._batcher_for(serving)
+            outs = [batcher.submit(frames[i:i + batcher.cap])
+                    for i in range(0, frames.shape[0], batcher.cap)]
+            sr = np.concatenate(outs, axis=0)
         with metrics._lock:
             metrics.volumes += 1
-        return np.concatenate(outs, axis=0)
+        return sr
+
+    def _batcher_for(self, serving) -> _Batcher:
+        with self._batchers_lock:
+            b = self._batchers.get(id(serving))
+            if b is None:
+                b = _Batcher(
+                    lambda x, s=serving: self._call(s, x),
+                    int(serving.meta["frames_shape"][0]),
+                    _coalesce_unit(serving.meta),
+                    self._batch_wait_s,
+                    lambda: self.metrics,
+                )
+                self._batchers[id(serving)] = b
+            return b
 
 
 def _parse_volume(body: bytes, content_type: str):
@@ -453,17 +633,23 @@ def _encode_volume(sr: np.ndarray, kind: str, nii_geom):
 
 def make_server(artifact_paths, host: str = "127.0.0.1", port: int = 0,
                 warmup: bool = True, live=(),
-                stream_spec: dict | None = None) -> ThreadingHTTPServer:
+                stream_spec: dict | None = None,
+                batch_wait_ms: float = 0.0) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``.serve_forever()`` it or
     run it in a thread (tests). ``port=0`` binds an ephemeral port.
     ``live``: extra :class:`LivePipeline` servings (mesh-sharded / ad-hoc
     net+checkpoint) pooled alongside the artifacts. ``stream_spec``:
     enables the ``/v1/stream`` session endpoints (:class:`StreamManager`)
-    for frame-at-a-time serving of that net."""
+    for frame-at-a-time serving of that net. ``batch_wait_ms``: how long a
+    partially-filled cross-request batch waits for more work before
+    dispatching (0 = dispatch immediately; coalescing still happens for
+    requests that queue while the chip is busy)."""
     pool = ArtifactPool(artifact_paths, warmup=warmup, live=live,
-                        allow_empty=stream_spec is not None)
+                        allow_empty=stream_spec is not None,
+                        batch_wait_ms=batch_wait_ms)
     streams = StreamManager(stream_spec)
     metrics = Metrics()
+    pool.metrics = metrics  # batcher padding/coalescing counters
     profile_lock = threading.Lock()  # one /debug/profile capture at a time
 
     class Handler(BaseHTTPRequestHandler):
@@ -847,7 +1033,15 @@ def main() -> None:
     p.add_argument("--stream-order", dest="stream_order",
                    choices=["middle", "last"], default="middle")
     p.add_argument("--stream-bf16", dest="stream_bf16", action="store_true")
+    p.add_argument("--batch-wait-ms", dest="batch_wait_ms", type=float,
+                   default=0.0,
+                   help="wait up to this long for concurrent requests to "
+                        "fill a shared program call before dispatching "
+                        "(0 = immediate; queued requests still coalesce "
+                        "while the chip is busy)")
     args = p.parse_args()
+    if args.batch_wait_ms < 0:
+        raise SystemExit("--batch-wait-ms must be >= 0")
     if args.preset_file and not args.preset:
         args.preset = "tuned"
     if args.preset_file and not args.net:
@@ -894,7 +1088,8 @@ def main() -> None:
         }
     server = make_server(args.artifact, args.host, args.port,
                          warmup=not args.no_warmup, live=live,
-                         stream_spec=stream_spec)
+                         stream_spec=stream_spec,
+                         batch_wait_ms=args.batch_wait_ms)
     logging.info(f"serving {len(args.artifact)} artifact(s) + "
                  f"{len(live)} live pipeline(s)"
                  + (f" + streaming sessions ({args.stream_net})"
