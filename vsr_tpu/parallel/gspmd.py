@@ -48,6 +48,7 @@ def make_gspmd_step(
     donate: bool = True,
     model_axis: str | None = None,
     zero_axis: str | None = None,
+    fsdp_axis: str | None = None,
 ):
     """jit ``step_fn(params, opt_state, inputs, targets)`` with the given
     input/target PartitionSpec trees.
@@ -62,30 +63,38 @@ def make_gspmd_step(
       (typically ``'data'``) while the params stay replicated — the
       partitioner turns the update into reduce-scatter(grads) ->
       shard-local moment update -> all-gather(new params), so per-device
-      HBM holds 1/N of the moments instead of full copies.
+      HBM holds 1/N of the moments instead of full copies;
+    - ``fsdp_axis`` names a mesh axis (ZeRO-3 / fully-sharded data
+      parallelism): params AND moments shard their trailing dims over that
+      axis (typically ``'data'``, the same axis that shards the batch) and
+      STAY sharded between steps — the partitioner all-gathers each
+      parameter at its use sites in forward/backward and reduce-scatters
+      the gradients straight into the shard-local update, so per-device
+      HBM never holds a full replicated copy of either tree.
 
-    The two are mutually exclusive (``model_axis`` already distributes the
-    moments). Both are per-leaf shape rules, so the jit is built lazily on
-    the first call, when the actual leaf shapes are in hand.
+    The three are mutually exclusive (``model_axis`` already distributes
+    both trees; ``fsdp_axis`` strictly subsumes ``zero_axis``). All are
+    per-leaf shape rules, so the jit is built lazily on the first call,
+    when the actual leaf shapes are in hand.
     """
     rep = NamedSharding(mesh, P())
     donate_argnums = (0, 1) if donate else ()
     io = (_shardings(mesh, input_spec), _shardings(mesh, target_spec))
     use_model = bool(model_axis) and mesh.shape.get(model_axis, 1) > 1
     use_zero = bool(zero_axis) and mesh.shape.get(zero_axis, 1) > 1
-    if use_model and use_zero:
+    use_fsdp = bool(fsdp_axis) and mesh.shape.get(fsdp_axis, 1) > 1
+    if sum((use_model, use_zero, use_fsdp)) > 1:
         raise NotImplementedError(
-            "zero_axis composes with replicated params only; "
-            f"'{model_axis}' tensor parallelism already shards the "
-            "optimizer moments")
-    if not (use_model or use_zero):
+            "model_axis / zero_axis / fsdp_axis are mutually exclusive "
+            "parameter/optimizer placement rules")
+    if not (use_model or use_zero or use_fsdp):
         return jax.jit(step_fn, in_shardings=(rep, rep) + io,
                        donate_argnums=donate_argnums)
 
     from vsr_tpu.parallel.tp import model_shardings
 
-    p_axis = model_axis if use_model else None
-    o_axis = model_axis if use_model else zero_axis
+    p_axis = model_axis if use_model else (fsdp_axis if use_fsdp else None)
+    o_axis = p_axis if p_axis else zero_axis
 
     def pinned(params, opt_state, inputs, targets):
         # Pin the returned params/opt_state to the input layout so the

@@ -355,6 +355,11 @@ class DeviceTrainerMixin:
                 "zero_optim is not wired into the device-epoch shard_map "
                 "(its opt_state in_specs are replicated) — use the "
                 "host-loop trainer for ZeRO-1")
+        if self._fsdp_axis is not None:
+            raise NotImplementedError(
+                "fsdp is not wired into the device-epoch shard_map (its "
+                "params/opt_state in_specs are replicated) — use the "
+                "host-loop trainer for FSDP/ZeRO-3")
         if self._multiprocess:
             raise NotImplementedError(
                 "device-epoch trainers are single-host (their HBM sample "

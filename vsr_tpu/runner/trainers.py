@@ -74,6 +74,7 @@ class BaseTrainer:
         mesh_axes: dict | None = None,
         pipe_microbatches: int | None = None,
         zero_optim: bool = False,
+        fsdp: bool = False,
         qat: dict | bool | None = None,
         profile_dir: str | None = None,
         prefetch_to_device: bool = True,
@@ -149,6 +150,7 @@ class BaseTrainer:
         self._dp_train_step = self._dp_eval_step = None
         self._pipe_apply = None
         self._zero_axis = None
+        self._fsdp_axis = None
         from vsr_tpu.parallel.distributed import is_multiprocess
 
         # Multi-host: every process runs this same trainer; batches are
@@ -166,6 +168,10 @@ class BaseTrainer:
             raise ValueError(
                 "zero_optim needs mesh_axes with a 'data' axis of size "
                 ">= 2 — without a mesh the moments stay replicated")
+        if fsdp and not mesh_axes:
+            raise ValueError(
+                "fsdp needs mesh_axes with a 'data' axis of size >= 2 — "
+                "without a mesh the params/moments stay replicated")
         if pipe_microbatches and not (mesh_axes and "pipe" in mesh_axes):
             raise ValueError(
                 "pipe_microbatches has no effect without a 'pipe' mesh "
@@ -222,8 +228,45 @@ class BaseTrainer:
                     raise ValueError(
                         "zero_optim needs a 'data' mesh axis of size >= 2")
                 self._zero_axis = "data"
-            if zero_optim or any(a in self.mesh.shape
-                                 for a in ("spatial", "seq", "model", "pipe")):
+            if fsdp:
+                # ZeRO-3 / FSDP: params AND moments shard their trailing
+                # output-feature dims over 'data' and stay sharded between
+                # steps; the partitioner all-gathers each param at its use
+                # sites and reduce-scatters grads into the 1/N update, so
+                # no device ever holds a replicated copy of either tree.
+                if zero_optim:
+                    raise NotImplementedError(
+                        "fsdp subsumes zero_optim — enable only one")
+                if self._multiprocess:
+                    raise NotImplementedError(
+                        "fsdp across hosts is not wired yet")
+                if "model" in self.mesh.shape:
+                    raise NotImplementedError(
+                        "fsdp is redundant with a 'model' axis — tensor "
+                        "parallelism already shards params and moments")
+                if "pipe" in self.mesh.shape:
+                    raise NotImplementedError(
+                        "fsdp does not compose with a 'pipe' mesh axis — "
+                        "the GPipe schedule owns the stage-param layout")
+                for act_axis in ("spatial", "seq"):
+                    # Same two-axis partitioner exposure as spatial x model
+                    # (tp.reject_spatial_x_model): fsdp puts kernel feature
+                    # dims on 'data' while 'spatial'/'seq' shard an
+                    # activation axis the convs reach over.
+                    if self.mesh.shape.get(act_axis, 1) > 1:
+                        raise NotImplementedError(
+                            f"fsdp with a '{act_axis}' axis is refused: "
+                            "feature-sharded kernels + activation-"
+                            "partitioned convs hit the jax-0.9.0 SPMD "
+                            "miscompile class (see scripts/"
+                            "repro_spmd_spatial_model_conv.py)")
+                if self.mesh.shape.get("data", 1) < 2:
+                    raise ValueError(
+                        "fsdp needs a 'data' mesh axis of size >= 2")
+                self._fsdp_axis = "data"
+            if zero_optim or fsdp or any(
+                    a in self.mesh.shape
+                    for a in ("spatial", "seq", "model", "pipe")):
                 from vsr_tpu.parallel.gspmd import make_gspmd_step
                 from vsr_tpu.parallel.tp import reject_spatial_x_model
 
@@ -255,12 +298,13 @@ class BaseTrainer:
                 self._dp_train_step = make_gspmd_step(
                     lambda p, o, i, t: self._step(p, o, i, t, training=True),
                     self.mesh, in_spec, tgt_spec, model_axis=model_axis,
-                    zero_axis=self._zero_axis,
+                    zero_axis=self._zero_axis, fsdp_axis=self._fsdp_axis,
                 )
                 self._dp_eval_step = make_gspmd_step(
                     lambda p, o, i, t: self._step(p, o, i, t, training=False),
                     self.mesh, in_spec, tgt_spec, donate=False,
                     model_axis=model_axis, zero_axis=self._zero_axis,
+                    fsdp_axis=self._fsdp_axis,
                 )
             else:
                 from vsr_tpu.parallel.data_parallel import make_dp_step
@@ -415,6 +459,15 @@ class BaseTrainer:
 
             self.params = shard_model_params(self.params, self.mesh)
             self.opt_state = shard_model_params(self.opt_state, self.mesh)
+        elif self._fsdp_axis is not None:
+            # FSDP/ZeRO-3: place params AND moments SPLIT over 'data' from
+            # the start — per-device HBM never sees the replicated trees.
+            from vsr_tpu.parallel.tp import shard_model_params
+
+            self.params = shard_model_params(
+                self.params, self.mesh, axis=self._fsdp_axis)
+            self.opt_state = shard_model_params(
+                self.opt_state, self.mesh, axis=self._fsdp_axis)
         elif self._zero_axis is not None:
             # ZeRO-1: place the moments SPLIT over 'data' from the start.
             from vsr_tpu.parallel.tp import shard_model_params
