@@ -125,7 +125,8 @@ def resolve_volume(net_name: str, *, video=False, windows: int = 0,
 
 def build_serving_net(net_name: str, net_kwargs: dict, checkpoint: str = "",
                       *, lr_hw: tuple[int, int], video: bool = False,
-                      windows: int = 0, volume: str | None = None):
+                      windows: int = 0, volume: str | None = None,
+                      ema: bool = False):
     """Registry-build a net and template-init (+ optionally checkpoint-load)
     its params for serving: the shared block behind the ``infer`` CLI, the
     ``export`` CLI, and the serving daemon's live pipelines.
@@ -163,6 +164,21 @@ def build_serving_net(net_name: str, net_kwargs: dict, checkpoint: str = "",
 
         state, _ = load_checkpoint(checkpoint)
         params = serialization.from_state_dict(params, state["params"])
+        if ema:
+            # Serve the EMA twin tracked by with_param_ema (optim.py): the
+            # trainable collection is replaced by opt_state's ``ema`` tree
+            # (non-trainable collections, e.g. batch_stats, stay live).
+            ema_sd = (state.get("opt_state") or {}).get("ema")
+            if ema_sd is None:
+                raise ValueError(
+                    f"--ema: {checkpoint} carries no EMA params — train "
+                    "with trainer.kwargs.ema_decay to track one")
+            restored = serialization.from_state_dict(
+                dict(params)["params"], ema_sd)
+            params = dict(params)
+            params["params"] = restored
+    elif ema:
+        raise ValueError("--ema needs --checkpoint")
     return net, params, train_flag
 
 
@@ -509,7 +525,8 @@ def run(args) -> dict:
             net, params, train_flag = build_serving_net(
                 args.net, net_kwargs, args.checkpoint,
                 lr_hw=(h // args.factor, w // args.factor),
-                video=video, windows=windows, volume=vmode)
+                video=video, windows=windows, volume=vmode,
+                ema=bool(getattr(args, "ema", False)))
 
         key = (h, w, t_eff if video else (t if (windows or vmode) else None))
         if key not in pipelines:
@@ -591,6 +608,10 @@ def main() -> None:
     parser.add_argument("--net", default="EDSRNet")
     parser.add_argument("--net-kwargs", default="")
     parser.add_argument("--checkpoint", default="")
+    parser.add_argument("--ema", action="store_true",
+                        help="serve the EMA param twin tracked by "
+                             "trainer.kwargs.ema_decay (stored in the "
+                             "checkpoint's opt_state)")
     parser.add_argument("--factor", type=int, default=2)
     parser.add_argument("--dataset", choices=["acdc", "dsb15"], default="acdc")
     parser.add_argument("--gif", action="store_true")

@@ -22,7 +22,7 @@ Semantics notes:
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Any, NamedTuple, Sequence
 
 import optax
 
@@ -231,13 +231,81 @@ def RAdam(learning_rate: float = 1e-3, lr: float | None = None,
 
 
 def _unwrap_hyperparams_state(opt_state):
-    """Find the inject_hyperparams state (possibly inside optax.MultiSteps)."""
+    """Find the inject_hyperparams state (possibly inside optax.MultiSteps
+    or :func:`with_param_ema`)."""
     while not hasattr(opt_state, "hyperparams"):
         if hasattr(opt_state, "inner_opt_state"):
             opt_state = opt_state.inner_opt_state
         else:
             raise ValueError("Optimizer state carries no injected hyperparams")
     return opt_state
+
+
+class ParamEmaState(NamedTuple):
+    """State of :func:`with_param_ema`: the wrapped optimizer's state plus
+    the exponential moving average of the POST-update params. The field name
+    ``inner_opt_state`` keeps :func:`get_learning_rate` /
+    :func:`set_learning_rate` working through the wrapper."""
+
+    inner_opt_state: Any
+    ema: Any
+
+
+def with_param_ema(tx: optax.GradientTransformation,
+                   decay: float) -> optax.GradientTransformation:
+    """Track an exponential moving average of the parameters inside the
+    optimizer state: ``ema <- decay * ema + (1 - decay) * new_params``.
+
+    The EMA twin rides the normal optimizer state, so it is device-resident
+    during training, checkpointed with ``opt_state`` for free, and sharded
+    by the same trailing-dim rules as the moments under ZeRO/FSDP/tensor
+    parallelism. Extract it with :func:`get_ema_params` (or serve it via
+    ``vsr_tpu.infer --ema``). The reference framework has no EMA
+    (SURVEY.md §2.7); this is a beyond-parity production-training feature —
+    EMA weights are the standard eval/serving weights for long SR runs.
+    """
+    import jax
+
+    d = float(decay)
+    if not 0.0 < d < 1.0:
+        raise ValueError(f"ema decay must be in (0, 1), got {decay}")
+
+    import jax.numpy as jnp
+
+    def init(params):
+        # Real copies, not aliases: the trainer donates params and
+        # opt_state to the jitted step — aliased leaves would be the same
+        # buffer donated twice.
+        return ParamEmaState(
+            inner_opt_state=tx.init(params),
+            ema=jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True),
+                                       params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("with_param_ema needs params in tx.update()")
+        new_updates, new_inner = tx.update(updates, state.inner_opt_state,
+                                           params)
+        new_params = optax.apply_updates(params, new_updates)
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: d * e + (1.0 - d) * p, state.ema, new_params)
+        return new_updates, ParamEmaState(new_inner, new_ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_ema_params(opt_state):
+    """The EMA param tree from a :func:`with_param_ema`-wrapped state (the
+    trainable collection only, matching what ``tx.init`` saw)."""
+    state = opt_state
+    while not isinstance(state, ParamEmaState):
+        if hasattr(state, "inner_opt_state"):
+            state = state.inner_opt_state
+        else:
+            raise ValueError(
+                "Optimizer state carries no param EMA — train with "
+                "trainer.kwargs.ema_decay to track one")
+    return state.ema
 
 
 def set_learning_rate(opt_state, lr: float):

@@ -79,6 +79,7 @@ class BaseTrainer:
         profile_dir: str | None = None,
         prefetch_to_device: bool = True,
         grad_accumulation: int = 1,
+        ema_decay: float | None = None,
         t_bucket: int = 16,
         **kwargs: Any,
     ):
@@ -106,6 +107,15 @@ class BaseTrainer:
             import optax
 
             optimizer = optax.MultiSteps(optimizer, every_k_schedule=grad_accumulation)
+        if ema_decay:
+            # EMA twin of the params tracked inside the optimizer state
+            # (device-resident, checkpointed with opt_state, sharded like
+            # the moments). Wrapped OUTERMOST so the EMA sees the final
+            # applied update even under grad accumulation. Serve it with
+            # ``vsr_tpu.infer --ema``.
+            from vsr_tpu.optim import with_param_ema
+
+            optimizer = with_param_ema(optimizer, ema_decay)
         self.train_dataloader = train_dataloader
         self.valid_dataloader = valid_dataloader
         self.net = net
