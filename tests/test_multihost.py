@@ -92,20 +92,10 @@ def _parse_logs(text: str, tag: str) -> list[dict]:
     return out
 
 
-@pytest.fixture(scope="module")
-def mh_run(tmp_path_factory):
-    """Launch the 2-process distributed run once; tests assert on it."""
-    root = tmp_path_factory.mktemp("multihost")
-    tree = root / "data"
-    make_processed_tree(tree, types=("train", "valid"), patients_per_type=2,
-                        slices=1, frames=6, hr_size=24, factors=(2,), seed=5)
-
-    saved = root / "dist_out"
-    # valid_batch=1 (the reference-style default) exercises the per-process
-    # shard-eval fallback + cross-process log reduction: 1 does not divide
-    # the 2-device local mesh slice, so validation cannot use the DP step.
-    cfg = _config(tree, saved, local_batch=6, host_shard=True, valid_batch=1)
-    cfg_path = root / "dist.yaml"
+def _launch_pair(root: Path, cfg: dict, tag: str) -> list[str]:
+    """Launch TWO real CLI processes over a localhost coordinator; return
+    their logs (asserting both exited 0)."""
+    cfg_path = root / f"{tag}.yaml"
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f)
 
@@ -126,7 +116,7 @@ def mh_run(tmp_path_factory):
             VSR_NUM_PROCESSES="2",
             VSR_PROCESS_ID=str(pid),
         )
-        out = open(root / f"proc{pid}.log", "w")
+        out = open(root / f"{tag}_proc{pid}.log", "w")
         outs.append(out)
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "vsr_tpu.main", str(cfg_path)],
@@ -134,8 +124,25 @@ def mh_run(tmp_path_factory):
     codes = [p.wait(timeout=420) for p in procs]
     for f in outs:
         f.close()
-    logs = [(root / f"proc{i}.log").read_text() for i in range(2)]
+    logs = [(root / f"{tag}_proc{i}.log").read_text() for i in range(2)]
     assert codes == [0, 0], f"worker failure:\n{logs[0][-3000:]}\n{logs[1][-3000:]}"
+    return logs
+
+
+@pytest.fixture(scope="module")
+def mh_run(tmp_path_factory):
+    """Launch the 2-process distributed run once; tests assert on it."""
+    root = tmp_path_factory.mktemp("multihost")
+    tree = root / "data"
+    make_processed_tree(tree, types=("train", "valid"), patients_per_type=2,
+                        slices=1, frames=6, hr_size=24, factors=(2,), seed=5)
+
+    saved = root / "dist_out"
+    # valid_batch=1 (the reference-style default) exercises the per-process
+    # shard-eval fallback + cross-process log reduction: 1 does not divide
+    # the 2-device local mesh slice, so validation cannot use the DP step.
+    cfg = _config(tree, saved, local_batch=6, host_shard=True, valid_batch=1)
+    logs = _launch_pair(root, cfg, "dist")
     return root, saved, logs
 
 
@@ -190,3 +197,47 @@ def jax_flatten(tree, prefix="") -> dict[str, np.ndarray]:
             out.update(jax_flatten(v, f"{prefix}/{k}"))
         return out
     return {prefix: np.asarray(tree)}
+
+
+def test_fsdp_two_process_matches_plain_dp(mh_run):
+    """2-process FSDP (params+moments sharded ACROSS HOSTS) trains the same
+    model as the plain 2-process DP run: exercises cross-host param
+    placement, the collective checkpoint gather (full-shaped leaves in the
+    file), the batch-1 validation fallback's shard gather, and the
+    load->re-place resume path."""
+    root, saved, _logs = mh_run
+    from vsr_tpu.utils.checkpoint import load_checkpoint
+
+    fsdp_saved = root / "fsdp_out"
+    cfg = _config(root / "data", fsdp_saved, local_batch=6, host_shard=True,
+                  valid_batch=1)
+    cfg["trainer"]["kwargs"]["fsdp"] = True
+    _launch_pair(root, cfg, "fsdp")
+
+    dp_state, _ = load_checkpoint(saved / "checkpoints" / "model_2.ckpt")
+    f_state, _ = load_checkpoint(fsdp_saved / "checkpoints" / "model_2.ckpt")
+    flat_dp = jax_flatten(dp_state["params"])
+    flat_f = jax_flatten(f_state["params"])
+    assert flat_dp.keys() == flat_f.keys()
+    for key in flat_dp:
+        # FSDP reassociates the gradient reduction (reduce-scatter vs
+        # all-reduce) — fp32-reassociation tolerance, same as the
+        # single-host ZeRO/FSDP equivalence tests.
+        np.testing.assert_allclose(flat_f[key], flat_dp[key], rtol=5e-4,
+                                   atol=1e-5, err_msg=key)
+    # The gathered checkpoint holds FULL-shaped moment leaves (the
+    # collective gather ran), so it interoperates with any topology.
+    flat_opt = jax_flatten(f_state["opt_state"])
+    full = jax_flatten(dp_state["opt_state"])
+    for key in full:
+        assert flat_opt[key].shape == full[key].shape, key
+
+    # Resume leg: 2 more epochs from the sharded-trained checkpoint
+    # (load -> _place_state -> sharded jit in_shardings).
+    cfg["main"]["loaded_path"] = str(
+        fsdp_saved / "checkpoints" / "model_2.ckpt")
+    cfg["trainer"]["kwargs"]["num_epochs"] = 3
+    logs = _launch_pair(root, cfg, "fsdp_resume")
+    assert all("Resume training." in t for t in logs)
+    t0 = _parse_logs(logs[0], "Train log: ")
+    assert len(t0) == 1 and np.isfinite(t0[0]["Loss"])

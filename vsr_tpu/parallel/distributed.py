@@ -132,6 +132,31 @@ def host_local_to_global(tree, mesh, spec):
     return multihost_utils.host_local_array_to_global_array(tree, mesh, spec)
 
 
+def gather_sharded(tree):
+    """Materialize every process-spanning SHARDED leaf as a full host array
+    (fully-replicated and addressable leaves pass through untouched).
+
+    A collective: every process must call it, in the same tree order —
+    used by checkpoint writes and the batch-1 validation fallback when
+    ZeRO/FSDP keep moments/params sharded across hosts. Identity when
+    single-process.
+    """
+    if not is_multiprocess():
+        return tree
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    def g(leaf):
+        if (isinstance(leaf, jax.Array) and not leaf.is_fully_addressable
+                and not leaf.is_fully_replicated):
+            return np.asarray(multihost_utils.process_allgather(
+                leaf, tiled=True))
+        return leaf
+
+    return jax.tree_util.tree_map(g, tree)
+
+
 def global_to_host_local(tree, mesh, spec):
     """Inverse of :func:`host_local_to_global` — materialize this process's
     addressable shards as host-local arrays (used only for logging images,

@@ -227,9 +227,6 @@ class BaseTrainer:
                 # ZeRO-1: shard the optimizer moments over 'data' (params
                 # stay replicated) — reduce-scatter(grads) -> 1/N moment
                 # update -> all-gather(params) via GSPMD annotations.
-                if self._multiprocess:
-                    raise NotImplementedError(
-                        "zero_optim across hosts is not wired yet")
                 if "model" in self.mesh.shape:
                     raise NotImplementedError(
                         "zero_optim is redundant with a 'model' axis — "
@@ -247,9 +244,6 @@ class BaseTrainer:
                 if zero_optim:
                     raise NotImplementedError(
                         "fsdp subsumes zero_optim — enable only one")
-                if self._multiprocess:
-                    raise NotImplementedError(
-                        "fsdp across hosts is not wired yet")
                 if "model" in self.mesh.shape:
                     raise NotImplementedError(
                         "fsdp is redundant with a 'model' axis — tensor "
@@ -462,30 +456,35 @@ class BaseTrainer:
         init_kwargs = {"train": False} if self._net_train_kwarg else {}
         self.params = self.net.init(self.rng_tree.jax_key("init"), inputs, **init_kwargs)
         self.opt_state = self.tx.init(self.params["params"])
-        if self.mesh is not None and "model" in self.mesh.shape:
-            # Tensor parallelism: place params/moments SPLIT from the start
-            # so per-device HBM never holds the replicated copies.
-            from vsr_tpu.parallel.tp import shard_model_params
+        self._place_state()
+        if self.lr_scheduler is not None:
+            self.lr_scheduler.bind(get_learning_rate(self.opt_state))
 
+    def _place_state(self) -> None:
+        """Device-place ``params``/``opt_state`` per the mesh's parameter
+        placement rule (tensor parallel / FSDP / ZeRO-1) — called at init
+        AND after checkpoint restore so the trees always enter the sharded
+        step pre-split (jit refuses host arrays against non-trivial
+        in_shardings on multi-host meshes)."""
+        if self.mesh is None:
+            return
+        from vsr_tpu.parallel.tp import shard_model_params
+
+        if "model" in self.mesh.shape:
+            # Tensor parallelism: params/moments SPLIT from the start so
+            # per-device HBM never holds the replicated copies.
             self.params = shard_model_params(self.params, self.mesh)
             self.opt_state = shard_model_params(self.opt_state, self.mesh)
         elif self._fsdp_axis is not None:
-            # FSDP/ZeRO-3: place params AND moments SPLIT over 'data' from
-            # the start — per-device HBM never sees the replicated trees.
-            from vsr_tpu.parallel.tp import shard_model_params
-
+            # FSDP/ZeRO-3: params AND moments SPLIT over 'data'.
             self.params = shard_model_params(
                 self.params, self.mesh, axis=self._fsdp_axis)
             self.opt_state = shard_model_params(
                 self.opt_state, self.mesh, axis=self._fsdp_axis)
         elif self._zero_axis is not None:
-            # ZeRO-1: place the moments SPLIT over 'data' from the start.
-            from vsr_tpu.parallel.tp import shard_model_params
-
+            # ZeRO-1: the moments SPLIT over 'data'.
             self.opt_state = shard_model_params(
                 self.opt_state, self.mesh, axis=self._zero_axis)
-        if self.lr_scheduler is not None:
-            self.lr_scheduler.bind(get_learning_rate(self.opt_state))
 
     # ------------------------------------------------------------- epochs
 
@@ -544,10 +543,19 @@ class BaseTrainer:
                     # the Monitor decisions stay in lockstep.
                     local_eval = True
                     if local_params is None:
+                        from jax.experimental import multihost_utils
+
                         def _localize(a):
                             if (isinstance(a, jax.Array)
                                     and not a.is_fully_addressable):
-                                return jnp.asarray(a.addressable_data(0))
+                                if a.is_fully_replicated:
+                                    return jnp.asarray(a.addressable_data(0))
+                                # ZeRO/FSDP cross-host shards: a collective
+                                # gather — every process reaches this in
+                                # the same tree order.
+                                return jnp.asarray(
+                                    multihost_utils.process_allgather(
+                                        a, tiled=True))
                             return a
 
                         local_params = jax.tree_util.tree_map(
@@ -763,10 +771,16 @@ class BaseTrainer:
     # ----------------------------------------------------------- checkpoint
 
     def save(self, path: str | Path, epoch: int | None = None) -> None:
-        from vsr_tpu.parallel.distributed import is_primary
+        from vsr_tpu.parallel.distributed import gather_sharded, is_primary
 
+        # Cross-host ZeRO/FSDP shards must be gathered by EVERY process (a
+        # collective) before the primary-only write; replicated leaves pass
+        # through untouched. Checkpoint/monitor decisions are lockstep
+        # across processes, so all of them reach this call together.
+        state = gather_sharded(
+            {"params": self.params, "opt_state": self.opt_state})
         if not is_primary():
-            # Params/opt state are replicated; process 0 owns the file.
+            # Process 0 owns the file.
             return
         aux = {
             "epoch": self.epoch if epoch is None else epoch,
@@ -774,7 +788,7 @@ class BaseTrainer:
             "lr_scheduler": self.lr_scheduler.state_dict() if self.lr_scheduler else None,
             "random_seed": str(self.rng_tree.root_seed),
         }
-        save_checkpoint(path, {"params": self.params, "opt_state": self.opt_state}, aux)
+        save_checkpoint(path, state, aux)
 
     def load(self, path: str | Path) -> None:
         self._ensure_initialized()
@@ -783,6 +797,10 @@ class BaseTrainer:
         )
         self.params = state["params"]
         self.opt_state = state["opt_state"]
+        # Restored leaves are host arrays — re-place them per the mesh's
+        # parameter rule (no-op without a mesh; required before a sharded
+        # jit with non-trivial in_shardings on multi-host meshes).
+        self._place_state()
         self.epoch = aux["epoch"] + 1
         self.monitor.load_state_dict(aux["monitor"])
         if self.lr_scheduler is not None and aux.get("lr_scheduler"):
