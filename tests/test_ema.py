@@ -137,15 +137,46 @@ def test_ema_missing_in_checkpoint_raises(tmp_path):
 
 
 def test_ema_composes_with_grad_accumulation():
-    trainer = _trainer(ema_decay=0.99, grad_accumulation=2)
+    # EMA is wrapped INSIDE optax.MultiSteps: the k-1 non-emit micro-steps
+    # must NOT advance it, so after k micro-steps (= ONE applied update)
+    # the EMA has taken exactly one step: d*init + (1-d)*new_params.
+    d = 0.99
+    trainer = _trainer(ema_decay=d, grad_accumulation=2)
     batch = _batch()
     inputs, targets = trainer._get_inputs_targets(batch)
     trainer.params = trainer.net.init(jax.random.PRNGKey(0), inputs)
     trainer.opt_state = trainer.tx.init(trainer.params["params"])
     assert get_learning_rate(trainer.opt_state) == pytest.approx(1e-2)
+    init_params = jax.tree_util.tree_map(np.asarray,
+                                         trainer.params["params"])
     for _ in range(2):
         trainer.params, trainer.opt_state, scalars, _ = trainer._train_step(
             trainer.params, trainer.opt_state, inputs, targets,
             training=True)
     assert np.isfinite(float(next(iter(scalars.values()))))
-    assert get_ema_params(trainer.opt_state) is not None
+    ema = get_ema_params(trainer.opt_state)
+    for e, p0, p1 in zip(jax.tree_util.tree_leaves(ema),
+                         jax.tree_util.tree_leaves(init_params),
+                         jax.tree_util.tree_leaves(
+                             trainer.params["params"])):
+        np.testing.assert_allclose(
+            np.asarray(e), d * p0 + (1 - d) * np.asarray(p1),
+            rtol=1e-5, atol=1e-7)
+
+    # The serving extraction walks the MultiSteps nesting in the
+    # checkpoint state-dict too.
+    import tempfile
+    from pathlib import Path
+
+    from vsr_tpu.infer import build_serving_net
+
+    trainer.monitor = type("M", (), {"state_dict": lambda self: {}})()
+    with tempfile.TemporaryDirectory() as td:
+        trainer.save(Path(td) / "model.ckpt")
+        _, served, _ = build_serving_net(
+            "EDSRNet", dict(in_channels=1, out_channels=1, num_resblocks=1,
+                            num_features=8, upscale_factor=2),
+            str(Path(td) / "model.ckpt"), lr_hw=(8, 8), ema=True)
+    for a, b in zip(jax.tree_util.tree_leaves(served["params"]),
+                    jax.tree_util.tree_leaves(ema)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

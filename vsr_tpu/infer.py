@@ -168,7 +168,18 @@ def build_serving_net(net_name: str, net_kwargs: dict, checkpoint: str = "",
             # Serve the EMA twin tracked by with_param_ema (optim.py): the
             # trainable collection is replaced by opt_state's ``ema`` tree
             # (non-trainable collections, e.g. batch_stats, stay live).
-            ema_sd = (state.get("opt_state") or {}).get("ema")
+            # The wrapper may sit under optax.MultiSteps (grad
+            # accumulation), so walk ``inner_opt_state`` nesting for the
+            # exact ParamEmaState state-dict shape — a dict of exactly
+            # {inner_opt_state, ema} — rather than any stray 'ema' key.
+            def _find_ema(sd):
+                if not isinstance(sd, dict):
+                    return None
+                if set(sd) == {"inner_opt_state", "ema"}:
+                    return sd["ema"]
+                return _find_ema(sd.get("inner_opt_state"))
+
+            ema_sd = _find_ema(state.get("opt_state"))
             if ema_sd is None:
                 raise ValueError(
                     f"--ema: {checkpoint} carries no EMA params — train "

@@ -101,21 +101,24 @@ class BaseTrainer:
         self._preempted = False
         self.profile_dir = profile_dir
         self.prefetch_to_device = prefetch_to_device
+        if ema_decay:
+            # EMA twin of the params tracked inside the optimizer state
+            # (device-resident, checkpointed with opt_state, sharded like
+            # the moments). Wrapped INSIDE MultiSteps: the accumulator only
+            # calls the inner transform on emit steps, so the EMA advances
+            # exactly once per APPLIED update (outermost would decay it k
+            # times per real update — the non-emit micro-steps emit zero
+            # updates but still blend toward the unchanged params). Serve
+            # it with ``vsr_tpu.infer --ema``.
+            from vsr_tpu.optim import with_param_ema
+
+            optimizer = with_param_ema(optimizer, ema_decay)
         if grad_accumulation > 1:
             # Accumulate grads over k micro-batches before applying the
             # update (large effective batch without the memory).
             import optax
 
             optimizer = optax.MultiSteps(optimizer, every_k_schedule=grad_accumulation)
-        if ema_decay:
-            # EMA twin of the params tracked inside the optimizer state
-            # (device-resident, checkpointed with opt_state, sharded like
-            # the moments). Wrapped OUTERMOST so the EMA sees the final
-            # applied update even under grad accumulation. Serve it with
-            # ``vsr_tpu.infer --ema``.
-            from vsr_tpu.optim import with_param_ema
-
-            optimizer = with_param_ema(optimizer, ema_decay)
         self.train_dataloader = train_dataloader
         self.valid_dataloader = valid_dataloader
         self.net = net
