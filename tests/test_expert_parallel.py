@@ -1,0 +1,244 @@
+"""Mixture-of-Experts SR (models/moe.py) + expert parallelism (parallel/ep.py).
+
+The reference framework has no MoE and no parallelism (SURVEY.md §2.9;
+its widest capacity knob is ``num_features``,
+``/root/reference/src/model/nets/edsr_net.py:19``). This is new
+capability: expert-choice routed FFN blocks on the EDSR trunk, with the
+expert stacks sharded over an ``'expert'`` mesh axis so the dispatch /
+combine einsums run as all-to-alls. Sharded math must equal the
+unsharded step; expert leaves must actually be split and STAY split.
+Runs on the 8 virtual CPU devices from conftest.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vsr_tpu.losses import L1Loss
+from vsr_tpu.metrics import PSNR
+from vsr_tpu.models import MoEEDSRNet
+from vsr_tpu.models.moe import ExpertChoiceMoE
+from vsr_tpu.optim import Adam
+from vsr_tpu.runner.trainers import AcdcSISRTrainer
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices")
+
+
+def _net(**kw):
+    kw.setdefault("num_experts", 4)
+    kw.setdefault("group_size", 64)
+    return MoEEDSRNet(in_channels=1, out_channels=1, num_resblocks=2,
+                      num_features=8, upscale_factor=2, **kw)
+
+
+def _make(mesh_axes, net=None, **kw):
+    return AcdcSISRTrainer(
+        train_dataloader=None, valid_dataloader=None,
+        net=net if net is not None else _net(),
+        loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[PSNR()],
+        optimizer=Adam(lr=1e-3), lr_scheduler=None, logger=None,
+        monitor=None, num_epochs=1, mesh_axes=mesh_axes, **kw)
+
+
+def _batch(n=8):
+    rng = np.random.default_rng(0)
+    return {
+        "lr_img": rng.standard_normal((n, 8, 8, 1)).astype(np.float32),
+        "hr_img": rng.standard_normal((n, 16, 16, 1)).astype(np.float32),
+        "index": np.arange(n),
+    }
+
+
+def _run(trainer, n_steps, sharded):
+    batch = _batch()
+    inputs, targets = trainer._get_inputs_targets(batch)
+    trainer.params = trainer.net.init(jax.random.PRNGKey(0), inputs)
+    trainer.opt_state = trainer.tx.init(trainer.params["params"])
+    trainer._place_state()
+    scalars = None
+    for _ in range(n_steps):
+        if sharded:
+            trainer.params, trainer.opt_state, scalars, _ = \
+                trainer._dp_train_step(trainer.params, trainer.opt_state,
+                                       inputs, targets)
+        else:
+            trainer.params, trainer.opt_state, scalars, _ = \
+                trainer._train_step(trainer.params, trainer.opt_state,
+                                    inputs, targets, training=True)
+    return trainer, {k: float(v) for k, v in scalars.items()}
+
+
+# ------------------------------------------------------------- model
+
+
+def test_moe_forward_shape_and_finite():
+    net = _net()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 8, 1)),
+                    jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    y = net.apply(params, x)
+    assert y.shape == (2, 16, 16, 1)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_moe_batch_invariance():
+    """Per-image token groups: an image's output must not depend on its
+    batch mates (routing never crosses images)."""
+    net = _net()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 1)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    y = net.apply(params, x)
+    x2 = jnp.concatenate([x[:1], x[1:] * 3.0], axis=0)
+    y2 = net.apply(params, x2)
+    np.testing.assert_array_equal(np.asarray(y[0]), np.asarray(y2[0]))
+
+
+def test_moe_group_size_must_divide_tokens():
+    net = _net(group_size=48)  # 48 does not divide 8*8=64
+    x = jnp.zeros((1, 8, 8, 1), jnp.float32)
+    with pytest.raises(ValueError, match="group_size"):
+        net.init(jax.random.PRNGKey(0), x)
+
+
+def test_moe_single_expert_runs():
+    net = _net(num_experts=1, capacity_factor=1.0)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((1, 8, 8, 1)),
+                    jnp.float32)
+    y = net.apply(net.init(jax.random.PRNGKey(0), x), x)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_moe_expert_params_update():
+    """Router AND expert stacks receive gradient through the top-k
+    dispatch (gate weights carry it)."""
+    t, _ = _run(_make(None), 1, sharded=False)
+    fresh = _net().init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((8, 8, 8, 1), jnp.float32))
+    moved = {"router": False, "expert_wi": False}
+    flat = jax.tree_util.tree_leaves_with_path(t.params)
+    fresh_flat = dict(jax.tree_util.tree_leaves_with_path(fresh))
+    for path, leaf in flat:
+        name = str(path[-1])
+        for key in moved:
+            if key in name and not np.array_equal(
+                    np.asarray(leaf), np.asarray(fresh_flat[tuple(path)])):
+                moved[key] = True
+    assert all(moved.values()), moved
+
+
+def test_moe_layer_capacity_covers_all_tokens():
+    """With capacity_factor >= 1 every token can be picked; with the
+    default softmax affinities, the combined update is non-zero for
+    most tokens (sanity that dispatch/combine einsums wire up)."""
+    layer = ExpertChoiceMoE(num_experts=2, capacity_factor=1.0,
+                            group_size=16)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((1, 4, 4, 6)),
+                    jnp.float32)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    y = layer.apply(params, x)
+    assert y.shape == x.shape
+    # residual: y - x is the MoE update
+    upd = np.asarray(y - x)
+    assert np.abs(upd).max() > 0
+
+
+# ------------------------------------------------------- expert mesh
+
+
+def test_ep_matches_unsharded():
+    t_e, s_e = _run(_make({"data": 2, "expert": 4}), 3, sharded=True)
+    t_u, s_u = _run(_make(None), 3, sharded=False)
+    for k in s_u:
+        np.testing.assert_allclose(s_e[k], s_u[k], rtol=2e-4, atol=1e-5,
+                                   err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(t_e.params),
+                    jax.tree_util.tree_leaves(t_u.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_ep_expert_stacks_actually_sharded():
+    trainer, _ = _run(_make({"data": 2, "expert": 4}), 2, sharded=True)
+
+    def count_split(tree):
+        found = 0
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            name = str(path[-1])
+            if "expert_" not in name or not isinstance(leaf, jax.Array):
+                continue
+            shard = leaf.addressable_shards[0].data.shape
+            assert shard[0] == leaf.shape[0] // 4, (name, leaf.shape, shard)
+            found += 1
+        return found
+
+    # Expert stacks split over 'expert' in params AND moments, and they
+    # STAY split after repeated steps (layout pinned for donation).
+    assert count_split(trainer.params) > 0
+    assert count_split(trainer.opt_state) > 0
+    # Non-expert leaves (conv kernels) stay replicated.
+    for path, leaf in jax.tree_util.tree_leaves_with_path(trainer.params):
+        if "expert_" in str(path[-1]) or not isinstance(leaf, jax.Array):
+            continue
+        assert leaf.addressable_shards[0].data.shape == leaf.shape
+
+
+def test_ep_checkpoint_roundtrip(tmp_path):
+    from vsr_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    trainer, _ = _run(_make({"data": 2, "expert": 4}), 1, sharded=True)
+    path = tmp_path / "model.ckpt"
+    save_checkpoint(path, {"params": trainer.params,
+                           "opt_state": trainer.opt_state})
+    fresh = _make({"data": 2, "expert": 4})
+    batch = _batch()
+    inputs, targets = fresh._get_inputs_targets(batch)
+    fresh.params = fresh.net.init(jax.random.PRNGKey(1), inputs)
+    fresh.opt_state = fresh.tx.init(fresh.params["params"])
+    state, _aux = load_checkpoint(path, {"params": fresh.params,
+                                         "opt_state": fresh.opt_state})
+    for a, b in zip(jax.tree_util.tree_leaves(state["params"]),
+                    jax.tree_util.tree_leaves(trainer.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    fresh.params, fresh.opt_state = state["params"], state["opt_state"]
+    fresh._place_state()
+    fresh.params, fresh.opt_state, scalars, _ = fresh._dp_train_step(
+        fresh.params, fresh.opt_state, inputs, targets)
+    assert np.isfinite(float(next(iter(scalars.values()))))
+
+
+def test_ep_guards():
+    with pytest.raises(NotImplementedError, match="composes with 'data'"):
+        _make({"expert": 4, "model": 2})
+    with pytest.raises(NotImplementedError, match="composes with 'data'"):
+        _make({"expert": 4, "spatial": 2})
+    with pytest.raises(NotImplementedError, match="zero_optim/fsdp"):
+        _make({"data": 2, "expert": 4}, zero_optim=True)
+    with pytest.raises(NotImplementedError, match="zero_optim/fsdp"):
+        _make({"data": 2, "expert": 4}, fsdp=True)
+    # An 'expert' axis on a net with no expert stacks is refused at init.
+    from vsr_tpu.models import EDSRNet
+
+    t = _make({"data": 2, "expert": 4},
+              net=EDSRNet(in_channels=1, out_channels=1, num_resblocks=1,
+                          num_features=8, upscale_factor=2))
+    t.params = t.net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((2, 8, 8, 1), jnp.float32))
+    t.opt_state = t.tx.init(t.params["params"])
+    with pytest.raises(NotImplementedError, match="no expert-stacked"):
+        t._place_state()
+
+
+def test_device_trainer_rejects_expert_axis():
+    from vsr_tpu.runner.device_trainer import AcdcSISRDeviceTrainer
+
+    with pytest.raises(NotImplementedError, match="expert"):
+        AcdcSISRDeviceTrainer(
+            train_dataloader=None, valid_dataloader=None, net=_net(),
+            loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[PSNR()],
+            optimizer=Adam(lr=1e-3), lr_scheduler=None, logger=None,
+            monitor=None, num_epochs=1, patch=8, ratio=2,
+            mesh_axes={"data": 2, "expert": 4})

@@ -17,4 +17,5 @@ from vsr_tpu.models.rbpn import RBPNet  # noqa: F401
 from vsr_tpu.models.edvr import EDVRNet as EDVRNet  # noqa: F401
 from vsr_tpu.models.vol3d import Volume3DSRNet  # noqa: F401
 from vsr_tpu.models.vol4d import Volume4DSRNet  # noqa: F401
+from vsr_tpu.models.moe import MoEEDSRNet  # noqa: F401
 from vsr_tpu.models.common import count_params, describe_params  # noqa: F401

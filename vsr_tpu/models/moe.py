@@ -1,0 +1,171 @@
+"""Mixture-of-Experts SR: expert-choice routed channel-FFN blocks on the
+EDSR trunk.
+
+The reference framework has no MoE (its widest knob is ``num_features``,
+``/root/reference/src/model/nets/edsr_net.py:19``); this is the
+framework's conditional-compute scaling path — parameter count grows with
+``num_experts`` while per-token FLOPs stay constant — and the carrier for
+the ``'expert'`` mesh axis (:mod:`vsr_tpu.parallel.ep`).
+
+TPU-first design decisions:
+
+- **Expert-choice routing** (experts pick their top-``capacity`` tokens)
+  instead of token-choice top-k: perfectly balanced by construction, so no
+  auxiliary load-balancing loss has to thread through the trainers, no
+  token overflow/dropping semantics, and every shape is static — exactly
+  what XLA wants. SR is non-causal (all tokens of an image exist at once),
+  which is the regime expert choice was designed for.
+- **Dense one-hot dispatch/combine einsums**, not gathers: the repo-wide
+  lesson (BENCH.md hat-matmul samplers) is that the MXU beats the TPU
+  gather unit by orders of magnitude on narrow-row indexed access; the
+  GShard-style dispatch matmul is the canonical formulation.
+- **Per-image token groups** (``group_size`` tokens routed independently):
+  keeps the one-hot dispatch tensor small (N*T*group_size*cf elements,
+  independent of E) and — because groups never span images — makes every
+  image's output invariant to its batch mates.
+- Experts are one batched ``(E, d, h)`` einsum pair, so the ``'expert'``
+  mesh axis shards the leading dim (classic expert parallelism: all-to-all
+  tokens in, 1/N of the experts per device, all-to-all back); see
+  ``parallel/ep.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vsr_tpu.models.common import Conv, ShuffleConv
+from vsr_tpu.models.edsr import _ResBlock, _UpBlock
+from vsr_tpu.parallel.ep import constrain_expert_dim
+from vsr_tpu.registry import register
+
+
+def _expert_init(in_axis: int):
+    """LeCun-normal over the per-expert fan-in (leading dim is the expert
+    stack, not a fan axis)."""
+    return nn.initializers.variance_scaling(
+        1.0, "fan_in", "truncated_normal",
+        in_axis=in_axis, out_axis=-1, batch_axis=(0,))
+
+
+class ExpertChoiceMoE(nn.Module):
+    """Expert-choice routed per-token (per-pixel) FFN, residual.
+
+    ``x``: ``(N, H, W, C)`` feature map. Each image's ``H*W`` tokens are
+    split into groups of ``group_size``; within a group every expert
+    selects its ``capacity = group_size * capacity_factor / num_experts``
+    highest-affinity tokens and applies its 2-layer FFN to them; selected
+    tokens receive the affinity-weighted expert output as a residual
+    update (tokens no expert picked pass through unchanged).
+
+    Parameter names: the ``expert_*`` prefix marks the expert-stacked
+    leaves for :mod:`vsr_tpu.parallel.ep`'s sharding rule.
+    """
+
+    num_experts: int
+    capacity_factor: float = 1.25
+    hidden_mult: int = 2
+    group_size: int = 256
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, d = x.shape
+        t = h * w
+        gs = min(self.group_size, t)
+        if t % gs:
+            raise ValueError(
+                f"ExpertChoiceMoE group_size={gs} must divide the token "
+                f"count H*W={t} ({h}x{w}) — pick a group_size dividing "
+                "the feature-map area (training patches and the "
+                "preprocessing crops are multiples of 256)")
+        e = self.num_experts
+        cap = max(1, int(gs * self.capacity_factor / e))
+        cap = min(cap, gs)
+        hid = self.hidden_mult * d
+
+        router = self.param("router", _expert_init(in_axis=-2), (d, e),
+                            self.dtype or jnp.float32)
+        wi = self.param("expert_wi", _expert_init(in_axis=-2), (e, d, hid),
+                        self.dtype or jnp.float32)
+        bi = self.param("expert_bi", nn.initializers.zeros, (e, hid),
+                        self.dtype or jnp.float32)
+        wo = self.param("expert_wo", _expert_init(in_axis=-2), (e, hid, d),
+                        self.dtype or jnp.float32)
+        bo = self.param("expert_bo", nn.initializers.zeros, (e, d),
+                        self.dtype or jnp.float32)
+
+        tokens = x.reshape(n * t // gs, gs, d)  # (G, gs, d), groups per image
+
+        # Router affinities in f32 (softmax stability under bf16 nets).
+        logits = jnp.einsum("gtd,de->gte", tokens.astype(jnp.float32),
+                            router.astype(jnp.float32))
+        affinity = jax.nn.softmax(logits, axis=-1)          # over experts
+        # Each expert picks its top-cap tokens within the group.
+        gate, idx = jax.lax.top_k(
+            jnp.swapaxes(affinity, 1, 2), cap)              # (G, e, cap)
+        dispatch = jax.nn.one_hot(idx, gs, dtype=tokens.dtype)  # (G,e,cap,gs)
+
+        xin = jnp.einsum("gect,gtd->gecd", dispatch, tokens)
+        xin = constrain_expert_dim(xin, 1)                  # EP: all-to-all in
+        hdn = jnp.einsum("gecd,edh->gech", xin, wi) + bi[None, :, None, :]
+        hdn = constrain_expert_dim(nn.relu(hdn), 1)
+        out = jnp.einsum("gech,ehd->gecd", hdn, wo) + bo[None, :, None, :]
+        out = constrain_expert_dim(out, 1)
+        out = out * gate[..., None].astype(out.dtype)       # affinity-weighted
+        combined = jnp.einsum("gect,gecd->gtd", dispatch, out)  # EP: a2a back
+        return x + combined.reshape(n, h, w, d).astype(x.dtype)
+
+
+@register("net")
+class MoEEDSRNet(nn.Module):
+    """EDSR trunk with an :class:`ExpertChoiceMoE` block after every
+    ``moe_every``-th residual block.
+
+    Args up to ``res_scale`` mirror :class:`vsr_tpu.models.edsr.EDSRNet`
+    (reference ``edsr_net.py:19``); the MoE knobs are new capability. With
+    ``num_experts=1`` the routing still runs (capacity permitting, every
+    token through the single expert) — use plain ``EDSRNet`` when no
+    conditional compute is wanted.
+    """
+
+    in_channels: int
+    out_channels: int
+    num_resblocks: int
+    num_features: int
+    upscale_factor: int
+    res_scale: float = 0.1
+    num_experts: int = 4
+    capacity_factor: float = 1.25
+    hidden_mult: int = 2
+    group_size: int = 256
+    moe_every: int = 2
+    fused_tail: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        head = Conv(self.num_features, 3, padding=1, dtype=self.dtype)(x)
+        body = head
+        for i in range(self.num_resblocks):
+            body = _ResBlock(self.num_features, self.res_scale,
+                             dtype=self.dtype)(body)
+            if (i + 1) % self.moe_every == 0:
+                body = ExpertChoiceMoE(
+                    num_experts=self.num_experts,
+                    capacity_factor=self.capacity_factor,
+                    hidden_mult=self.hidden_mult,
+                    group_size=self.group_size,
+                    dtype=self.dtype,
+                )(body)
+        body = Conv(self.num_features, 3, padding=1, dtype=self.dtype)(body)
+        body = body + head
+        pre = _UpBlock(self.num_features, self.upscale_factor,
+                       dtype=self.dtype)(body)
+        return ShuffleConv(self.out_channels, 3,
+                           factor=_UpBlock.split(self.upscale_factor),
+                           fused=self.fused_tail, dtype=self.dtype)(pre)

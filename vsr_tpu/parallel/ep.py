@@ -1,0 +1,153 @@
+"""Expert parallelism: Mixture-of-Experts weights sharded over an
+``'expert'`` mesh axis.
+
+The reference framework has no MoE and no parallelism at all (SURVEY.md
+§2.9); this axis completes the framework's mesh vocabulary (data / spatial /
+seq / model / pipe / expert) for the MoE SR nets (:mod:`vsr_tpu.models.moe`).
+The design is the GSPMD flavor of GShard/Switch expert parallelism:
+
+- every expert-stacked parameter leaf — shape ``(E, ...)``, named
+  ``expert_*`` by convention — shards its leading expert dimension over the
+  ``'expert'`` mesh axis, and the optimizer moments inherit the identical
+  layout through the same path rule;
+- the per-expert token blocks inside the MoE layer are annotated with
+  sharding constraints (:func:`constrain_expert_dim`, active only under
+  :func:`use_mesh`), so the XLA SPMD partitioner materializes the classic
+  expert-parallel schedule — all-to-all the dispatched tokens to their
+  experts' devices, batched expert matmuls on 1/``E_axis`` of the experts,
+  all-to-all back — instead of all-gathering the expert weights.
+
+Like :mod:`vsr_tpu.parallel.tp`, placement is annotation-only: any
+assignment is legal under GSPMD (the partitioner guarantees the unsharded
+program's math), so these rules decide placement, never correctness.
+
+Identification is by NAME, not position: expert weights are the only leaves
+whose parameter name starts with ``expert_`` (enforced by convention in
+``models/moe.py``), which keeps the rule orthogonal to the positional
+trailing-dim rule tensor parallelism uses — conv kernels, biases and scalar
+optimizer state all stay replicated under a pure ``{'data', 'expert'}``
+mesh.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+#: The reserved mesh-axis name for expert (MoE) sharding.
+EXPERT_AXIS = "expert"
+
+#: Parameter-name prefix marking expert-stacked leaves (leading dim = E).
+EXPERT_PREFIX = "expert_"
+
+_local = threading.local()
+
+
+@contextlib.contextmanager
+def use_mesh(mesh: Mesh | None):
+    """Trace-time context handing the mesh to MoE layers so they can pin
+    their per-expert intermediates (:func:`constrain_expert_dim`). The
+    GSPMD step wrapper enters it around tracing; outside any context the
+    layers run un-annotated (single-device / replicated execution)."""
+    prev = getattr(_local, "mesh", None)
+    _local.mesh = mesh
+    try:
+        yield
+    finally:
+        _local.mesh = prev
+
+
+def current_mesh() -> Mesh | None:
+    return getattr(_local, "mesh", None)
+
+
+def constrain_expert_dim(x, dim: int):
+    """Pin array dimension ``dim`` of ``x`` to the ``'expert'`` mesh axis
+    when tracing under :func:`use_mesh` (with an ``'expert'`` axis whose
+    size divides the dim); identity otherwise.
+
+    This is what turns the dispatch/combine einsums into all-to-alls: the
+    expert-stacked weights alone would let the partitioner choose to
+    all-gather them per device (legal, but data-parallel in disguise);
+    pinning the dispatched token block keeps the per-expert compute on the
+    experts' devices.
+    """
+    mesh = current_mesh()
+    if mesh is None or mesh.shape.get(EXPERT_AXIS, 1) <= 1:
+        return x
+    if x.shape[dim] % mesh.shape[EXPERT_AXIS]:
+        return x
+    spec = [None] * x.ndim
+    spec[dim] = EXPERT_AXIS
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
+
+
+def _leaf_name(path) -> str:
+    """Last dict/attribute key of a tree path (the flax param name; optax
+    moment trees mirror the param dict, so the same name survives)."""
+    for entry in reversed(path):
+        key = getattr(entry, "key", None)
+        if key is None:
+            key = getattr(entry, "name", None)
+        if isinstance(key, str):
+            return key
+    return ""
+
+
+def expert_spec(path, shape, axis_size: int, axis: str = EXPERT_AXIS) -> P:
+    """PartitionSpec for one leaf: shard the LEADING dim over ``axis`` when
+    the leaf is an expert stack (``expert_*`` name) divisible by the axis;
+    replicate otherwise."""
+    if (
+        axis_size > 1
+        and _leaf_name(path).startswith(EXPERT_PREFIX)
+        and len(shape) >= 1
+        and shape[0] >= axis_size
+        and shape[0] % axis_size == 0
+    ):
+        return P(*([axis] + [None] * (len(shape) - 1)))
+    return P()
+
+
+def expert_partition_specs(tree, mesh: Mesh, axis: str = EXPERT_AXIS):
+    """PartitionSpec tree for a params / optimizer-state pytree (per-leaf
+    :func:`expert_spec`; moments land on their parameter's layout because
+    the path rule sees the same parameter names)."""
+    size = mesh.shape.get(axis, 1)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, v: expert_spec(p, getattr(v, "shape", ()), size, axis),
+        tree)
+
+
+def expert_shardings(tree, mesh: Mesh, axis: str = EXPERT_AXIS):
+    """NamedSharding tree (for ``jax.jit`` in_shardings / ``device_put``)."""
+    size = mesh.shape.get(axis, 1)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, v: NamedSharding(
+            mesh, expert_spec(p, getattr(v, "shape", ()), size, axis)),
+        tree)
+
+
+def shard_expert_params(tree, mesh: Mesh, axis: str = EXPERT_AXIS):
+    """``device_put`` the tree with its expert shardings (host-side helper,
+    used at init/restore so expert stacks arrive split, 1/N per device)."""
+    return jax.device_put(tree, expert_shardings(tree, mesh, axis))
+
+
+def has_expert_params(tree) -> bool:
+    """True when any leaf is an expert stack — trainers use this to refuse
+    an ``'expert'`` mesh axis on nets with nothing to shard over it."""
+    found = False
+
+    def visit(path, v):
+        nonlocal found
+        if _leaf_name(path).startswith(EXPERT_PREFIX):
+            found = True
+        return v
+
+    jax.tree_util.tree_map_with_path(visit, tree)
+    return found

@@ -49,6 +49,7 @@ def make_gspmd_step(
     model_axis: str | None = None,
     zero_axis: str | None = None,
     fsdp_axis: str | None = None,
+    expert_axis: str | None = None,
 ):
     """jit ``step_fn(params, opt_state, inputs, targets)`` with the given
     input/target PartitionSpec trees.
@@ -70,12 +71,21 @@ def make_gspmd_step(
       STAY sharded between steps — the partitioner all-gathers each
       parameter at its use sites in forward/backward and reduce-scatters
       the gradients straight into the shard-local update, so per-device
-      HBM never holds a full replicated copy of either tree.
+      HBM never holds a full replicated copy of either tree;
+    - ``expert_axis`` names a mesh axis (expert parallelism): every
+      expert-stacked leaf (``expert_*`` name, leading dim = num_experts)
+      shards its LEADING dim over that axis per
+      :func:`vsr_tpu.parallel.ep.expert_spec`, all other leaves stay
+      replicated; the MoE layers' sharding constraints
+      (:func:`vsr_tpu.parallel.ep.constrain_expert_dim`, activated here via
+      :func:`vsr_tpu.parallel.ep.use_mesh`) make the partitioner run the
+      dispatch/combine einsums as all-to-alls.
 
-    The three are mutually exclusive (``model_axis`` already distributes
-    both trees; ``fsdp_axis`` strictly subsumes ``zero_axis``). All are
-    per-leaf shape rules, so the jit is built lazily on the first call,
-    when the actual leaf shapes are in hand.
+    The four are mutually exclusive parameter-placement rules (``model`` /
+    ``fsdp`` would re-shard the expert stacks on a second axis — untested
+    two-axis partitioner territory, see ``tp.reject_spatial_x_model`` for
+    the precedent). All are per-leaf rules, so the jit is built lazily on
+    the first call, when the actual leaf shapes are in hand.
     """
     rep = NamedSharding(mesh, P())
     donate_argnums = (0, 1) if donate else ()
@@ -83,26 +93,39 @@ def make_gspmd_step(
     use_model = bool(model_axis) and mesh.shape.get(model_axis, 1) > 1
     use_zero = bool(zero_axis) and mesh.shape.get(zero_axis, 1) > 1
     use_fsdp = bool(fsdp_axis) and mesh.shape.get(fsdp_axis, 1) > 1
-    if sum((use_model, use_zero, use_fsdp)) > 1:
+    use_expert = bool(expert_axis) and mesh.shape.get(expert_axis, 1) > 1
+    if sum((use_model, use_zero, use_fsdp, use_expert)) > 1:
         raise NotImplementedError(
-            "model_axis / zero_axis / fsdp_axis are mutually exclusive "
-            "parameter/optimizer placement rules")
-    if not (use_model or use_zero or use_fsdp):
+            "model_axis / zero_axis / fsdp_axis / expert_axis are mutually "
+            "exclusive parameter/optimizer placement rules")
+    if not (use_model or use_zero or use_fsdp or use_expert):
         return jax.jit(step_fn, in_shardings=(rep, rep) + io,
                        donate_argnums=donate_argnums)
 
-    from vsr_tpu.parallel.tp import model_shardings
+    if use_expert:
+        from vsr_tpu.parallel.ep import expert_shardings as _shard_rule
+        from vsr_tpu.parallel.ep import use_mesh as _trace_ctx
+        p_axis = o_axis = expert_axis
+    else:
+        import contextlib
 
-    p_axis = model_axis if use_model else (fsdp_axis if use_fsdp else None)
-    o_axis = p_axis if p_axis else zero_axis
+        from vsr_tpu.parallel.tp import model_shardings as _shard_rule
+
+        def _trace_ctx(_mesh):
+            return contextlib.nullcontext()
+
+        p_axis = model_axis if use_model else (fsdp_axis if use_fsdp else None)
+        o_axis = p_axis if p_axis else zero_axis
 
     def pinned(params, opt_state, inputs, targets):
         # Pin the returned params/opt_state to the input layout so the
         # donated buffers match and the next call never reshards.
-        p, o, scalars, outputs = step_fn(params, opt_state, inputs, targets)
+        with _trace_ctx(mesh):
+            p, o, scalars, outputs = step_fn(params, opt_state, inputs,
+                                             targets)
         if p_axis:
             p = jax.lax.with_sharding_constraint(
-                p, model_shardings(p, mesh, p_axis))
+                p, _shard_rule(p, mesh, p_axis))
         else:
             # ZeRO: the partitioner would otherwise leave the updated
             # params sharded like the moments — pin the all-gather here so
@@ -110,19 +133,19 @@ def make_gspmd_step(
             p = jax.lax.with_sharding_constraint(
                 p, jax.tree_util.tree_map(lambda _: rep, p))
         o = jax.lax.with_sharding_constraint(
-            o, model_shardings(o, mesh, o_axis))
+            o, _shard_rule(o, mesh, o_axis))
         return p, o, scalars, outputs
 
     cache: dict = {}
 
     def call(params, opt_state, inputs, targets):
         if "jit" not in cache:
-            p_sh = (model_shardings(params, mesh, p_axis)
+            p_sh = (_shard_rule(params, mesh, p_axis)
                     if p_axis else rep)
             cache["jit"] = jax.jit(
                 pinned,
                 in_shardings=(p_sh,
-                              model_shardings(opt_state, mesh, o_axis)) + io,
+                              _shard_rule(opt_state, mesh, o_axis)) + io,
                 donate_argnums=donate_argnums,
             )
         return cache["jit"](params, opt_state, inputs, targets)

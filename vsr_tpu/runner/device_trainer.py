@@ -360,6 +360,11 @@ class DeviceTrainerMixin:
                 "fsdp is not wired into the device-epoch shard_map (its "
                 "params/opt_state in_specs are replicated) — use the "
                 "host-loop trainer for FSDP/ZeRO-3")
+        if self._expert_axis is not None:
+            raise NotImplementedError(
+                "the 'expert' axis is not wired into the device-epoch "
+                "shard_map (its params in_specs are replicated) — use the "
+                "host-loop trainer for expert parallelism")
         if self._multiprocess:
             raise NotImplementedError(
                 "device-epoch trainers are single-host (their HBM sample "

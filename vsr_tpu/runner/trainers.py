@@ -164,6 +164,7 @@ class BaseTrainer:
         self._pipe_apply = None
         self._zero_axis = None
         self._fsdp_axis = None
+        self._expert_axis = None
         from vsr_tpu.parallel.distributed import is_multiprocess
 
         # Multi-host: every process runs this same trainer; batches are
@@ -195,10 +196,10 @@ class BaseTrainer:
             self.mesh = make_mesh(dict(mesh_axes))
             if self._multiprocess and any(
                     a in self.mesh.shape
-                    for a in ("spatial", "seq", "model", "pipe")):
+                    for a in ("spatial", "seq", "model", "pipe", "expert")):
                 raise NotImplementedError(
-                    "multi-host spatial/seq/model/pipe training is not "
-                    "wired yet — use a pure data mesh (mesh_axes="
+                    "multi-host spatial/seq/model/pipe/expert training is "
+                    "not wired yet — use a pure data mesh (mesh_axes="
                     "{'data': n}) across hosts")
             if "pipe" in self.mesh.shape:
                 # Pipeline parallelism (parallel/pipeline.py): the EDSR
@@ -271,9 +272,28 @@ class BaseTrainer:
                     raise ValueError(
                         "fsdp needs a 'data' mesh axis of size >= 2")
                 self._fsdp_axis = "data"
+            if self.mesh.shape.get("expert", 1) > 1:
+                # Expert parallelism (parallel/ep.py): MoE expert stacks
+                # shard their leading num_experts dim over 'expert'; the
+                # dispatch/combine einsums run as all-to-alls. One
+                # parameter-placement rule at a time (same exclusivity as
+                # model/zero/fsdp), and the composition with activation
+                # axes ('spatial'/'seq') is untested two-axis partitioner
+                # territory — composes with 'data' only.
+                for other in ("model", "pipe", "spatial", "seq"):
+                    if self.mesh.shape.get(other, 1) > 1:
+                        raise NotImplementedError(
+                            f"'expert' composes with 'data' only; a "
+                            f"'{other}' axis cannot join an expert mesh")
+                if zero_optim or fsdp:
+                    raise NotImplementedError(
+                        "zero_optim/fsdp do not compose with an 'expert' "
+                        "axis — each is a whole-tree parameter placement "
+                        "rule")
+                self._expert_axis = "expert"
             if zero_optim or fsdp or any(
                     a in self.mesh.shape
-                    for a in ("spatial", "seq", "model", "pipe")):
+                    for a in ("spatial", "seq", "model", "pipe", "expert")):
                 from vsr_tpu.parallel.gspmd import make_gspmd_step
                 from vsr_tpu.parallel.tp import reject_spatial_x_model
 
@@ -306,12 +326,13 @@ class BaseTrainer:
                     lambda p, o, i, t: self._step(p, o, i, t, training=True),
                     self.mesh, in_spec, tgt_spec, model_axis=model_axis,
                     zero_axis=self._zero_axis, fsdp_axis=self._fsdp_axis,
+                    expert_axis=self._expert_axis,
                 )
                 self._dp_eval_step = make_gspmd_step(
                     lambda p, o, i, t: self._step(p, o, i, t, training=False),
                     self.mesh, in_spec, tgt_spec, donate=False,
                     model_axis=model_axis, zero_axis=self._zero_axis,
-                    fsdp_axis=self._fsdp_axis,
+                    fsdp_axis=self._fsdp_axis, expert_axis=self._expert_axis,
                 )
             else:
                 from vsr_tpu.parallel.data_parallel import make_dp_step
@@ -488,6 +509,20 @@ class BaseTrainer:
             # ZeRO-1: the moments SPLIT over 'data'.
             self.opt_state = shard_model_params(
                 self.opt_state, self.mesh, axis=self._zero_axis)
+        elif self._expert_axis is not None:
+            # Expert parallelism: expert stacks SPLIT over 'expert' (all
+            # other leaves replicated); a net with nothing to shard must
+            # not silently replicate a whole mesh axis.
+            from vsr_tpu.parallel.ep import (has_expert_params,
+                                             shard_expert_params)
+
+            if not has_expert_params(self.params):
+                raise NotImplementedError(
+                    f"{type(self.net).__name__} has no expert-stacked "
+                    "params (expert_* leaves) — the 'expert' mesh axis "
+                    "applies to MoE nets (e.g. MoEEDSRNet)")
+            self.params = shard_expert_params(self.params, self.mesh)
+            self.opt_state = shard_expert_params(self.opt_state, self.mesh)
 
     # ------------------------------------------------------------- epochs
 
