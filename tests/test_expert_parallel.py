@@ -232,6 +232,45 @@ def test_ep_guards():
         t._place_state()
 
 
+def test_ep_serving_matches_single_device():
+    """infer --mesh data=2,expert=4: partitioned pipeline output equals the
+    unsharded single-device pipeline."""
+    from vsr_tpu.infer import make_pipeline
+    from vsr_tpu.parallel.mesh import make_mesh
+
+    net = _net()
+    rng = np.random.default_rng(7)
+    frames = np.asarray(rng.random((5, 16, 16)) * 255, np.float32)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8, 8, 1), jnp.float32))
+    ref_lr, ref_sr = make_pipeline(net, params, 2, "acdc")(frames)
+    mesh = make_mesh({"data": 2, "expert": 4})
+    lr, sr = make_pipeline(net, params, 2, "acdc", mesh=mesh)(frames)
+    np.testing.assert_array_equal(np.asarray(lr), np.asarray(ref_lr))
+    np.testing.assert_allclose(np.asarray(sr), np.asarray(ref_sr),
+                               atol=1.0)  # pixels are 0..255 grey levels
+    assert np.mean(np.asarray(sr) != np.asarray(ref_sr)) < 0.01
+
+
+def test_ep_serving_guards():
+    from vsr_tpu.infer import make_pipeline
+    from vsr_tpu.models import EDSRNet
+    from vsr_tpu.parallel.mesh import make_mesh
+
+    net = _net()
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8, 8, 1), jnp.float32))
+    with pytest.raises(ValueError, match="composes with 'data' only"):
+        make_pipeline(net, params, 2, "acdc",
+                      mesh=make_mesh({"spatial": 2, "expert": 4}))
+    plain = EDSRNet(in_channels=1, out_channels=1, num_resblocks=1,
+                    num_features=8, upscale_factor=2)
+    pp = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 1)))
+    with pytest.raises(ValueError, match="no"):
+        make_pipeline(plain, pp, 2, "acdc",
+                      mesh=make_mesh({"data": 2, "expert": 4}))
+
+
 def test_device_trainer_rejects_expert_axis():
     from vsr_tpu.runner.device_trainer import AcdcSISRDeviceTrainer
 

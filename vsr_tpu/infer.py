@@ -299,7 +299,27 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
                          "serve volumes without --mesh")
     mean, std = DATASET_STATS[dataset]
 
-    if mesh is not None and "model" in mesh.shape:
+    if mesh is not None and mesh.shape.get("expert", 1) > 1:
+        # Expert-parallel serving (parallel/ep.py): the MoE net's expert
+        # stacks (expert_* leaves) shard their leading num_experts dim over
+        # 'expert'; the dispatch/combine einsums run as all-to-alls under
+        # the constraints the layer pins (activated by use_mesh at the
+        # pipeline wrap below). Same composition rule as training: 'data'
+        # only (model would re-shard the stacks on a second axis,
+        # spatial x expert is untested two-axis partitioner territory).
+        from vsr_tpu.parallel.ep import has_expert_params, shard_expert_params
+
+        for other in ("model", "spatial"):
+            if mesh.shape.get(other, 1) > 1:
+                raise ValueError(
+                    f"'expert' serving composes with 'data' only; drop the "
+                    f"'{other}' axis from --mesh")
+        if not has_expert_params(params):
+            raise ValueError(
+                "the 'expert' mesh axis applies to MoE nets with expert_* "
+                "param stacks (e.g. MoEEDSRNet) — this net has none")
+        params = shard_expert_params(params, mesh)
+    elif mesh is not None and "model" in mesh.shape:
         # Tensor-parallel serving: the closed-over params commit to their
         # 'model'-axis shardings (output-feature dims split); GSPMD inserts
         # the boundary collectives in the partitioned pipeline. spatial x
@@ -435,6 +455,18 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     pipeline = make_fn(net_apply)
     if mesh is not None:
         from vsr_tpu.parallel.serving import shard_pipeline
+
+        if mesh.shape.get("expert", 1) > 1:
+            # Activate the MoE layers' expert-dim sharding constraints at
+            # trace time (ep.use_mesh is a trace-time context; the with
+            # block is live while jit/eval_shape trace the pipeline).
+            from vsr_tpu.parallel.ep import use_mesh as _ep_use_mesh
+
+            inner = pipeline
+
+            def pipeline(hr_frames, _inner=inner):
+                with _ep_use_mesh(mesh):
+                    return _inner(hr_frames)
 
         return shard_pipeline(pipeline, mesh,
                               seq_len=video_t or (window[1] if window else None))

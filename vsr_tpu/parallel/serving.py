@@ -24,8 +24,9 @@ from vsr_tpu.parallel.gspmd import _prune_spec
 
 #: Axis names the serving/GSPMD partition specs know about.  'data' shards
 #: the frame batch, 'spatial' each frame's H axis, 'model' the parameters'
-#: output-feature dims (vsr_tpu/parallel/tp.py).
-KNOWN_AXES = ("data", "spatial", "model")
+#: output-feature dims (vsr_tpu/parallel/tp.py), 'expert' the MoE expert
+#: stacks' leading num_experts dim (vsr_tpu/parallel/ep.py).
+KNOWN_AXES = ("data", "spatial", "model", "expert")
 
 
 def parse_mesh_axes(spec: str) -> dict[str, int]:
