@@ -96,11 +96,19 @@ def test_moe_batch_invariance():
     np.testing.assert_array_equal(np.asarray(y[0]), np.asarray(y2[0]))
 
 
-def test_moe_group_size_must_divide_tokens():
-    net = _net(group_size=48)  # 48 does not divide 8*8=64
-    x = jnp.zeros((1, 8, 8, 1), jnp.float32)
-    with pytest.raises(ValueError, match="group_size"):
-        net.init(jax.random.PRNGKey(0), x)
+def test_moe_nondivisible_tokens_padded():
+    """Arbitrary geometries: token counts that don't divide group_size run
+    through the masked-padding path (padded slots get zero affinity, so
+    real tokens always win the top-k) and stay batch-invariant."""
+    net = _net(group_size=48)  # 48 does not divide 8*8=64 -> pad 32
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 1)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    y = net.apply(params, x)
+    assert y.shape == (2, 16, 16, 1)
+    assert np.isfinite(np.asarray(y)).all()
+    y2 = net.apply(params, jnp.concatenate([x[:1], x[1:] * 3.0], axis=0))
+    np.testing.assert_array_equal(np.asarray(y[0]), np.asarray(y2[0]))
 
 
 def test_moe_single_expert_runs():

@@ -60,7 +60,10 @@ class ExpertChoiceMoE(nn.Module):
     selects its ``capacity = group_size * capacity_factor / num_experts``
     highest-affinity tokens and applies its 2-layer FFN to them; selected
     tokens receive the affinity-weighted expert output as a residual
-    update (tokens no expert picked pass through unchanged).
+    update (tokens no expert picked pass through unchanged). Token counts
+    that don't divide ``group_size`` (arbitrary serving geometries) are
+    padded with masked zero-affinity tokens — exactly the unpadded
+    program when they do divide.
 
     Parameter names: the ``expert_*`` prefix marks the expert-stacked
     leaves for :mod:`vsr_tpu.parallel.ep`'s sharding rule.
@@ -77,12 +80,12 @@ class ExpertChoiceMoE(nn.Module):
         n, h, w, d = x.shape
         t = h * w
         gs = min(self.group_size, t)
-        if t % gs:
-            raise ValueError(
-                f"ExpertChoiceMoE group_size={gs} must divide the token "
-                f"count H*W={t} ({h}x{w}) — pick a group_size dividing "
-                "the feature-map area (training patches and the "
-                "preprocessing crops are multiples of 256)")
+        # Token counts that don't divide into groups (arbitrary serving
+        # geometries) are padded up with masked tokens: zero affinity
+        # everywhere, so experts prefer every real token, and a padded
+        # token that is picked anyway contributes with gate 0. Exactly
+        # the unpadded program when t % gs == 0.
+        pad = (-t) % gs
         e = self.num_experts
         cap = max(1, int(gs * self.capacity_factor / e))
         cap = min(cap, gs)
@@ -99,12 +102,23 @@ class ExpertChoiceMoE(nn.Module):
         bo = self.param("expert_bo", nn.initializers.zeros, (e, d),
                         self.dtype or jnp.float32)
 
-        tokens = x.reshape(n * t // gs, gs, d)  # (G, gs, d), groups per image
+        tokens = x.reshape(n, t, d)
+        if pad:
+            tokens = jnp.concatenate(
+                [tokens, jnp.zeros((n, pad, d), tokens.dtype)], axis=1)
+        tokens = tokens.reshape(n * (t + pad) // gs, gs, d)  # (G, gs, d)
 
         # Router affinities in f32 (softmax stability under bf16 nets).
         logits = jnp.einsum("gtd,de->gte", tokens.astype(jnp.float32),
                             router.astype(jnp.float32))
         affinity = jax.nn.softmax(logits, axis=-1)          # over experts
+        if pad:
+            # Padded slots: zero affinity for every expert (softmax over
+            # experts cannot express it, so mask after) — real tokens
+            # always win the top-k, and a picked pad slot gets gate 0.
+            mask = (jnp.arange(t + pad) < t).astype(affinity.dtype)
+            mask = jnp.tile(mask.reshape(-1, gs), (n, 1))   # (G, gs)
+            affinity = affinity * mask[:, :, None]
         # Each expert picks its top-cap tokens within the group.
         gate, idx = jax.lax.top_k(
             jnp.swapaxes(affinity, 1, 2), cap)              # (G, e, cap)
@@ -118,6 +132,7 @@ class ExpertChoiceMoE(nn.Module):
         out = constrain_expert_dim(out, 1)
         out = out * gate[..., None].astype(out.dtype)       # affinity-weighted
         combined = jnp.einsum("gect,gecd->gtd", dispatch, out)  # EP: a2a back
+        combined = combined.reshape(n, t + pad, d)[:, :t]
         return x + combined.reshape(n, h, w, d).astype(x.dtype)
 
 
