@@ -54,7 +54,8 @@ def build_cases(subpixel: bool = False, fsq: bool = False):
 
     from vsr_tpu.models import (
         Bicubic, DRFNet, DRFSISRNet, DUFNet, EDSRNet, EDVRNet, FRVSRNet,
-        RBPNet, SRFBNet, TOFlowNet, Volume3DSRNet, Volume4DSRNet,
+        MoEEDSRNet, RBPNet, SRFBNet, TOFlowNet, Volume3DSRNet,
+        Volume4DSRNet,
     )
 
     bf16 = jnp.bfloat16
@@ -64,6 +65,11 @@ def build_cases(subpixel: bool = False, fsq: bool = False):
          EDSRNet(in_channels=1, out_channels=1, num_resblocks=16,
                  num_features=64, upscale_factor=2, fused_tail=True,
                  dtype=bf16), {"vpc": 4}),  # probe_edsr_vpc.py optimum
+        ("MoEEDSRNet", 2, "sisr",
+         MoEEDSRNet(in_channels=1, out_channels=1, num_resblocks=16,
+                    num_features=64, upscale_factor=2, num_experts=4,
+                    group_size=256, moe_every=2, fused_tail=True,
+                    dtype=bf16), {"vpc": 4}),
         ("SRFBNet", 2, "sisr",
          SRFBNet(in_channels=1, out_channels=1, num_steps=4, num_features=64,
                  num_groups=6, upscale_factor=2, dtype=bf16, unroll=4,

@@ -36,7 +36,7 @@ def main(names: list[str]) -> None:
     import jax.numpy as jnp
 
     from vsr_tpu.models import (DRFSISRNet, DUFNet, EDVRNet, FRVSRNet,
-                                RBPNet, SRFBNet, TOFlowNet)
+                                MoEEDSRNet, RBPNet, SRFBNet, TOFlowNet)
     from vsr_tpu.preprocess.kspace import kspace_downscale_jax
 
     bf16 = jnp.bfloat16
@@ -69,6 +69,11 @@ def main(names: list[str]) -> None:
         "FRVSRNet": (
             FRVSRNet(in_channels=1, out_channels=1, upscale_factor=4,
                      num_resblocks=10, dtype=bf16), "vsr", 4, {}),
+        "MoEEDSRNet": (
+            MoEEDSRNet(in_channels=1, out_channels=1, num_resblocks=16,
+                       num_features=64, upscale_factor=2, num_experts=4,
+                       group_size=256, moe_every=2, fused_tail=True,
+                       dtype=bf16), "sisr", 2, {"chunk": 60}),
     }
     for name in names or list(cases):
         net, task, factor, opts = cases[name]

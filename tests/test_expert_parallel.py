@@ -138,6 +138,36 @@ def test_moe_expert_params_update():
     assert all(moved.values()), moved
 
 
+def test_moe_rank_router_equals_sort_router():
+    """The rank (pairwise-comparison) router must reproduce the sort
+    (lax.top_k) router bitwise — same selection, same slot order, same
+    stable tie-break — on random AND tie-heavy affinities, for outputs
+    and gradients."""
+    rng = np.random.default_rng(5)
+    x_rand = jnp.asarray(rng.standard_normal((2, 8, 8, 6)), jnp.float32)
+    # Quantized inputs make duplicate affinities likely (tie exercise).
+    x_tied = jnp.asarray(
+        np.round(rng.standard_normal((2, 8, 8, 6)) * 2) / 2, jnp.float32)
+    for x in (x_rand, x_tied):
+        layers = {impl: ExpertChoiceMoE(num_experts=4, capacity_factor=1.0,
+                                        group_size=16, router_impl=impl)
+                  for impl in ("rank", "sort")}
+        params = layers["rank"].init(jax.random.PRNGKey(0), x)
+
+        outs, grads = {}, {}
+        for impl, layer in layers.items():
+            def loss(p, layer=layer):
+                return (layer.apply(p, x) ** 2).mean()
+            outs[impl] = layer.apply(params, x)
+            grads[impl] = jax.grad(loss)(params)
+        np.testing.assert_array_equal(np.asarray(outs["rank"]),
+                                      np.asarray(outs["sort"]))
+        for a, b in zip(jax.tree_util.tree_leaves(grads["rank"]),
+                        jax.tree_util.tree_leaves(grads["sort"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+
 def test_moe_layer_capacity_covers_all_tokens():
     """With capacity_factor >= 1 every token can be picked; with the
     default softmax affinities, the combined update is non-zero for

@@ -19,6 +19,13 @@ TPU-first design decisions:
   lesson (BENCH.md hat-matmul samplers) is that the MXU beats the TPU
   gather unit by orders of magnitude on narrow-row indexed access; the
   GShard-style dispatch matmul is the canonical formulation.
+- **Rank-based top-k** (``router_impl="rank"``, the default): TPU sorts
+  run at ~8 GB/s and ``lax.top_k`` measured 47% of MoE serving device
+  time (scripts/profile_net_serving.py). Each token's descending rank is
+  a pairwise-comparison reduction instead (VPU compares, no sort), with
+  ``lax.top_k``'s stable tie-break reproduced exactly — the two routers
+  are bitwise equal (tests/test_expert_parallel.py) and ``"sort"`` is
+  kept for A/B.
 - **Per-image token groups** (``group_size`` tokens routed independently):
   keeps the one-hot dispatch tensor small (N*T*group_size*cf elements,
   independent of E) and — because groups never span images — makes every
@@ -73,6 +80,7 @@ class ExpertChoiceMoE(nn.Module):
     capacity_factor: float = 1.25
     hidden_mult: int = 2
     group_size: int = 256
+    router_impl: str = "rank"
     dtype: Any = None
 
     @nn.compact
@@ -120,18 +128,40 @@ class ExpertChoiceMoE(nn.Module):
             mask = jnp.tile(mask.reshape(-1, gs), (n, 1))   # (G, gs)
             affinity = affinity * mask[:, :, None]
         # Each expert picks its top-cap tokens within the group.
-        gate, idx = jax.lax.top_k(
-            jnp.swapaxes(affinity, 1, 2), cap)              # (G, e, cap)
-        dispatch = jax.nn.one_hot(idx, gs, dtype=tokens.dtype)  # (G,e,cap,gs)
+        af = jnp.swapaxes(affinity, 1, 2)                   # (G, e, gs)
+        if self.router_impl == "rank":
+            # TPU sorts run at ~8 GB/s and lax.top_k was 47% of MoE
+            # serving device time (scripts/profile_net_serving.py). The
+            # descending rank of each token is a pairwise-comparison
+            # reduction instead — VPU compares, no sort — with the same
+            # stable tie-break as top_k (earlier index wins), so the
+            # selection AND slot order are identical to the sort path.
+            a_i = af[..., :, None]                          # (G, e, gs, 1)
+            a_j = af[..., None, :]                          # (G, e, 1, gs)
+            j_lt_i = (jnp.arange(gs)[None, :]
+                      < jnp.arange(gs)[:, None])            # [i, j]: j < i
+            rank = jnp.sum(
+                ((a_j > a_i) | ((a_j == a_i) & j_lt_i)).astype(jnp.int32),
+                axis=-1)                                    # (G, e, gs)
+            # one_hot maps rank >= cap (unselected) to all-zero rows.
+            dispatch = jax.nn.one_hot(rank, cap, dtype=tokens.dtype)
+            xin = jnp.einsum("getc,gtd->gecd", dispatch, tokens)
+            gate = jnp.einsum("getc,get->gec", dispatch,
+                              af.astype(tokens.dtype))
+        else:
+            gate, idx = jax.lax.top_k(af, cap)              # (G, e, cap)
+            dispatch = jnp.swapaxes(
+                jax.nn.one_hot(idx, gs, dtype=tokens.dtype), -1, -2)
+            xin = jnp.einsum("getc,gtd->gecd", dispatch, tokens)
+            gate = gate.astype(tokens.dtype)
 
-        xin = jnp.einsum("gect,gtd->gecd", dispatch, tokens)
         xin = constrain_expert_dim(xin, 1)                  # EP: all-to-all in
         hdn = jnp.einsum("gecd,edh->gech", xin, wi) + bi[None, :, None, :]
         hdn = constrain_expert_dim(nn.relu(hdn), 1)
         out = jnp.einsum("gech,ehd->gecd", hdn, wo) + bo[None, :, None, :]
         out = constrain_expert_dim(out, 1)
         out = out * gate[..., None].astype(out.dtype)       # affinity-weighted
-        combined = jnp.einsum("gect,gecd->gtd", dispatch, out)  # EP: a2a back
+        combined = jnp.einsum("getc,gecd->gtd", dispatch, out)  # EP: a2a back
         combined = combined.reshape(n, t + pad, d)[:, :t]
         return x + combined.reshape(n, h, w, d).astype(x.dtype)
 
@@ -159,6 +189,7 @@ class MoEEDSRNet(nn.Module):
     hidden_mult: int = 2
     group_size: int = 256
     moe_every: int = 2
+    router_impl: str = "rank"
     fused_tail: bool = False
     dtype: Any = None
 
@@ -175,6 +206,7 @@ class MoEEDSRNet(nn.Module):
                     capacity_factor=self.capacity_factor,
                     hidden_mult=self.hidden_mult,
                     group_size=self.group_size,
+                    router_impl=self.router_impl,
                     dtype=self.dtype,
                 )(body)
         body = Conv(self.num_features, 3, padding=1, dtype=self.dtype)(body)

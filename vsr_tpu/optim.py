@@ -231,14 +231,20 @@ def RAdam(learning_rate: float = 1e-3, lr: float | None = None,
 
 
 def _unwrap_hyperparams_state(opt_state):
-    """Find the inject_hyperparams state (possibly inside optax.MultiSteps
-    or :func:`with_param_ema`)."""
-    while not hasattr(opt_state, "hyperparams"):
-        if hasattr(opt_state, "inner_opt_state"):
-            opt_state = opt_state.inner_opt_state
-        else:
-            raise ValueError("Optimizer state carries no injected hyperparams")
-    return opt_state
+    """Find the inject_hyperparams state (possibly inside optax.MultiSteps,
+    :func:`with_param_ema`, or an ``optax.chain`` tuple — e.g. the trainer's
+    ``grad_clip`` wrap)."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state
+    if hasattr(opt_state, "inner_opt_state"):
+        return _unwrap_hyperparams_state(opt_state.inner_opt_state)
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+        for element in opt_state:
+            try:
+                return _unwrap_hyperparams_state(element)
+            except ValueError:
+                continue
+    raise ValueError("Optimizer state carries no injected hyperparams")
 
 
 class ParamEmaState(NamedTuple):

@@ -59,6 +59,11 @@ SERVING_PRESETS: dict[str, dict] = {
         "volumes_per_call": 4,                # probe_edsr_vpc.py optimum
         "w8a8": "lazy",                       # 1.32x, <=2 grey levels
     },
+    "MoEEDSRNet": {
+        "net_kwargs": {"fused_tail": True},   # EDSR trunk, same fold
+        "volumes_per_call": 4,                # EDSR-series optimum
+        # no w8a8: the expert einsums dominate; convs alone gain little
+    },
     "SRFBNet": {
         "net_kwargs": {"unroll": 4},          # unrolled feedback steps:
                                               # +5.7% (probe_unroll_serving)

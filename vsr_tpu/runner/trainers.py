@@ -79,6 +79,7 @@ class BaseTrainer:
         profile_dir: str | None = None,
         prefetch_to_device: bool = True,
         grad_accumulation: int = 1,
+        grad_clip: float = 0.0,
         ema_decay: float | None = None,
         t_bucket: int = 16,
         **kwargs: Any,
@@ -113,6 +114,13 @@ class BaseTrainer:
             from vsr_tpu.optim import with_param_ema
 
             optimizer = with_param_ema(optimizer, ema_decay)
+        if grad_clip:
+            # Global-norm gradient clipping ahead of the update rule (and
+            # inside MultiSteps, so it clips the ACCUMULATED gradient).
+            import optax
+
+            optimizer = optax.chain(
+                optax.clip_by_global_norm(grad_clip), optimizer)
         if grad_accumulation > 1:
             # Accumulate grads over k micro-batches before applying the
             # update (large effective batch without the memory).
