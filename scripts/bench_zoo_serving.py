@@ -69,7 +69,7 @@ def build_cases(subpixel: bool = False, fsq: bool = False):
          MoEEDSRNet(in_channels=1, out_channels=1, num_resblocks=16,
                     num_features=64, upscale_factor=2, num_experts=4,
                     group_size=256, moe_every=2, fused_tail=True,
-                    dtype=bf16), {"vpc": 4}),
+                    dispatch_impl="dense", dtype=bf16), {"vpc": 4}),
         ("SRFBNet", 2, "sisr",
          SRFBNet(in_channels=1, out_channels=1, num_steps=4, num_features=64,
                  num_groups=6, upscale_factor=2, dtype=bf16, unroll=4,

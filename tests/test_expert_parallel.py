@@ -168,6 +168,41 @@ def test_moe_rank_router_equals_sort_router():
                                        rtol=1e-6, atol=1e-7)
 
 
+def test_moe_dense_dispatch_equals_sparse():
+    """dispatch_impl='dense' (mask-combined all-expert FFN) must reproduce
+    the sparse one-hot dispatch path — same selection, same outputs and
+    gradients — on random and tie-heavy inputs."""
+    rng = np.random.default_rng(6)
+    for x in (jnp.asarray(rng.standard_normal((2, 8, 8, 6)), jnp.float32),
+              jnp.asarray(np.round(rng.standard_normal((2, 8, 8, 6)) * 2)
+                          / 2, jnp.float32)):
+        layers = {impl: ExpertChoiceMoE(num_experts=4, capacity_factor=1.0,
+                                        group_size=16, dispatch_impl=impl)
+                  for impl in ("dense", "sparse")}
+        params = layers["dense"].init(jax.random.PRNGKey(0), x)
+        outs, grads = {}, {}
+        for impl, layer in layers.items():
+            def loss(p, layer=layer):
+                return (layer.apply(p, x) ** 2).mean()
+            outs[impl] = layer.apply(params, x)
+            grads[impl] = jax.grad(loss)(params)
+        np.testing.assert_allclose(np.asarray(outs["dense"]),
+                                   np.asarray(outs["sparse"]),
+                                   rtol=1e-6, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(grads["dense"]),
+                        jax.tree_util.tree_leaves(grads["sparse"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_moe_dense_dispatch_needs_rank_router():
+    layer = ExpertChoiceMoE(num_experts=2, router_impl="sort",
+                            dispatch_impl="dense", group_size=16)
+    x = jnp.zeros((1, 4, 4, 6), jnp.float32)
+    with pytest.raises(ValueError, match="dense"):
+        layer.init(jax.random.PRNGKey(0), x)
+
+
 def test_moe_layer_capacity_covers_all_tokens():
     """With capacity_factor >= 1 every token can be picked; with the
     default softmax affinities, the combined update is non-zero for

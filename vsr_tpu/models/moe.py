@@ -81,6 +81,7 @@ class ExpertChoiceMoE(nn.Module):
     hidden_mult: int = 2
     group_size: int = 256
     router_impl: str = "rank"
+    dispatch_impl: str = "sparse"
     dtype: Any = None
 
     @nn.compact
@@ -129,6 +130,7 @@ class ExpertChoiceMoE(nn.Module):
             affinity = affinity * mask[:, :, None]
         # Each expert picks its top-cap tokens within the group.
         af = jnp.swapaxes(affinity, 1, 2)                   # (G, e, gs)
+        rank = None
         if self.router_impl == "rank":
             # TPU sorts run at ~8 GB/s and lax.top_k was 47% of MoE
             # serving device time (scripts/profile_net_serving.py). The
@@ -143,25 +145,46 @@ class ExpertChoiceMoE(nn.Module):
             rank = jnp.sum(
                 ((a_j > a_i) | ((a_j == a_i) & j_lt_i)).astype(jnp.int32),
                 axis=-1)                                    # (G, e, gs)
-            # one_hot maps rank >= cap (unselected) to all-zero rows.
-            dispatch = jax.nn.one_hot(rank, cap, dtype=tokens.dtype)
-            xin = jnp.einsum("getc,gtd->gecd", dispatch, tokens)
-            gate = jnp.einsum("getc,get->gec", dispatch,
-                              af.astype(tokens.dtype))
-        else:
-            gate, idx = jax.lax.top_k(af, cap)              # (G, e, cap)
-            dispatch = jnp.swapaxes(
-                jax.nn.one_hot(idx, gs, dtype=tokens.dtype), -1, -2)
-            xin = jnp.einsum("getc,gtd->gecd", dispatch, tokens)
-            gate = gate.astype(tokens.dtype)
 
-        xin = constrain_expert_dim(xin, 1)                  # EP: all-to-all in
-        hdn = jnp.einsum("gecd,edh->gech", xin, wi) + bi[None, :, None, :]
-        hdn = constrain_expert_dim(nn.relu(hdn), 1)
-        out = jnp.einsum("gech,ehd->gecd", hdn, wo) + bo[None, :, None, :]
-        out = constrain_expert_dim(out, 1)
-        out = out * gate[..., None].astype(out.dtype)       # affinity-weighted
-        combined = jnp.einsum("getc,gecd->gtd", dispatch, out)  # EP: a2a back
+        if self.dispatch_impl == "dense":
+            # Dense dispatch: every expert's FFN runs on every token and
+            # the gated selection mask combines — no one-hot tensors, no
+            # capacity slots (rank is selection-only). At small E the
+            # extra FFN FLOPs roughly equal the dispatch/combine einsum
+            # FLOPs they replace, and the (G, e, cap, gs) one-hot traffic
+            # disappears. Selected tokens' outputs are bitwise the sparse
+            # path's (same per-token contractions, same e-order combine).
+            if rank is None:
+                raise ValueError(
+                    "dispatch_impl='dense' routes by selection mask and "
+                    "needs router_impl='rank' (the sort router produces "
+                    "capacity slots, not per-token ranks)")
+            gate_t = jnp.where(rank < cap, af, 0).astype(tokens.dtype)
+            hdn = jnp.einsum("gtd,edh->geth", tokens, wi) + bi[:, None, :]
+            hdn = constrain_expert_dim(nn.relu(hdn), 1)
+            out = (jnp.einsum("geth,ehd->getd", hdn, wo)
+                   + bo[:, None, :])
+            out = constrain_expert_dim(out, 1)
+            combined = jnp.einsum("getd,get->gtd", out, gate_t)
+        else:
+            if rank is not None:
+                # one_hot maps rank >= cap (unselected) to all-zero rows.
+                dispatch = jax.nn.one_hot(rank, cap, dtype=tokens.dtype)
+                gate = jnp.einsum("getc,get->gec", dispatch,
+                                  af.astype(tokens.dtype))
+            else:
+                gate, idx = jax.lax.top_k(af, cap)          # (G, e, cap)
+                dispatch = jnp.swapaxes(
+                    jax.nn.one_hot(idx, gs, dtype=tokens.dtype), -1, -2)
+                gate = gate.astype(tokens.dtype)
+            xin = jnp.einsum("getc,gtd->gecd", dispatch, tokens)
+            xin = constrain_expert_dim(xin, 1)              # EP: a2a in
+            hdn = jnp.einsum("gecd,edh->gech", xin, wi) + bi[None, :, None, :]
+            hdn = constrain_expert_dim(nn.relu(hdn), 1)
+            out = jnp.einsum("gech,ehd->gecd", hdn, wo) + bo[None, :, None, :]
+            out = constrain_expert_dim(out, 1)
+            out = out * gate[..., None].astype(out.dtype)   # affinity-weighted
+            combined = jnp.einsum("getc,gecd->gtd", dispatch, out)  # a2a back
         combined = combined.reshape(n, t + pad, d)[:, :t]
         return x + combined.reshape(n, h, w, d).astype(x.dtype)
 
@@ -190,6 +213,7 @@ class MoEEDSRNet(nn.Module):
     group_size: int = 256
     moe_every: int = 2
     router_impl: str = "rank"
+    dispatch_impl: str = "sparse"
     fused_tail: bool = False
     dtype: Any = None
 
@@ -207,6 +231,7 @@ class MoEEDSRNet(nn.Module):
                     hidden_mult=self.hidden_mult,
                     group_size=self.group_size,
                     router_impl=self.router_impl,
+                    dispatch_impl=self.dispatch_impl,
                     dtype=self.dtype,
                 )(body)
         body = Conv(self.num_features, 3, padding=1, dtype=self.dtype)(body)
