@@ -37,11 +37,17 @@ def main() -> None:
     jax.block_until_ready(vol)
     factor, chunk = 2, 60
 
-    for impl in ("sparse", "dense"):
+    variants = [("rank", "sparse"), ("rank", "dense"),
+                ("rank_pallas", "dense"), ("rank_pallas", "sparse")]
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if only:
+        variants = [v for v in variants if f"{v[0]}/{v[1]}" in only]
+    for router, impl in variants:
         net = MoEEDSRNet(in_channels=1, out_channels=1, num_resblocks=16,
                          num_features=64, upscale_factor=2, num_experts=4,
                          group_size=256, moe_every=2, fused_tail=True,
-                         dispatch_impl=impl, dtype=jnp.bfloat16)
+                         router_impl=router, dispatch_impl=impl,
+                         dtype=jnp.bfloat16)
         params = net.init(jax.random.PRNGKey(0),
                           jnp.zeros((1, H // factor, W // factor, 1)))
 
@@ -57,7 +63,8 @@ def main() -> None:
         t0 = time.time()
         out0 = pipeline(vol)
         jax.block_until_ready(out0)
-        print(f"{impl}: compile+first {time.time() - t0:.1f}s", flush=True)
+        print(f"{router}/{impl}: compile+first {time.time() - t0:.1f}s",
+              flush=True)
         iters = 3
         t0 = time.perf_counter()
         carry = jnp.float32(0.0)
@@ -66,8 +73,8 @@ def main() -> None:
             carry = out.astype(jnp.float32).ravel()[0] * 1e-12
         float(carry)
         dt = (time.perf_counter() - t0) / iters
-        print(f"{impl}: {1 / dt:.3f} vol/s ({D * T / dt:.1f} frames/s)",
-              flush=True)
+        print(f"{router}/{impl}: {1 / dt:.3f} vol/s "
+              f"({D * T / dt:.1f} frames/s)", flush=True)
 
 
 if __name__ == "__main__":

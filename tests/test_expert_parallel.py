@@ -168,6 +168,53 @@ def test_moe_rank_router_equals_sort_router():
                                        rtol=1e-6, atol=1e-7)
 
 
+def test_pairwise_rank_kernel_matches_topk_and_xla():
+    """ops/rank.py (interpret mode on CPU): the Pallas rank must equal the
+    XLA pairwise reduction AND reproduce lax.top_k's selection/slot order,
+    including stable ties and ragged row tails (rows % TILE_R != 0)."""
+    from vsr_tpu.ops.rank import TILE_R, pairwise_rank
+
+    rng = np.random.default_rng(8)
+    rows = TILE_R + 37  # ragged tail
+    gs = 128
+    af = rng.standard_normal((rows, gs)).astype(np.float32)
+    # Tie-heavy row WITHOUT signed zeros: comparison-based rank ties
+    # -0.0 with 0.0 where top_k's total-order sort splits them; MoE
+    # affinities are softmax outputs (>= 0, never -0.0), so the layer
+    # never sees the difference (documented in ops/rank.py).
+    af[5] = np.abs(np.round(af[5] * 2) / 2)
+    af_j = jnp.asarray(af)
+    got = np.asarray(pairwise_rank(af_j, interpret=True))
+
+    a_i = af_j[:, :, None]
+    a_j = af_j[:, None, :]
+    j_lt_i = jnp.arange(gs)[None, :] < jnp.arange(gs)[:, None]
+    want = np.asarray(jnp.sum(
+        ((a_j > a_i) | ((a_j == a_i) & j_lt_i)).astype(jnp.int32), axis=-1))
+    np.testing.assert_array_equal(got, want)
+
+    # Slot order vs lax.top_k: token with rank c is top_k's c-th pick.
+    _, idx = jax.lax.top_k(af_j, gs)
+    order = np.asarray(idx)
+    for r in (0, 5, rows - 1):
+        by_rank = np.argsort(got[r], kind="stable")
+        np.testing.assert_array_equal(by_rank, order[r])
+
+
+def test_moe_rank_pallas_router_equals_rank():
+    """router_impl='rank_pallas' (interpret on CPU) equals 'rank' bitwise
+    through the full layer."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 6)), jnp.float32)
+    outs = {}
+    for impl in ("rank", "rank_pallas"):
+        layer = ExpertChoiceMoE(num_experts=4, capacity_factor=1.0,
+                                group_size=128, router_impl=impl)
+        params = layer.init(jax.random.PRNGKey(0), x)
+        outs[impl] = np.asarray(layer.apply(params, x))
+    np.testing.assert_array_equal(outs["rank"], outs["rank_pallas"])
+
+
 def test_moe_dense_dispatch_equals_sparse():
     """dispatch_impl='dense' (mask-combined all-expert FFN) must reproduce
     the sparse one-hot dispatch path — same selection, same outputs and

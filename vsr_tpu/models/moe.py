@@ -131,7 +131,18 @@ class ExpertChoiceMoE(nn.Module):
         # Each expert picks its top-cap tokens within the group.
         af = jnp.swapaxes(affinity, 1, 2)                   # (G, e, gs)
         rank = None
-        if self.router_impl == "rank":
+        if self.router_impl == "rank_pallas":
+            # ops/rank.py: the same pairwise-comparison rank as "rank"
+            # below, but VMEM-resident in a Pallas kernel — the (gs, gs)
+            # broadcast the XLA reduction materializes never exists.
+            # Bitwise-identical selection; falls back to the XLA path
+            # when gs doesn't fill whole 128-lane registers.
+            from vsr_tpu.ops.rank import pairwise_rank, supports_pallas_rank
+
+            if supports_pallas_rank(gs):
+                rank = pairwise_rank(
+                    af, interpret=jax.default_backend() != "tpu")
+        if rank is None and self.router_impl in ("rank", "rank_pallas"):
             # TPU sorts run at ~8 GB/s and lax.top_k was 47% of MoE
             # serving device time (scripts/profile_net_serving.py). The
             # descending rank of each token is a pairwise-comparison
