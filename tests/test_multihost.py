@@ -241,3 +241,77 @@ def test_fsdp_two_process_matches_plain_dp(mh_run):
     assert all("Resume training." in t for t in logs)
     t0 = _parse_logs(logs[0], "Train log: ")
     assert len(t0) == 1 and np.isfinite(t0[0]["Loss"])
+
+
+def test_expert_two_process_matches_single_process(mh_run, tmp_path):
+    """2-process EXPERT-PARALLEL MoE training (mesh {'data': 2 across
+    hosts, 'expert': 2 within each host}): exercises cross-host placement
+    of the expert-stacked leaves (replicated over the process-spanning
+    'data' axis, split over the local 'expert' axis), the collective
+    checkpoint gather, and the batch-1 validation fallback. Final params
+    must match a single-process run with the SAME mesh over the same
+    data."""
+    root, _saved, _logs = mh_run
+    from vsr_tpu.utils.checkpoint import load_checkpoint
+
+    moe_net = {"name": "MoEEDSRNet",
+               "kwargs": {"in_channels": 1, "out_channels": 1,
+                          "num_resblocks": 2, "num_features": 8,
+                          "upscale_factor": 2, "num_experts": 2,
+                          "group_size": 72, "moe_every": 2}}
+
+    ep_saved = root / "ep_out"
+    cfg = _config(root / "data", ep_saved, local_batch=6, host_shard=True,
+                  valid_batch=1)
+    cfg["net"] = moe_net
+    cfg["trainer"]["kwargs"]["mesh_axes"] = {"data": 2, "expert": 2}
+    _launch_pair(root, cfg, "ep")
+
+    single_saved = tmp_path / "ep_single"
+    from vsr_tpu.config import Config
+    from vsr_tpu.main import run_train
+
+    cfg1 = _config(root / "data", single_saved, local_batch=12,
+                   host_shard=False, valid_batch=1)
+    cfg1["net"] = moe_net
+    cfg1["trainer"]["kwargs"]["mesh_axes"] = {"data": 2, "expert": 2}
+    run_train(Config(cfg1))
+
+    d_state, _ = load_checkpoint(ep_saved / "checkpoints" / "model_2.ckpt")
+    s_state, _ = load_checkpoint(
+        single_saved / "checkpoints" / "model_2.ckpt")
+    flat_d = jax_flatten(d_state["params"])
+    flat_s = jax_flatten(s_state["params"])
+    assert flat_d.keys() == flat_s.keys()
+    assert any("expert_" in k for k in flat_d)
+    for key in flat_d:
+        np.testing.assert_allclose(flat_d[key], flat_s[key], rtol=5e-4,
+                                   atol=1e-5, err_msg=key)
+    # The gathered checkpoint holds FULL-shaped expert stacks.
+    for key, v in jax_flatten(d_state["opt_state"]).items():
+        if "expert_wi" in key and v.ndim == 3:
+            assert v.shape[0] == 2, key
+
+
+def test_tensor_parallel_two_process_matches_plain_dp(mh_run):
+    """2-process TENSOR-PARALLEL training (mesh {'data': 2 across hosts,
+    'model': 2 within each host}): params + moments split their
+    output-feature dims on every host; must train the same model as the
+    plain 2-process DP run."""
+    root, saved, _logs = mh_run
+    from vsr_tpu.utils.checkpoint import load_checkpoint
+
+    tp_saved = root / "tp_out"
+    cfg = _config(root / "data", tp_saved, local_batch=6, host_shard=True,
+                  valid_batch=1)
+    cfg["trainer"]["kwargs"]["mesh_axes"] = {"data": 2, "model": 2}
+    _launch_pair(root, cfg, "tp")
+
+    dp_state, _ = load_checkpoint(saved / "checkpoints" / "model_2.ckpt")
+    t_state, _ = load_checkpoint(tp_saved / "checkpoints" / "model_2.ckpt")
+    flat_dp = jax_flatten(dp_state["params"])
+    flat_t = jax_flatten(t_state["params"])
+    assert flat_dp.keys() == flat_t.keys()
+    for key in flat_dp:
+        np.testing.assert_allclose(flat_t[key], flat_dp[key], rtol=5e-4,
+                                   atol=1e-5, err_msg=key)

@@ -204,11 +204,15 @@ class BaseTrainer:
             self.mesh = make_mesh(dict(mesh_axes))
             if self._multiprocess and any(
                     a in self.mesh.shape
-                    for a in ("spatial", "seq", "model", "pipe", "expert")):
+                    for a in ("spatial", "seq", "pipe")):
+                # model/expert DO span hosts (GSPMD parameter placement +
+                # collective ckpt gather — same machinery as multi-host
+                # ZeRO/FSDP); spatial/seq halo exchanges and the shard_map
+                # pipeline schedule stay single-host.
                 raise NotImplementedError(
-                    "multi-host spatial/seq/model/pipe/expert training is "
-                    "not wired yet — use a pure data mesh (mesh_axes="
-                    "{'data': n}) across hosts")
+                    "multi-host spatial/seq/pipe training is not wired "
+                    "yet — across hosts use data/model/expert axes "
+                    "(+ zero_optim/fsdp)")
             if "pipe" in self.mesh.shape:
                 # Pipeline parallelism (parallel/pipeline.py): the EDSR
                 # resblock chain cut into 'pipe' stages, microbatches
