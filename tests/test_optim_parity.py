@@ -65,3 +65,32 @@ def test_cosine_warm_restarts_matches_torch():
         topt.step()
         tsched.step()
     np.testing.assert_allclose(ours, golden, rtol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "name,kwargs",
+    [
+        ("StepLR", {"step_size": 3, "gamma": 0.5}),
+        ("MultiStepLR", {"milestones": [2, 5, 9], "gamma": 0.3}),
+        ("ExponentialLR", {"gamma": 0.9}),
+        ("CosineAnnealingLR", {"T_max": 7, "eta_min": 1e-5}),
+        ("ConstantLR", {"factor": 0.25, "total_iters": 4}),
+        ("LinearLR", {"start_factor": 0.1, "end_factor": 1.0,
+                      "total_iters": 6}),
+        ("PolynomialLR", {"total_iters": 8, "power": 2.0}),
+    ],
+)
+def test_epoch_schedulers_match_torch(name, kwargs):
+    sched = getattr(O, name)(**kwargs)
+    sched.bind(0.1)
+    tp = torch.nn.Parameter(torch.zeros(1))
+    topt = torch.optim.SGD([tp], lr=0.1)
+    tsched = getattr(torch.optim.lr_scheduler, name)(topt, **kwargs)
+    ours, golden = [], []
+    for _ in range(12):
+        golden.append(topt.param_groups[0]["lr"])
+        ours.append(sched._lr())
+        sched.step()
+        topt.step()
+        tsched.step()
+    np.testing.assert_allclose(ours, golden, rtol=1e-6, atol=1e-12)

@@ -392,6 +392,58 @@ class ExponentialLR(Scheduler):
 
 
 @register("lr_scheduler")
+class ConstantLR(Scheduler):
+    """torch.optim.lr_scheduler.ConstantLR: ``base_lr * factor`` for the
+    first ``total_iters`` epochs, ``base_lr`` after."""
+
+    def __init__(self, factor: float = 1.0 / 3, total_iters: int = 5,
+                 **kwargs: Any):
+        super().__init__()
+        self.factor = factor
+        self.total_iters = total_iters
+
+    def _lr(self) -> float:
+        return self.base_lr * (
+            self.factor if self.last_epoch < self.total_iters else 1.0)
+
+
+@register("lr_scheduler")
+class LinearLR(Scheduler):
+    """torch.optim.lr_scheduler.LinearLR: the multiplicative factor ramps
+    linearly from ``start_factor`` to ``end_factor`` over ``total_iters``
+    epochs (warmup when start < end)."""
+
+    def __init__(self, start_factor: float = 1.0 / 3,
+                 end_factor: float = 1.0, total_iters: int = 5,
+                 **kwargs: Any):
+        super().__init__()
+        self.start_factor = start_factor
+        self.end_factor = end_factor
+        self.total_iters = total_iters
+
+    def _lr(self) -> float:
+        t = min(self.last_epoch, self.total_iters) / self.total_iters
+        return self.base_lr * (
+            self.start_factor + (self.end_factor - self.start_factor) * t)
+
+
+@register("lr_scheduler")
+class PolynomialLR(Scheduler):
+    """torch.optim.lr_scheduler.PolynomialLR: decays to zero at
+    ``total_iters`` epochs with the given ``power``."""
+
+    def __init__(self, total_iters: int = 5, power: float = 1.0,
+                 **kwargs: Any):
+        super().__init__()
+        self.total_iters = total_iters
+        self.power = power
+
+    def _lr(self) -> float:
+        t = min(self.last_epoch, self.total_iters) / self.total_iters
+        return self.base_lr * (1.0 - t) ** self.power
+
+
+@register("lr_scheduler")
 class CosineAnnealingLR(Scheduler):
     def __init__(self, T_max: int, eta_min: float = 0.0, **kwargs: Any):
         super().__init__()
