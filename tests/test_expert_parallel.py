@@ -391,6 +391,60 @@ def test_ep_serving_guards():
                       mesh=make_mesh({"data": 2, "expert": 4}))
 
 
+def test_ep_rejects_indivisible_num_experts():
+    """num_experts not divisible by the 'expert' axis would silently
+    replicate the whole axis — refused at placement (training) and
+    pipeline build (serving)."""
+    net = _net(num_experts=6)  # 6 % 4 != 0
+    t = _make({"data": 2, "expert": 4}, net=net)
+    x = jnp.zeros((2, 8, 8, 1), jnp.float32)
+    t.params = net.init(jax.random.PRNGKey(0), x)
+    t.opt_state = t.tx.init(t.params["params"])
+    with pytest.raises(NotImplementedError, match="not divisible"):
+        t._place_state()
+
+    from vsr_tpu.infer import make_pipeline
+    from vsr_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="not divisible"):
+        make_pipeline(net, t.params, 2, "acdc",
+                      mesh=make_mesh({"data": 2, "expert": 4}))
+
+
+def test_moe_unknown_impl_names_fail():
+    x = jnp.zeros((1, 8, 8, 1), jnp.float32)
+    with pytest.raises(ValueError, match="router_impl"):
+        _net(router_impl="Rank").init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="dispatch_impl"):
+        _net(dispatch_impl="Dense").init(jax.random.PRNGKey(0), x)
+
+
+def test_pallas_rank_support_bounds():
+    from vsr_tpu.ops.rank import supports_pallas_rank
+
+    assert supports_pallas_rank(128) and supports_pallas_rank(256)
+    assert not supports_pallas_rank(64)    # lane misalignment
+    assert not supports_pallas_rank(1024)  # VMEM budget
+
+
+def test_moe_router_init_is_lecun():
+    """The router must init at LeCun scale (std ~ 1/sqrt(d)); the expert-
+    stack initializer would land ~sqrt(d)x larger on the (d, e) shape and
+    saturate the routing softmax."""
+    net = MoEEDSRNet(in_channels=1, out_channels=1, num_resblocks=2,
+                     num_features=64, upscale_factor=2, num_experts=4,
+                     group_size=64)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8, 8, 1), jnp.float32))
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    routers = [np.asarray(leaf) for path, leaf in flat
+               if str(path[-1]) == "'router'"
+               or getattr(path[-1], "key", None) == "router"]
+    assert routers
+    for r in routers:
+        assert r.std() < 3.0 / np.sqrt(64), r.std()
+
+
 def test_device_trainer_rejects_expert_axis():
     from vsr_tpu.runner.device_trainer import AcdcSISRDeviceTrainer
 

@@ -307,17 +307,11 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
         # pipeline wrap below). Same composition rule as training: 'data'
         # only (model would re-shard the stacks on a second axis,
         # spatial x expert is untested two-axis partitioner territory).
-        from vsr_tpu.parallel.ep import has_expert_params, shard_expert_params
+        from vsr_tpu.parallel.ep import (shard_expert_params,
+                                         validate_expert_mesh)
 
-        for other in ("model", "spatial"):
-            if mesh.shape.get(other, 1) > 1:
-                raise ValueError(
-                    f"'expert' serving composes with 'data' only; drop the "
-                    f"'{other}' axis from --mesh")
-        if not has_expert_params(params):
-            raise ValueError(
-                "the 'expert' mesh axis applies to MoE nets with expert_* "
-                "param stacks (e.g. MoEEDSRNet) — this net has none")
+        validate_expert_mesh(mesh, params, context="--mesh serving",
+                             exc=ValueError)
         params = shard_expert_params(params, mesh)
     elif mesh is not None and "model" in mesh.shape:
         # Tensor-parallel serving: the closed-over params commit to their

@@ -100,8 +100,21 @@ class ExpertChoiceMoE(nn.Module):
         cap = min(cap, gs)
         hid = self.hidden_mult * d
 
-        router = self.param("router", _expert_init(in_axis=-2), (d, e),
-                            self.dtype or jnp.float32)
+        impls = {"router": (self.router_impl, ("rank", "rank_pallas",
+                                               "sort")),
+                 "dispatch": (self.dispatch_impl, ("sparse", "dense"))}
+        for knob, (value, legal) in impls.items():
+            if value not in legal:
+                raise ValueError(
+                    f"Unknown {knob}_impl {value!r}; legal: {legal} "
+                    "(typos must fail here, not silently fall back)")
+
+        # Plain LeCun for the (d, e) router — _expert_init's batch_axis=(0,)
+        # is only correct for the (e, ...) expert stacks (on (d, e) it
+        # overlaps the fan-in axis, collapsing fan_in to 1 and initializing
+        # ~sqrt(d)x too large, which saturates the routing softmax).
+        router = self.param("router", nn.initializers.lecun_normal(),
+                            (d, e), self.dtype or jnp.float32)
         wi = self.param("expert_wi", _expert_init(in_axis=-2), (e, d, hid),
                         self.dtype or jnp.float32)
         bi = self.param("expert_bi", nn.initializers.zeros, (e, hid),

@@ -79,6 +79,9 @@ def pairwise_rank(af: jax.Array, interpret: bool = False) -> jax.Array:
 
 
 def supports_pallas_rank(gs: int) -> bool:
-    """The kernel's lane constraint: the score axis must fill whole
-    128-lane registers."""
-    return gs % 128 == 0
+    """The kernel's constraints: the score axis must fill whole 128-lane
+    registers, and the per-program (TILE_R, gs, gs) comparison
+    intermediate (int32 count + bool operands, ~8 bytes/element) must fit
+    a conservative VMEM budget — larger group sizes fall back to the XLA
+    reduction instead of failing Mosaic compilation."""
+    return gs % 128 == 0 and TILE_R * gs * gs * 8 <= 8 * 1024 * 1024

@@ -138,6 +138,47 @@ def shard_expert_params(tree, mesh: Mesh, axis: str = EXPERT_AXIS):
     return jax.device_put(tree, expert_shardings(tree, mesh, axis))
 
 
+def validate_expert_mesh(mesh: Mesh, params, *, context: str,
+                         exc=NotImplementedError) -> None:
+    """The one place the 'expert' axis's composition and shardability
+    rules live (used by the trainer's ``_place_state`` AND serving's
+    ``make_pipeline``, so the two entry points cannot drift):
+
+    - composes with ``'data'`` only (model would re-shard the expert
+      stacks on a second axis; spatial/seq x expert is untested two-axis
+      partitioner territory; pipe is a shard_map schedule);
+    - the net must HAVE expert stacks, and every stack's leading
+      ``num_experts`` dim must divide the axis size — anything else would
+      silently replicate the whole mesh axis (the same no-silent-no-op
+      rule as ``parse_mesh_axes``).
+    """
+    size = mesh.shape.get(EXPERT_AXIS, 1)
+    if size <= 1:
+        return
+    for other in ("model", "pipe", "spatial", "seq"):
+        if mesh.shape.get(other, 1) > 1:
+            raise exc(
+                f"'expert' composes with 'data' only; a '{other}' axis "
+                f"cannot join an expert mesh ({context})")
+    stacks = [
+        (path, leaf) for path, leaf in
+        jax.tree_util.tree_leaves_with_path(params)
+        if _leaf_name(path).startswith(EXPERT_PREFIX)
+        and getattr(leaf, "ndim", 0) >= 1
+    ]
+    if not stacks:
+        raise exc(
+            "no expert-stacked params (expert_* leaves) — the 'expert' "
+            f"mesh axis applies to MoE nets (e.g. MoEEDSRNet) ({context})")
+    for path, leaf in stacks:
+        if leaf.shape[0] < size or leaf.shape[0] % size:
+            raise exc(
+                f"expert stack {_leaf_name(path)!r} has num_experts="
+                f"{leaf.shape[0]}, not divisible by the 'expert' axis "
+                f"({size}) — the axis would silently replicate "
+                f"({context})")
+
+
 def has_expert_params(tree) -> bool:
     """True when any leaf is an expert stack — trainers use this to refuse
     an ``'expert'`` mesh axis on nets with nothing to shard over it."""

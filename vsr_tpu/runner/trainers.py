@@ -523,16 +523,13 @@ class BaseTrainer:
                 self.opt_state, self.mesh, axis=self._zero_axis)
         elif self._expert_axis is not None:
             # Expert parallelism: expert stacks SPLIT over 'expert' (all
-            # other leaves replicated); a net with nothing to shard must
-            # not silently replicate a whole mesh axis.
-            from vsr_tpu.parallel.ep import (has_expert_params,
-                                             shard_expert_params)
+            # other leaves replicated); composition + shardability rules
+            # live in ep.validate_expert_mesh (shared with serving).
+            from vsr_tpu.parallel.ep import (shard_expert_params,
+                                             validate_expert_mesh)
 
-            if not has_expert_params(self.params):
-                raise NotImplementedError(
-                    f"{type(self.net).__name__} has no expert-stacked "
-                    "params (expert_* leaves) — the 'expert' mesh axis "
-                    "applies to MoE nets (e.g. MoEEDSRNet)")
+            validate_expert_mesh(self.mesh, self.params,
+                                 context=type(self.net).__name__)
             self.params = shard_expert_params(self.params, self.mesh)
             self.opt_state = shard_expert_params(self.opt_state, self.mesh)
 
