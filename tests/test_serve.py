@@ -697,3 +697,43 @@ def test_pool_batching_single_request_unchanged(tmp_path):
                                    atol=1e-5)
     finally:
         srv.shutdown()
+
+
+def test_live_expert_mesh_moe_serving():
+    """A live MoE pipeline sharded over a data x expert mesh serves
+    through the daemon and matches the direct expert-mesh pipeline."""
+    from vsr_tpu.infer import make_pipeline
+    from vsr_tpu.models import MoEEDSRNet
+    from vsr_tpu.parallel.mesh import make_mesh
+    from vsr_tpu.serve import LivePipeline
+
+    moe_kwargs = {"in_channels": 1, "out_channels": 1, "num_resblocks": 1,
+                  "num_features": 4, "upscale_factor": FACTOR,
+                  "num_experts": 4, "group_size": 48, "moe_every": 1}
+    mesh = make_mesh({"data": 2, "expert": 4})
+    live = LivePipeline(net_name="MoEEDSRNet", net_kwargs=moe_kwargs,
+                        checkpoint="", frames_shape=(N, H, W),
+                        factor=FACTOR, mesh=mesh)
+    srv = make_server([], port=0, warmup=True, live=[live])
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(_url(srv, "/v1/meta")) as resp:
+            metas = json.loads(resp.read())
+        assert any(m.get("live") and m["mesh"] == {"data": 2, "expert": 4}
+                   for m in metas)
+        rng = np.random.default_rng(4)
+        frames = np.round(rng.random((N, H, W)) * 255).astype(np.float32)
+        status, body, _ = _post_npy(srv, frames)
+        assert status == 200
+        sr = np.load(io.BytesIO(body))
+
+        net = MoEEDSRNet(**moe_kwargs)
+        params = net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, H // FACTOR, W // FACTOR, 1)))
+        _, want = make_pipeline(net, params, FACTOR, "acdc",
+                                mesh=mesh)(frames)
+        np.testing.assert_allclose(sr, np.asarray(want, np.float32),
+                                   rtol=0, atol=1e-5)
+    finally:
+        srv.shutdown()
