@@ -4,8 +4,9 @@ The reference framework has no MoE and no parallelism (SURVEY.md §2.9;
 its widest capacity knob is ``num_features``,
 ``/root/reference/src/model/nets/edsr_net.py:19``). This is new
 capability: expert-choice routed FFN blocks on the EDSR trunk, with the
-expert stacks sharded over an ``'expert'`` mesh axis so the dispatch /
-combine einsums run as all-to-alls. Sharded math must equal the
+expert stacks sharded over an ``'expert'`` mesh axis — each device
+computes its own experts and the combine is all-reduced over the axis
+(the compiled schedule, pinned below). Sharded math must equal the
 unsharded step; expert leaves must actually be split and STAY split.
 Runs on the 8 virtual CPU devices from conftest.
 """
@@ -304,6 +305,46 @@ def test_ep_expert_stacks_actually_sharded():
         if "expert_" in str(path[-1]) or not isinstance(leaf, jax.Array):
             continue
         assert leaf.addressable_shards[0].data.shape == leaf.shape
+
+
+def test_ep_compiled_schedule():
+    """Pin the partitioner's expert-parallel schedule from the compiled
+    HLO: the expert weight stacks are NEVER all-gathered (each device
+    computes only its experts — the point of the axis), and the combine
+    (plus router softmax stats) is all-reduced over the 'expert'
+    submesh. With tokens replicated over the expert axis no GShard
+    all-to-all is needed (documented in parallel/ep.py)."""
+    import re
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vsr_tpu.parallel.ep import expert_shardings, use_mesh
+    from vsr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"data": 2, "expert": 4})
+    net = _net()
+    x = jnp.zeros((8, 8, 8, 1), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    shardings = expert_shardings(params, mesh)
+
+    def fwd(p, z):
+        with use_mesh(mesh):
+            return net.apply(p, z)
+
+    hlo = jax.jit(fwd, in_shardings=(shardings, NamedSharding(
+        mesh, P("data")))).lower(
+        jax.device_put(params, shardings), x).compile().as_text()
+
+    # No all-gather may produce an expert-stack shape: wi is (4, 8, 16)
+    # full / (1, 8, 16) per device; gathering it would be data-parallel
+    # in disguise.
+    for m in re.finditer(r"all-gather\(?[^\n]*", hlo):
+        line = m.group(0)
+        assert "f32[4,8,16]" not in line and "f32[4,16,8]" not in line, line
+    # The combine all-reduce over the 'expert' submesh exists:
+    # replica_groups=[2,4] = 2 groups of the 4 expert-adjacent devices.
+    assert re.search(r"all-reduce[^\n]*replica_groups=\[2,4\]", hlo)
+    assert "all-to-all" not in hlo  # documented: not the GShard schedule
 
 
 def test_ep_checkpoint_roundtrip(tmp_path):

@@ -302,11 +302,10 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     if mesh is not None and mesh.shape.get("expert", 1) > 1:
         # Expert-parallel serving (parallel/ep.py): the MoE net's expert
         # stacks (expert_* leaves) shard their leading num_experts dim over
-        # 'expert'; the dispatch/combine einsums run as all-to-alls under
-        # the constraints the layer pins (activated by use_mesh at the
-        # pipeline wrap below). Same composition rule as training: 'data'
-        # only (model would re-shard the stacks on a second axis,
-        # spatial x expert is untested two-axis partitioner territory).
+        # 'expert'; each device computes its experts and the combine is
+        # all-reduced over the axis, under the constraints the layer pins
+        # (activated by use_mesh at the pipeline wrap below). Same
+        # composition rule as training: 'data' only.
         from vsr_tpu.parallel.ep import (shard_expert_params,
                                          validate_expert_mesh)
 

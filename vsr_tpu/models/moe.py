@@ -31,9 +31,9 @@ TPU-first design decisions:
   independent of E) and — because groups never span images — makes every
   image's output invariant to its batch mates.
 - Experts are one batched ``(E, d, h)`` einsum pair, so the ``'expert'``
-  mesh axis shards the leading dim (classic expert parallelism: all-to-all
-  tokens in, 1/N of the experts per device, all-to-all back); see
-  ``parallel/ep.py``.
+  mesh axis shards the leading dim — 1/N of the experts held AND computed
+  per device, with the combine all-reduced over the axis (the compiled
+  schedule; see ``parallel/ep.py``).
 """
 
 from __future__ import annotations

@@ -12,10 +12,16 @@ The design is the GSPMD flavor of GShard/Switch expert parallelism:
   layout through the same path rule;
 - the per-expert token blocks inside the MoE layer are annotated with
   sharding constraints (:func:`constrain_expert_dim`, active only under
-  :func:`use_mesh`), so the XLA SPMD partitioner materializes the classic
-  expert-parallel schedule — all-to-all the dispatched tokens to their
-  experts' devices, batched expert matmuls on 1/``E_axis`` of the experts,
-  all-to-all back — instead of all-gathering the expert weights.
+  :func:`use_mesh`), so the XLA SPMD partitioner splits the expert
+  compute across the axis instead of all-gathering the expert weights.
+  The COMPILED schedule (verified from the partitioned HLO,
+  tests/test_expert_parallel.py::test_ep_compiled_schedule): tokens stay
+  replicated over ``'expert'``, each device computes the router logits,
+  dispatch, and FFN for ITS experts only, and the partitioner all-reduces
+  the router softmax stats (tiny) plus the combined (G, gs, d) output
+  over the axis — an all-reduce schedule, not GShard's all-to-all (which
+  arises when tokens are sharded over the same axis as the experts; with
+  expert-replicated tokens no token exchange is needed at all).
 
 Like :mod:`vsr_tpu.parallel.tp`, placement is annotation-only: any
 assignment is legal under GSPMD (the partitioner guarantees the unsharded
@@ -69,11 +75,11 @@ def constrain_expert_dim(x, dim: int):
     when tracing under :func:`use_mesh` (with an ``'expert'`` axis whose
     size divides the dim); identity otherwise.
 
-    This is what turns the dispatch/combine einsums into all-to-alls: the
-    expert-stacked weights alone would let the partitioner choose to
+    This is what keeps the per-expert compute on the experts' devices:
+    the expert-stacked weights alone would let the partitioner choose to
     all-gather them per device (legal, but data-parallel in disguise);
-    pinning the dispatched token block keeps the per-expert compute on the
-    experts' devices.
+    pinning the dispatched token block forces it to compute each expert's
+    block locally and reduce the combine over the axis instead.
     """
     mesh = current_mesh()
     if mesh is None or mesh.shape.get(EXPERT_AXIS, 1) <= 1:

@@ -78,8 +78,8 @@ def make_gspmd_step(
       :func:`vsr_tpu.parallel.ep.expert_spec`, all other leaves stay
       replicated; the MoE layers' sharding constraints
       (:func:`vsr_tpu.parallel.ep.constrain_expert_dim`, activated here via
-      :func:`vsr_tpu.parallel.ep.use_mesh`) make the partitioner run the
-      dispatch/combine einsums as all-to-alls.
+      :func:`vsr_tpu.parallel.ep.use_mesh`) keep each expert's compute on
+      its devices (combine all-reduced over the axis — see ep.py).
 
     The four are mutually exclusive parameter-placement rules (``model`` /
     ``fsdp`` would re-shard the expert stacks on a second axis — untested

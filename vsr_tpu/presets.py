@@ -62,7 +62,7 @@ SERVING_PRESETS: dict[str, dict] = {
     "MoEEDSRNet": {
         # dense dispatch: gated-mask all-expert FFN, no one-hot tensors —
         # 1.12x sparse at E=4 serving (probe_moe_dispatch.py); sparse
-        # stays the default for EP training (all-to-all schedule).
+        # stays the default for EP training (per-expert local compute).
         "net_kwargs": {"fused_tail": True, "dispatch_impl": "dense"},
         "volumes_per_call": 4,                # EDSR-series optimum
         # no w8a8: the expert einsums dominate; convs alone gain little

@@ -286,8 +286,8 @@ class BaseTrainer:
                 self._fsdp_axis = "data"
             if self.mesh.shape.get("expert", 1) > 1:
                 # Expert parallelism (parallel/ep.py): MoE expert stacks
-                # shard their leading num_experts dim over 'expert'; the
-                # dispatch/combine einsums run as all-to-alls. One
+                # shard their leading num_experts dim over 'expert'; each
+                # device computes its experts, combine all-reduced. One
                 # parameter-placement rule at a time (same exclusivity as
                 # model/zero/fsdp), and the composition with activation
                 # axes ('spatial'/'seq') is untested two-axis partitioner
