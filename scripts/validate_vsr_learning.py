@@ -92,8 +92,12 @@ def main() -> None:
     base = float(psnr(np.clip(np.round(sr_bi), 0, 255), hr_val.reshape(-1, 96, 96)[..., None]))
     print(f"bicubic per-frame PSNR: {base:.3f} dB")
 
+    moe = "--moe" in sys.argv
     net = DRFNet(in_channels=1, out_channels=1, num_features=32, num_groups=3,
-                 upscale_factor=factor)
+                 upscale_factor=factor,
+                 num_experts=4 if moe else 0, expert_group_size=64)
+    if moe:
+        print("MoE flagship: num_experts=4 on every frame step's hidden")
     trainer = DeviceEpochTrainer(
         net=net, loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[],
         optimizer=Adam(lr=2e-4), lr_data=lw, hr_data=hw,
@@ -112,7 +116,8 @@ def main() -> None:
 
     sr = np.asarray(infer(trainer.params, jnp.asarray(lr_val)))  # (8, 12, 96, 96, 1)
     model = float(psnr(sr.reshape(-1, 96, 96, 1), hr_val.reshape(-1, 96, 96)[..., None]))
-    print(f"trained DRFNet per-frame PSNR: {model:.3f} dB ({model - base:+.3f} dB vs bicubic)")
+    tag = "DRFNet-MoE" if moe else "DRFNet"
+    print(f"trained {tag} per-frame PSNR: {model:.3f} dB ({model - base:+.3f} dB vs bicubic)")
     assert model - base > 0.3
     print("VSR LEARNING VALIDATION: OK")
 

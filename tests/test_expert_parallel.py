@@ -496,3 +496,70 @@ def test_device_trainer_rejects_expert_axis():
             optimizer=Adam(lr=1e-3), lr_scheduler=None, logger=None,
             monitor=None, num_epochs=1, patch=8, ratio=2,
             mesh_axes={"data": 2, "expert": 4})
+
+
+# ------------------------------------------------- MoE on the flagship
+
+
+def test_drf_moe_default_off_is_parity_net():
+    """num_experts=0 (the default) must add NO parameters — the reference-
+    parity DRFNet structure is untouched."""
+    from vsr_tpu.models import DRFNet
+
+    x = jnp.zeros((1, 2, 8, 8, 1), jnp.float32)
+    base = DRFNet(in_channels=1, out_channels=1, num_features=8,
+                  num_groups=1, upscale_factor=2)
+    params = base.init(jax.random.PRNGKey(0), x)
+    names = [str(p[-1]) for p, _ in
+             jax.tree_util.tree_leaves_with_path(params)]
+    assert not any("expert" in n or "router" in n for n in names)
+
+
+def test_drf_moe_forward_and_expert_training():
+    """DRFNet(num_experts=4): MoE inside the frame scan — forward finite,
+    expert stacks present (broadcast across frames), and the expert-mesh
+    trainer step matches the unsharded step."""
+    from vsr_tpu.models import DRFNet
+    from vsr_tpu.runner.trainers import AcdcVSRTrainer
+
+    net = DRFNet(in_channels=1, out_channels=1, num_features=8,
+                 num_groups=1, upscale_factor=2, num_experts=4,
+                 expert_group_size=64)
+
+    def make(mesh_axes):
+        return AcdcVSRTrainer(
+            train_dataloader=None, valid_dataloader=None, net=net,
+            loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[PSNR()],
+            optimizer=Adam(lr=1e-3), lr_scheduler=None, logger=None,
+            monitor=None, num_epochs=1, mesh_axes=mesh_axes)
+
+    rng = np.random.default_rng(11)
+    batch = {
+        "lr_imgs": rng.standard_normal((4, 2, 8, 8, 1)).astype(np.float32),
+        "hr_imgs": rng.standard_normal((4, 2, 16, 16, 1)).astype(np.float32),
+        "index": np.arange(4)}
+
+    results = {}
+    for key, axes, sharded in (("ep", {"data": 2, "expert": 4}, True),
+                               ("plain", None, False)):
+        t = make(axes)
+        inputs, targets = t._get_inputs_targets(batch)
+        t.params = net.init(jax.random.PRNGKey(0), inputs)
+        t.opt_state = t.tx.init(t.params["params"])
+        t._place_state()
+        step = t._dp_train_step if sharded else (
+            lambda p, o, i, g: t._train_step(p, o, i, g, training=True))
+        p, o, scalars, _ = step(t.params, t.opt_state, inputs, targets)
+        results[key] = (p, {k: float(v) for k, v in scalars.items()})
+
+    names = [str(pth[-1]) for pth, _ in
+             jax.tree_util.tree_leaves_with_path(results["plain"][0])]
+    assert any("expert_wi" in n for n in names)
+    for k in results["plain"][1]:
+        np.testing.assert_allclose(results["ep"][1][k],
+                                   results["plain"][1][k],
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(results["ep"][0]),
+                    jax.tree_util.tree_leaves(results["plain"][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)

@@ -21,6 +21,7 @@ from flax import linen as nn
 
 from vsr_tpu.models.common import Conv, ShuffleConv
 from vsr_tpu.models.feedback import FBlock, InBlock, check_upscale_factor
+from vsr_tpu.models.moe import ExpertChoiceMoE
 from vsr_tpu.ops.pixel_shuffle import pixel_shuffle
 from vsr_tpu.registry import register
 
@@ -66,6 +67,9 @@ class _DRFStep(nn.Module):
     dtype: Any = None
     subpixel_deconv: bool = False
     fused_squeeze: bool = False
+    num_experts: int = 0
+    expert_group_size: int = 256
+    expert_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, hidden, in_feat):
@@ -73,6 +77,16 @@ class _DRFStep(nn.Module):
                    dtype=self.dtype,
                    subpixel_deconv=self.subpixel_deconv,
                    fused_squeeze=self.fused_squeeze)(in_feat, hidden)
+        if self.num_experts:
+            # Conditional capacity on the recurrent hidden features:
+            # expert stacks broadcast across the frame/feedback scan
+            # (models/moe.py; the 'expert' mesh axis shards them).
+            f = ExpertChoiceMoE(
+                num_experts=self.num_experts,
+                capacity_factor=self.expert_capacity_factor,
+                group_size=self.expert_group_size,
+                dtype=self.dtype,
+            )(f)
         out = _OutBlock(self.out_channels, self.upscale_factor,
                         fused=self.fused_tail, dtype=self.dtype)(
             in_feat + f
@@ -92,6 +106,12 @@ class DRFSISRNet(nn.Module):
     dtype: Any = None
     subpixel_deconv: bool = False
     fused_squeeze: bool = False
+    #: >0 inserts an ExpertChoiceMoE block (models/moe.py) on the hidden
+    #: features of every feedback step — conditional capacity; 0 = the
+    #: reference-parity net (no extra params).
+    num_experts: int = 0
+    expert_group_size: int = 256
+    expert_capacity_factor: float = 1.25
     #: lax.scan ``unroll`` for the feedback loop (exact; see DRFNet.unroll).
     unroll: int = 1
 
@@ -113,6 +133,9 @@ class DRFSISRNet(nn.Module):
             self.upscale_factor, fused_tail=self.fused_tail, dtype=self.dtype,
             subpixel_deconv=self.subpixel_deconv,
             fused_squeeze=self.fused_squeeze,
+            num_experts=self.num_experts,
+            expert_group_size=self.expert_group_size,
+            expert_capacity_factor=self.expert_capacity_factor,
         )(in_feat, in_feat)
         return outputs  # (num_steps, N, H, W, C)
 
@@ -133,6 +156,11 @@ class DRFNet(nn.Module):
     dtype: Any = None
     subpixel_deconv: bool = False
     fused_squeeze: bool = False
+    #: >0 inserts an ExpertChoiceMoE block on the hidden features of every
+    #: frame step (shared across frames; see DRFSISRNet.num_experts).
+    num_experts: int = 0
+    expert_group_size: int = 256
+    expert_capacity_factor: float = 1.25
     #: lax.scan ``unroll`` for the frame loop. >1 unrolls that many frame
     #: steps per scan iteration (exact — same ops, straight-line); a probe
     #: knob for the training backward's activation-stash traffic
@@ -171,6 +199,9 @@ class DRFNet(nn.Module):
             self.upscale_factor, fused_tail=self.fused_tail,
             dtype=self.dtype, subpixel_deconv=self.subpixel_deconv,
             fused_squeeze=self.fused_squeeze,
+            num_experts=self.num_experts,
+            expert_group_size=self.expert_group_size,
+            expert_capacity_factor=self.expert_capacity_factor,
             name="step",
         )(in_feats_t[0], in_feats_t)
         return jnp.moveaxis(outputs, 0, 1)  # (N, T, H, W, C)
