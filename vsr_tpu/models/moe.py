@@ -38,7 +38,6 @@ TPU-first design decisions:
 
 from __future__ import annotations
 
-import math
 from typing import Any
 
 import jax
