@@ -108,3 +108,22 @@ def test_tune_windows_divisibility_guard(tmp_path):
                        net_kwargs='{"in_channels": 1, "out_channels": 1, '
                                   '"num_frames": 5, "size_filter": 3, '
                                   '"upscale_factor": 2}'))
+
+
+def test_tune_moe_sweeps_dispatch(tmp_path):
+    """MoE nets sweep dispatch_impl (sparse vs dense) alongside
+    fused_tail x chunk, and the best entry pins it explicitly."""
+    out = tune_run(_args(
+        tmp_path, net="MoEEDSRNet",
+        net_kwargs='{"in_channels": 1, "out_channels": 1, '
+                   '"num_resblocks": 2, "num_features": 4, '
+                   '"upscale_factor": 2, "num_experts": 2, '
+                   '"group_size": 36, "moe_every": 1}'))
+    ok = [r for r in out["measured"] if "error" not in r]
+    # fused_tail x dispatch x chunk = 2 * 2 * 2 rows.
+    assert len(ok) == 8
+    assert {r["dispatch_impl"] for r in ok} == {"sparse", "dense"}
+    entry = json.loads(
+        (tmp_path / "tuned.json").read_text())["presets"]["MoEEDSRNet"]
+    assert entry["net_kwargs"]["dispatch_impl"] in ("sparse", "dense")
+    assert "fused_tail" in entry["net_kwargs"]

@@ -110,6 +110,12 @@ def run(args) -> dict:
         "net", {"name": args.net, "kwargs": dict(net_kwargs)})
     tail_grid = ([False, True] if hasattr(probe_net, "fused_tail")
                  and not net_kwargs.get("fused_tail") else [None])
+    # MoE dispatch (models/moe.py): sparse one-hot vs dense gated-mask —
+    # equal within float reassociation; the optimum flips with E and the
+    # chip generation (BENCH.md round 3: dense 1.12x at E=4 on v5e).
+    dispatch_grid = (["sparse", "dense"]
+                     if hasattr(probe_net, "dispatch_impl")
+                     and "dispatch_impl" not in net_kwargs else [None])
 
     rng = np.random.default_rng(0)
     bufs = [jax.device_put(np.round(
@@ -119,9 +125,12 @@ def run(args) -> dict:
     rows: list[dict[str, Any]] = []
     best = None
     for tail in tail_grid:
+      for dispatch in dispatch_grid:
         kw = dict(net_kwargs)
         if tail is not None:
             kw["fused_tail"] = tail
+        if dispatch is not None:
+            kw["dispatch_impl"] = dispatch
         net, params, train_flag = build_serving_net(
             args.net, kw, args.checkpoint,
             lr_hw=(h // args.factor, w // args.factor),
@@ -131,6 +140,8 @@ def run(args) -> dict:
             label = {"chunk": chunk}
             if tail is not None:
                 label["fused_tail"] = tail
+            if dispatch is not None:
+                label["dispatch_impl"] = dispatch
             try:
                 pipe = make_pipeline(
                     net, params, args.factor, args.dataset,
@@ -158,8 +169,10 @@ def run(args) -> dict:
     # shipped one, so an omitted knob would silently resurrect the v5e
     # value this sweep just measured against.
     entry: dict[str, Any] = {"chunk": knobs["chunk"]}
-    if "fused_tail" in knobs:
-        entry["net_kwargs"] = {"fused_tail": knobs["fused_tail"]}
+    swept_kwargs = {k: knobs[k] for k in ("fused_tail", "dispatch_impl")
+                    if k in knobs}
+    if swept_kwargs:
+        entry["net_kwargs"] = swept_kwargs
     if video_t:
         entry["video"] = True
     if args.windows:
