@@ -57,6 +57,17 @@ def test_export_roundtrip_video_net(tmp_path, rng):
     _roundtrip(tmp_path, net, (6, 24, 24), rng, video_t=3)
 
 
+def test_export_roundtrip_moe(tmp_path, rng):
+    """MoE export: routing (rank selection + dense dispatch) serializes
+    through jax.export and serves treeless."""
+    from vsr_tpu.models import MoEEDSRNet
+
+    net = MoEEDSRNet(in_channels=1, out_channels=1, num_resblocks=2,
+                     num_features=4, upscale_factor=2, num_experts=2,
+                     group_size=36, moe_every=1, dispatch_impl="dense")
+    _roundtrip(tmp_path, net, (4, 24, 24), rng)
+
+
 def test_export_cli_and_run(tmp_path, rng):
     """The argparse surface: export an artifact, then serve a tree from it."""
     import argparse
