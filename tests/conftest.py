@@ -24,7 +24,11 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache: repeated jit compiles (many tiny trainers
 # across tests) hit disk instead of recompiling, cutting suite time ~10x.
-jax.config.update("jax_compilation_cache_dir", "/tmp/vsr_tpu_jax_cache_cpu")
+# SUITE-PRIVATE dir (not the generic /tmp/vsr_tpu_jax_cache_cpu): CPU-jax
+# processes with different XLA machine-feature flags poison a shared cache
+# into entries that abort/hang later runs (CLAUDE.md round-3 gotcha, hit
+# twice) — only 8-virtual-device suite processes may write here.
+jax.config.update("jax_compilation_cache_dir", "/tmp/vsr_tpu_jax_cache_cpu_suite8")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
