@@ -73,6 +73,7 @@ def main(names: list[str]) -> None:
             MoEEDSRNet(in_channels=1, out_channels=1, num_resblocks=16,
                        num_features=64, upscale_factor=2, num_experts=4,
                        group_size=256, moe_every=2, fused_tail=True,
+                       dispatch_impl="dense",
                        dtype=bf16), "sisr", 2, {"chunk": 60}),
     }
     for name in names or list(cases):
