@@ -94,7 +94,9 @@ def main() -> None:
         train_dataloader=Dataloader(train_ds, batch_size=8, shuffle=True),
         valid_dataloader=Dataloader(valid_ds, batch_size=1),
         net=DRFNet(in_channels=1, out_channels=1, num_features=32,
-                   num_groups=3, upscale_factor=factor),
+                   num_groups=3, upscale_factor=factor,
+                   num_experts=4 if __import__("os").environ.get(
+                       "SOAK_MOE") else 0, expert_group_size=64),
         loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[PSNR()],
         optimizer=Adam(lr=2e-4), lr_scheduler=None, logger=None,
         monitor=Monitor(checkpoints_dir=Path("/tmp/vsr_soak_ckpt"),
