@@ -28,12 +28,32 @@ jax.config.update("jax_platforms", "cpu")
 # processes with different XLA machine-feature flags poison a shared cache
 # into entries that abort/hang later runs (CLAUDE.md round-3 gotcha, hit
 # twice) — only 8-virtual-device suite processes may write here.
-jax.config.update("jax_compilation_cache_dir", "/tmp/vsr_tpu_jax_cache_cpu_suite8")
+#
+# CRASH SELF-HEAL: a run that dies mid-cache-write (SIGABRT) can leave a
+# corrupt entry that every later run of the same program deserializes and
+# aborts on — observed round 3 (a previously-green test aborting until the
+# dir was removed). A sentinel marks clean session exits; if the previous
+# session didn't exit cleanly, start from an empty cache.
+_CACHE_DIR = "/tmp/vsr_tpu_jax_cache_cpu_suite8"
+_SENTINEL = os.path.join(_CACHE_DIR, ".clean_exit")
+if os.path.isdir(_CACHE_DIR) and not os.path.exists(_SENTINEL):
+    import shutil
+
+    shutil.rmtree(_CACHE_DIR, ignore_errors=True)
+if os.path.exists(_SENTINEL):
+    os.remove(_SENTINEL)  # this session is now "in flight"
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_sessionfinish(session, exitstatus):
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    with open(_SENTINEL, "w") as f:
+        f.write("ok\n")
 
 
 @pytest.fixture

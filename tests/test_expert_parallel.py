@@ -563,3 +563,55 @@ def test_drf_moe_forward_and_expert_training():
                     jax.tree_util.tree_leaves(results["plain"][0])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-5)
+
+
+def test_rank_pallas_router_is_trainable():
+    """jax.grad through router_impl='rank_pallas' must work (pallas_call
+    has no autodiff rule — the layer cuts the edge with stop_gradient;
+    the rank is integer so the cut is exact) and match the XLA rank
+    router's gradients."""
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 6)), jnp.float32)
+    grads = {}
+    for impl in ("rank", "rank_pallas"):
+        layer = ExpertChoiceMoE(num_experts=2, capacity_factor=1.0,
+                                group_size=128, router_impl=impl)
+        params = layer.init(jax.random.PRNGKey(0), x)
+        grads[impl] = jax.grad(
+            lambda p, layer=layer: (layer.apply(p, x) ** 2).mean())(params)
+    for a, b in zip(jax.tree_util.tree_leaves(grads["rank"]),
+                    jax.tree_util.tree_leaves(grads["rank_pallas"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_moe_expert_params_cast_to_activation_dtype():
+    """Serving a restored f32 checkpoint under dtype=bfloat16 must not
+    promote the expert FFN back to f32 — params join the activation
+    dtype at use (the round-2 bf16 dtype-leak class)."""
+    net = _net(dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 8, 8, 1), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    # Simulate a checkpoint restore: leaves come back f32.
+    params_f32 = jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float32), params)
+    y = net.apply(params_f32, x)
+    assert np.isfinite(np.asarray(y)).all()
+    # Prove it from the jaxpr: every non-router dot (the expert FFN and
+    # dispatch einsums) must run on bf16 operands even with f32 params
+    # (the router logits dot is intentionally f32 for softmax stability).
+    jaxpr = jax.make_jaxpr(lambda p: net.apply(p, x))(params_f32)
+    dots = [e for e in jaxpr.jaxpr.eqns for e in _all_eqns(e)
+            if e.primitive.name == "dot_general"]
+    dtypes = {str(e.invars[0].aval.dtype) for e in dots}
+    assert "bfloat16" in dtypes, dtypes
+
+
+def _all_eqns(eqn):
+    """Flatten nested (scan/pjit/custom) jaxprs."""
+    yield eqn
+    for v in eqn.params.values():
+        inner = getattr(v, "jaxpr", None)
+        if inner is not None:
+            for e in getattr(inner, "eqns", []):
+                yield from _all_eqns(e)

@@ -123,6 +123,13 @@ class ExpertChoiceMoE(nn.Module):
         bo = self.param("expert_bo", nn.initializers.zeros, (e, d),
                         self.dtype or jnp.float32)
 
+        # Params joined to the ACTIVATION dtype at use, not only at init:
+        # a checkpoint restore keeps the stored f32 leaves, and
+        # jnp.einsum(bf16, f32) would silently promote the whole expert
+        # FFN to f32 (the round-2 bf16 dtype-leak class).
+        cd = x.dtype
+        wi, bi, wo, bo = (p.astype(cd) for p in (wi, bi, wo, bo))
+
         tokens = x.reshape(n, t, d)
         if pad:
             tokens = jnp.concatenate(
@@ -152,8 +159,12 @@ class ExpertChoiceMoE(nn.Module):
             from vsr_tpu.ops.rank import pairwise_rank, supports_pallas_rank
 
             if supports_pallas_rank(gs):
+                # stop_gradient: pallas_call has no autodiff rule; the
+                # rank is integer (zero tangent) so cutting the edge is
+                # exact — gradients flow through the gate values only.
                 rank = pairwise_rank(
-                    af, interpret=jax.default_backend() != "tpu")
+                    jax.lax.stop_gradient(af),
+                    interpret=jax.default_backend() != "tpu")
         if rank is None and self.router_impl in ("rank", "rank_pallas"):
             # TPU sorts run at ~8 GB/s and lax.top_k was 47% of MoE
             # serving device time (scripts/profile_net_serving.py). The

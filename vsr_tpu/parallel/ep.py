@@ -144,6 +144,20 @@ def shard_expert_params(tree, mesh: Mesh, axis: str = EXPERT_AXIS):
     return jax.device_put(tree, expert_shardings(tree, mesh, axis))
 
 
+def validate_expert_composition(mesh_shape, *, context: str,
+                                exc=NotImplementedError) -> None:
+    """The 'expert' axis's mesh-composition rule (shared by the trainer's
+    constructor — which runs before params exist — and
+    :func:`validate_expert_mesh`): composes with ``'data'`` only."""
+    if mesh_shape.get(EXPERT_AXIS, 1) <= 1:
+        return
+    for other in ("model", "pipe", "spatial", "seq"):
+        if mesh_shape.get(other, 1) > 1:
+            raise exc(
+                f"'expert' composes with 'data' only; a '{other}' axis "
+                f"cannot join an expert mesh ({context})")
+
+
 def validate_expert_mesh(mesh: Mesh, params, *, context: str,
                          exc=NotImplementedError) -> None:
     """The one place the 'expert' axis's composition and shardability
@@ -161,11 +175,7 @@ def validate_expert_mesh(mesh: Mesh, params, *, context: str,
     size = mesh.shape.get(EXPERT_AXIS, 1)
     if size <= 1:
         return
-    for other in ("model", "pipe", "spatial", "seq"):
-        if mesh.shape.get(other, 1) > 1:
-            raise exc(
-                f"'expert' composes with 'data' only; a '{other}' axis "
-                f"cannot join an expert mesh ({context})")
+    validate_expert_composition(mesh.shape, context=context, exc=exc)
     stacks = [
         (path, leaf) for path, leaf in
         jax.tree_util.tree_leaves_with_path(params)
@@ -183,18 +193,3 @@ def validate_expert_mesh(mesh: Mesh, params, *, context: str,
                 f"{leaf.shape[0]}, not divisible by the 'expert' axis "
                 f"({size}) — the axis would silently replicate "
                 f"({context})")
-
-
-def has_expert_params(tree) -> bool:
-    """True when any leaf is an expert stack — trainers use this to refuse
-    an ``'expert'`` mesh axis on nets with nothing to shard over it."""
-    found = False
-
-    def visit(path, v):
-        nonlocal found
-        if _leaf_name(path).startswith(EXPERT_PREFIX):
-            found = True
-        return v
-
-    jax.tree_util.tree_map_with_path(visit, tree)
-    return found

@@ -289,14 +289,13 @@ class BaseTrainer:
                 # shard their leading num_experts dim over 'expert'; each
                 # device computes its experts, combine all-reduced. One
                 # parameter-placement rule at a time (same exclusivity as
-                # model/zero/fsdp), and the composition with activation
-                # axes ('spatial'/'seq') is untested two-axis partitioner
-                # territory — composes with 'data' only.
-                for other in ("model", "pipe", "spatial", "seq"):
-                    if self.mesh.shape.get(other, 1) > 1:
-                        raise NotImplementedError(
-                            f"'expert' composes with 'data' only; a "
-                            f"'{other}' axis cannot join an expert mesh")
+                # model/zero/fsdp); the composition rule itself is shared
+                # with serving (ep.validate_expert_composition; the full
+                # params-aware check runs at _place_state).
+                from vsr_tpu.parallel.ep import validate_expert_composition
+
+                validate_expert_composition(
+                    self.mesh.shape, context=type(self).__name__)
                 if zero_optim or fsdp:
                     raise NotImplementedError(
                         "zero_optim/fsdp do not compose with an 'expert' "

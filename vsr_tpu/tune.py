@@ -115,7 +115,9 @@ def run(args) -> dict:
     # chip generation (BENCH.md round 3: dense 1.12x at E=4 on v5e).
     dispatch_grid = (["sparse", "dense"]
                      if hasattr(probe_net, "dispatch_impl")
-                     and "dispatch_impl" not in net_kwargs else [None])
+                     and "dispatch_impl" not in net_kwargs
+                     and net_kwargs.get("router_impl") != "sort"
+                     else [None])  # dense needs a rank router
 
     rng = np.random.default_rng(0)
     bufs = [jax.device_put(np.round(
