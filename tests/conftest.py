@@ -32,16 +32,38 @@ jax.config.update("jax_platforms", "cpu")
 # CRASH SELF-HEAL: a run that dies mid-cache-write (SIGABRT) can leave a
 # corrupt entry that every later run of the same program deserializes and
 # aborts on — observed round 3 (a previously-green test aborting until the
-# dir was removed). A sentinel marks clean session exits; if the previous
-# session didn't exit cleanly, start from an empty cache.
+# dir was removed). Every session drops a pid marker and removes it on
+# clean exit; a leftover marker whose pid is DEAD means the previous
+# session crashed mid-run — start from an empty cache. A marker with a
+# LIVE pid is a concurrently-running session: never wipe under it (the
+# wipe itself would corrupt that session).
 _CACHE_DIR = "/tmp/vsr_tpu_jax_cache_cpu_suite8"
-_SENTINEL = os.path.join(_CACHE_DIR, ".clean_exit")
-if os.path.isdir(_CACHE_DIR) and not os.path.exists(_SENTINEL):
-    import shutil
 
-    shutil.rmtree(_CACHE_DIR, ignore_errors=True)
-if os.path.exists(_SENTINEL):
-    os.remove(_SENTINEL)  # this session is now "in flight"
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except Exception:
+        return True  # exists but not ours / unknown — assume alive
+    return True
+
+
+if os.path.isdir(_CACHE_DIR):
+    import glob as _glob
+
+    _markers = _glob.glob(os.path.join(_CACHE_DIR, ".inflight.*"))
+    _dead = [m for m in _markers
+             if not _pid_alive(int(m.rsplit(".", 1)[-1]))]
+    if _dead and len(_dead) == len(_markers):
+        import shutil
+
+        shutil.rmtree(_CACHE_DIR, ignore_errors=True)
+os.makedirs(_CACHE_DIR, exist_ok=True)
+_MARKER = os.path.join(_CACHE_DIR, f".inflight.{os.getpid()}")
+with open(_MARKER, "w") as _f:
+    _f.write("running\n")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -51,9 +73,10 @@ import pytest  # noqa: E402
 
 
 def pytest_sessionfinish(session, exitstatus):
-    os.makedirs(_CACHE_DIR, exist_ok=True)
-    with open(_SENTINEL, "w") as f:
-        f.write("ok\n")
+    try:
+        os.remove(_MARKER)
+    except OSError:
+        pass
 
 
 @pytest.fixture
