@@ -38,15 +38,22 @@ def main() -> None:
     factor, chunk = 2, 60
 
     variants = [("rank", "sparse"), ("rank", "dense"),
-                ("rank_pallas", "dense"), ("rank_pallas", "sparse")]
+                ("rank_pallas", "dense"), ("rank_pallas", "sparse"),
+                ("radix1", "dense"), ("radix4", "dense"),
+                ("radix8", "dense")]
     only = [a for a in sys.argv[1:] if not a.startswith("-")]
     if only:
         variants = [v for v in variants if f"{v[0]}/{v[1]}" in only]
     for router, impl in variants:
+        radix_bits = 4
+        if router.startswith("radix") and router != "radix":
+            radix_bits = int(router[len("radix"):])
         net = MoEEDSRNet(in_channels=1, out_channels=1, num_resblocks=16,
                          num_features=64, upscale_factor=2, num_experts=4,
                          group_size=256, moe_every=2, fused_tail=True,
-                         router_impl=router, dispatch_impl=impl,
+                         router_impl=("radix" if router.startswith("radix")
+                                      else router),
+                         dispatch_impl=impl, radix_bits=radix_bits,
                          dtype=jnp.bfloat16)
         params = net.init(jax.random.PRNGKey(0),
                           jnp.zeros((1, H // factor, W // factor, 1)))

@@ -615,3 +615,94 @@ def _all_eqns(eqn):
         if inner is not None:
             for e in getattr(inner, "eqns", []):
                 yield from _all_eqns(e)
+
+
+def test_topk_mask_matches_topk_selection():
+    """ops/select.py radix threshold search: the mask must equal the
+    pairwise-rank selection (== lax.top_k's set with stable ties) on
+    random, tie-heavy, all-equal, and padded-zero rows, for every k and
+    several radix widths."""
+    from vsr_tpu.ops.select import topk_mask
+
+    rng = np.random.default_rng(11)
+    gs = 24
+    rows = []
+    rows.append(rng.random((gs,)).astype(np.float32))          # random
+    rows.append(np.abs(np.round(rng.standard_normal(gs) * 2) / 2)
+                .astype(np.float32))                           # tie-heavy
+    rows.append(np.full((gs,), 0.25, np.float32))              # all-equal
+    pad = rng.random((gs,)).astype(np.float32)
+    pad[gs // 2:] = 0.0                                        # pad zeros
+    rows.append(pad)
+    rows.append(np.zeros((gs,), np.float32))                   # all-zero
+    af = jnp.asarray(np.stack(rows))
+
+    a_i = af[:, :, None]
+    a_j = af[:, None, :]
+    j_lt_i = jnp.arange(gs)[None, :] < jnp.arange(gs)[:, None]
+    rank = np.asarray(jnp.sum(
+        ((a_j > a_i) | ((a_j == a_i) & j_lt_i)).astype(jnp.int32), axis=-1))
+
+    for k in (1, 2, gs // 3, gs - 1, gs):
+        want = rank < k
+        for radix_bits in (1, 3, 4, 8):
+            got = np.asarray(topk_mask(af, k, radix_bits=radix_bits))
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"k={k} R={radix_bits}")
+        # And against lax.top_k's selected index set directly.
+        _, idx = jax.lax.top_k(af, k)
+        for r in range(af.shape[0]):
+            sel = np.zeros(gs, bool)
+            sel[np.asarray(idx)[r]] = True
+            np.testing.assert_array_equal(
+                np.asarray(topk_mask(af, k))[r], sel, err_msg=f"row {r}")
+
+
+def test_topk_mask_guards():
+    from vsr_tpu.ops.select import topk_mask
+
+    af = jnp.zeros((4, 8), jnp.float32)
+    with pytest.raises(ValueError, match="k="):
+        topk_mask(af, 0)
+    with pytest.raises(ValueError, match="k="):
+        topk_mask(af, 9)
+    with pytest.raises(ValueError, match="radix_bits"):
+        topk_mask(af, 2, radix_bits=0)
+
+
+def test_moe_radix_router_equals_rank():
+    """router_impl='radix' (threshold search, dense dispatch) equals
+    'rank' bitwise through the full layer — outputs AND gradients — on
+    random and tie-heavy inputs, including non-divisible token counts
+    (padded zero-affinity slots)."""
+    rng = np.random.default_rng(12)
+    shapes = [(2, 8, 8, 6), (1, 9, 7, 6)]  # second: t % gs != 0
+    for shape in shapes:
+        x_rand = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        x_tied = jnp.asarray(
+            np.round(rng.standard_normal(shape) * 2) / 2, jnp.float32)
+        for x in (x_rand, x_tied):
+            layers = {impl: ExpertChoiceMoE(
+                num_experts=4, capacity_factor=1.0, group_size=16,
+                router_impl=impl, dispatch_impl="dense")
+                for impl in ("rank", "radix")}
+            params = layers["rank"].init(jax.random.PRNGKey(0), x)
+            outs, grads = {}, {}
+            for impl, layer in layers.items():
+                def loss(p, layer=layer, x=x):
+                    return (layer.apply(p, x) ** 2).mean()
+                outs[impl] = layer.apply(params, x)
+                grads[impl] = jax.grad(loss)(params)
+            np.testing.assert_array_equal(np.asarray(outs["rank"]),
+                                          np.asarray(outs["radix"]))
+            for a, b in zip(jax.tree_util.tree_leaves(grads["rank"]),
+                            jax.tree_util.tree_leaves(grads["radix"])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_moe_radix_router_requires_dense():
+    layer = ExpertChoiceMoE(num_experts=2, router_impl="radix",
+                            dispatch_impl="sparse", group_size=16)
+    x = jnp.zeros((1, 4, 4, 6), jnp.float32)
+    with pytest.raises(ValueError, match="radix"):
+        layer.init(jax.random.PRNGKey(0), x)

@@ -26,6 +26,16 @@ TPU-first design decisions:
   ``lax.top_k``'s stable tie-break reproduced exactly — the two routers
   are bitwise equal (tests/test_expert_parallel.py) and ``"sort"`` is
   kept for A/B.
+- **Radix threshold selection** (``router_impl="radix"``, dense dispatch
+  only): when only the selection MASK is needed, the pairwise rank's
+  ``(gs, gs)`` broadcast can be replaced by a radix search on the
+  affinity bit pattern for the ``cap``-th largest value plus one
+  stable-tie pass (:mod:`vsr_tpu.ops.select`) — ``O(passes*gs)``
+  traffic, selection bitwise equal to the rank router's. MEASURED
+  NEGATIVE on chip (probe_moe_dispatch.py: radix1 0.89x, radix4 0.55x,
+  radix8 0.12x of rank/dense) — the pairwise compare fuses into the
+  affinity producer while the radix passes serialize; kept as a tested
+  opt-in for shapes with much larger ``gs``.
 - **Per-image token groups** (``group_size`` tokens routed independently):
   keeps the one-hot dispatch tensor small (N*T*group_size*cf elements,
   independent of E) and — because groups never span images — makes every
@@ -81,6 +91,7 @@ class ExpertChoiceMoE(nn.Module):
     group_size: int = 256
     router_impl: str = "rank"
     dispatch_impl: str = "sparse"
+    radix_bits: int = 4
     dtype: Any = None
 
     @nn.compact
@@ -100,13 +111,18 @@ class ExpertChoiceMoE(nn.Module):
         hid = self.hidden_mult * d
 
         impls = {"router": (self.router_impl, ("rank", "rank_pallas",
-                                               "sort")),
+                                               "radix", "sort")),
                  "dispatch": (self.dispatch_impl, ("sparse", "dense"))}
         for knob, (value, legal) in impls.items():
             if value not in legal:
                 raise ValueError(
                     f"Unknown {knob}_impl {value!r}; legal: {legal} "
                     "(typos must fail here, not silently fall back)")
+        if self.router_impl == "radix" and self.dispatch_impl != "dense":
+            raise ValueError(
+                "router_impl='radix' produces a selection mask only (no "
+                "rank, no capacity slots) — it requires "
+                "dispatch_impl='dense'")
 
         # Plain LeCun for the (d, e) router — _expert_init's batch_axis=(0,)
         # is only correct for the (e, ...) expert stacks (on (d, e) it
@@ -150,6 +166,17 @@ class ExpertChoiceMoE(nn.Module):
         # Each expert picks its top-cap tokens within the group.
         af = jnp.swapaxes(affinity, 1, 2)                   # (G, e, gs)
         rank = None
+        sel = None
+        if self.router_impl == "radix":
+            # ops/select.py: radix threshold search — the k-th largest
+            # affinity found by binary search on the float bit pattern
+            # (O(passes*gs) traffic, no (gs, gs) pairwise broadcast),
+            # then one stable-tie pass. Selection set is bitwise the
+            # rank router's; like the rank, it is selection-only.
+            from vsr_tpu.ops.select import topk_mask
+
+            sel = topk_mask(jax.lax.stop_gradient(af), cap,
+                            radix_bits=self.radix_bits)
         if self.router_impl == "rank_pallas":
             # ops/rank.py: the same pairwise-comparison rank as "rank"
             # below, but VMEM-resident in a Pallas kernel — the (gs, gs)
@@ -188,12 +215,14 @@ class ExpertChoiceMoE(nn.Module):
             # FLOPs they replace, and the (G, e, cap, gs) one-hot traffic
             # disappears. Selected tokens' outputs are bitwise the sparse
             # path's (same per-token contractions, same e-order combine).
-            if rank is None:
+            if rank is None and sel is None:
                 raise ValueError(
                     "dispatch_impl='dense' routes by selection mask and "
-                    "needs router_impl='rank' (the sort router produces "
-                    "capacity slots, not per-token ranks)")
-            gate_t = jnp.where(rank < cap, af, 0).astype(tokens.dtype)
+                    "needs router_impl='rank'/'radix' (the sort router "
+                    "produces capacity slots, not per-token ranks)")
+            if sel is None:
+                sel = rank < cap
+            gate_t = jnp.where(sel, af, 0).astype(tokens.dtype)
             hdn = jnp.einsum("gtd,edh->geth", tokens, wi) + bi[:, None, :]
             hdn = constrain_expert_dim(nn.relu(hdn), 1)
             out = (jnp.einsum("geth,ehd->getd", hdn, wo)
@@ -248,6 +277,7 @@ class MoEEDSRNet(nn.Module):
     moe_every: int = 2
     router_impl: str = "rank"
     dispatch_impl: str = "sparse"
+    radix_bits: int = 4
     fused_tail: bool = False
     dtype: Any = None
 
@@ -266,6 +296,7 @@ class MoEEDSRNet(nn.Module):
                     group_size=self.group_size,
                     router_impl=self.router_impl,
                     dispatch_impl=self.dispatch_impl,
+                    radix_bits=self.radix_bits,
                     dtype=self.dtype,
                 )(body)
         body = Conv(self.num_features, 3, padding=1, dtype=self.dtype)(body)
