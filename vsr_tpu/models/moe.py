@@ -33,8 +33,8 @@ TPU-first design decisions:
   stable-tie pass (:mod:`vsr_tpu.ops.select`) — ``O(passes*gs)``
   traffic, selection bitwise equal to the rank router's. MEASURED
   NEGATIVE on chip (probe_moe_dispatch.py: radix1 0.89x, radix4 0.55x,
-  radix8 0.12x of rank/dense) — the pairwise compare fuses into the
-  affinity producer while the radix passes serialize; kept as a tested
+  radix8 0.12x of rank/dense) — the rank is one fused reduction while
+  the radix passes are ~32 serially dependent ones; kept as a tested
   opt-in for shapes with much larger ``gs``.
 - **Per-image token groups** (``group_size`` tokens routed independently):
   keeps the one-hot dispatch tensor small (N*T*group_size*cf elements,

@@ -17,13 +17,14 @@ bit-for-bit the rank router's (same value-descending, index-ascending
 total order), proven by the cross-router layer tests.
 
 MEASURED NEGATIVE at the shipped MoE shapes (gs=256, BENCH.md round 3):
-radix1 2.87 / radix4 1.77 / radix8 0.37 vs rank/dense 3.23 vol/s — XLA
-fuses the pairwise compare into the affinity-producing matmul so its
-``O(gs^2)`` never round-trips HBM, while the radix passes are
-sequentially dependent reductions that cannot fuse with each other.
-Kept opt-in (``router_impl="radix"``); the crossover would need a much
-larger ``gs`` (the pairwise broadcast grows quadratically, the search
-linearly in gs and not at all in passes).
+radix1 2.87 / radix4 1.77 / radix8 0.37 vs rank/dense 3.23 vol/s,
+monotone in candidates-per-pass. The pairwise rank runs as ONE fused
+reduction (slow as it is at ~85 Gops/s); the radix passes are ~32
+sequentially dependent reductions — each must wait for the previous
+prefix, each re-reads the affinity rows, and none fuse with each
+other, so per-pass overhead dominates the traffic saved. Kept opt-in
+(``router_impl="radix"``) for shapes with gs large enough that the
+quadratic broadcast overtakes the fixed pass chain.
 
 Precondition: every element is a non-negative finite float (softmax
 affinities). For such values the IEEE-754 bit pattern, read as a
