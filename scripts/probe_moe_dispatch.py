@@ -38,6 +38,7 @@ def main() -> None:
     factor, chunk = 2, 60
 
     variants = [("rank", "sparse"), ("rank", "dense"),
+                ("rank", "dense_nhwc"),
                 ("rank_pallas", "dense"), ("rank_pallas", "sparse"),
                 ("radix1", "dense"), ("radix4", "dense"),
                 ("radix8", "dense")]

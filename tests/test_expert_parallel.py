@@ -706,3 +706,68 @@ def test_moe_radix_router_requires_dense():
     x = jnp.zeros((1, 4, 4, 6), jnp.float32)
     with pytest.raises(ValueError, match="radix"):
         layer.init(jax.random.PRNGKey(0), x)
+
+
+def test_moe_dense_nhwc_equals_dense():
+    """dispatch_impl='dense_nhwc' (image-layout conv FFN + grouped 1x1
+    output projection) must match 'dense' BITWISE on outputs (same
+    per-token contractions on the MXU) and to accumulation-order noise
+    on gradients, on random and tie-heavy inputs, divisible and
+    non-divisible token counts, and under both mask routers."""
+    rng = np.random.default_rng(21)
+    for shape in [(2, 8, 8, 6), (1, 9, 7, 6)]:
+        for tied in (False, True):
+            xs = rng.standard_normal(shape)
+            if tied:
+                xs = np.round(xs * 2) / 2
+            x = jnp.asarray(xs, jnp.float32)
+            for router in ("rank", "radix"):
+                layers = {impl: ExpertChoiceMoE(
+                    num_experts=4, capacity_factor=1.0, group_size=16,
+                    router_impl=router, dispatch_impl=impl)
+                    for impl in ("dense", "dense_nhwc")}
+                params = layers["dense"].init(jax.random.PRNGKey(0), x)
+                outs, grads = {}, {}
+                for impl, layer in layers.items():
+                    outs[impl] = layer.apply(params, x)
+                    grads[impl] = jax.grad(
+                        lambda p, l=layer: (l.apply(p, x) ** 2).mean()
+                    )(params)
+                np.testing.assert_array_equal(
+                    np.asarray(outs["dense"]),
+                    np.asarray(outs["dense_nhwc"]),
+                    err_msg=f"{shape} tied={tied} router={router}")
+                for a, b in zip(
+                        jax.tree_util.tree_leaves(grads["dense"]),
+                        jax.tree_util.tree_leaves(grads["dense_nhwc"])):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b), atol=1e-6, rtol=0)
+
+
+def test_moe_dense_nhwc_guards():
+    x = jnp.zeros((1, 4, 4, 6), jnp.float32)
+    layer = ExpertChoiceMoE(num_experts=2, router_impl="sort",
+                            dispatch_impl="dense_nhwc", group_size=16)
+    with pytest.raises(ValueError, match="dense_nhwc"):
+        layer.init(jax.random.PRNGKey(0), x)
+
+
+def test_moe_dense_nhwc_net_checkpoint_compatible():
+    """Same param tree as the grouped dispatches — a checkpoint trained
+    with 'sparse' serves under 'dense_nhwc' unchanged."""
+    kw = dict(in_channels=1, out_channels=1, num_resblocks=2,
+              num_features=8, upscale_factor=2, num_experts=4,
+              group_size=16, moe_every=1)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, 8, 8, 1)), jnp.float32)
+    sparse = MoEEDSRNet(dispatch_impl="sparse", **kw)
+    nhwc = MoEEDSRNet(dispatch_impl="dense_nhwc", **kw)
+    params = sparse.init(jax.random.PRNGKey(0), x)
+    ps = jax.tree_util.tree_structure(params)
+    pn = jax.tree_util.tree_structure(nhwc.init(jax.random.PRNGKey(0), x))
+    assert ps == pn
+    # And dense_nhwc applies the sparse-trained params (selected tokens'
+    # outputs are the same contractions; unselected pass through).
+    np.testing.assert_allclose(
+        np.asarray(sparse.apply(params, x)),
+        np.asarray(nhwc.apply(params, x)), atol=2e-5, rtol=0)

@@ -112,17 +112,23 @@ class ExpertChoiceMoE(nn.Module):
 
         impls = {"router": (self.router_impl, ("rank", "rank_pallas",
                                                "radix", "sort")),
-                 "dispatch": (self.dispatch_impl, ("sparse", "dense"))}
+                 "dispatch": (self.dispatch_impl,
+                              ("sparse", "dense", "dense_nhwc"))}
         for knob, (value, legal) in impls.items():
             if value not in legal:
                 raise ValueError(
                     f"Unknown {knob}_impl {value!r}; legal: {legal} "
                     "(typos must fail here, not silently fall back)")
-        if self.router_impl == "radix" and self.dispatch_impl != "dense":
+        if self.router_impl == "radix" and self.dispatch_impl == "sparse":
             raise ValueError(
                 "router_impl='radix' produces a selection mask only (no "
                 "rank, no capacity slots) — it requires "
-                "dispatch_impl='dense'")
+                "dispatch_impl='dense'/'dense_nhwc'")
+        if self.dispatch_impl == "dense_nhwc" and self.router_impl == "sort":
+            raise ValueError(
+                "dispatch_impl='dense_nhwc' routes by selection mask and "
+                "needs router_impl='rank'/'rank_pallas'/'radix' (the sort "
+                "router produces capacity slots, not per-token masks)")
 
         # Plain LeCun for the (d, e) router — _expert_init's batch_axis=(0,)
         # is only correct for the (e, ...) expert stacks (on (d, e) it
@@ -146,6 +152,105 @@ class ExpertChoiceMoE(nn.Module):
         cd = x.dtype
         wi, bi, wo, bo = (p.astype(cd) for p in (wi, bi, wo, bo))
 
+        def _route(af):
+            """(G, e, gs) affinities -> (rank, sel): each token's
+            descending rank per expert (or None for mask-only routers)
+            and the top-cap selection mask (or None when only rank was
+            computed). Both reproduce ``lax.top_k``'s selection set with
+            its stable tie-break (earlier index wins)."""
+            rank = sel = None
+            if self.router_impl == "radix":
+                # ops/select.py: radix threshold search — the cap-th
+                # largest affinity found by binary search on the float
+                # bit pattern, then one stable-tie pass. Selection-only;
+                # measured slower than "rank" at gs=256 (module doc).
+                from vsr_tpu.ops.select import topk_mask
+
+                sel = topk_mask(jax.lax.stop_gradient(af), cap,
+                                radix_bits=self.radix_bits)
+            if self.router_impl == "rank_pallas":
+                # ops/rank.py: the same pairwise-comparison rank as
+                # "rank" below, but VMEM-resident in a Pallas kernel —
+                # the (gs, gs) broadcast the XLA reduction materializes
+                # never exists. Bitwise-identical selection; falls back
+                # to the XLA path when gs doesn't fill whole 128-lane
+                # registers.
+                from vsr_tpu.ops.rank import (pairwise_rank,
+                                              supports_pallas_rank)
+
+                if supports_pallas_rank(gs):
+                    # stop_gradient: pallas_call has no autodiff rule;
+                    # the rank is integer (zero tangent) so cutting the
+                    # edge is exact — gradients flow through the gate
+                    # values only.
+                    rank = pairwise_rank(
+                        jax.lax.stop_gradient(af),
+                        interpret=jax.default_backend() != "tpu")
+            if rank is None and self.router_impl in ("rank",
+                                                     "rank_pallas"):
+                # TPU sorts run at ~8 GB/s and lax.top_k was 47% of MoE
+                # serving device time (scripts/profile_net_serving.py).
+                # The descending rank of each token is a pairwise-
+                # comparison reduction instead — VPU compares, no sort —
+                # with the same stable tie-break as top_k (earlier index
+                # wins), so the selection AND slot order are identical
+                # to the sort path.
+                a_i = af[..., :, None]                      # (G, e, gs, 1)
+                a_j = af[..., None, :]                      # (G, e, 1, gs)
+                j_lt_i = (jnp.arange(gs)[None, :]
+                          < jnp.arange(gs)[:, None])        # [i, j]: j < i
+                rank = jnp.sum(
+                    ((a_j > a_i)
+                     | ((a_j == a_i) & j_lt_i)).astype(jnp.int32),
+                    axis=-1)                                # (G, e, gs)
+            return rank, sel
+
+        if self.dispatch_impl == "dense_nhwc":
+            # Image-layout dense dispatch (the serving preset): the MoE
+            # trace (BENCH.md round 3) showed 17.6% of device time was
+            # layout copies of the (N, H, W, C) activation between the
+            # conv layout and the token-group einsum layout. Here the
+            # heavy tensors never leave conv-land — the expert FFN is a
+            # 1x1 conv to all experts' hiddens plus a feature-grouped
+            # 1x1 conv back (group g = expert g, block-diagonal == the
+            # per-expert wo einsum) — and only the e-channel affinity
+            # crosses into group-land for the top-cap mask. Same params,
+            # same selection (the router contraction is the identical
+            # per-token dot), outputs equal to "dense" (tests pin it).
+            logits = jnp.einsum("nxyd,de->nxye", x.astype(jnp.float32),
+                                router.astype(jnp.float32))
+            affinity = jax.nn.softmax(logits, axis=-1)      # (n, h, w, e)
+            aff_t = affinity.reshape(n, t, e)
+            if pad:
+                # Padded slots: zero affinity for every expert — real
+                # tokens always win the top-cap, and a selected pad slot
+                # occupies capacity exactly as in the grouped paths.
+                aff_t = jnp.concatenate(
+                    [aff_t, jnp.zeros((n, pad, e), aff_t.dtype)], axis=1)
+            af = jnp.swapaxes(
+                aff_t.reshape(n * (t + pad) // gs, gs, e), 1, 2)
+            rank, sel = _route(af)
+            if sel is None:
+                sel = rank < cap
+            sel = jnp.swapaxes(sel, 1, 2).reshape(n, t + pad, e)
+            sel = sel[:, :t].reshape(n, h, w, e)
+            gate = jnp.where(sel, affinity, 0).astype(cd)   # (n, h, w, e)
+            dn = ("NHWC", "HWIO", "NHWC")
+            # (1, 1, d, e*hid): out channel g*hid+i contracts wi[g, :, i].
+            k_in = jnp.transpose(wi, (1, 0, 2)).reshape(1, 1, d, e * hid)
+            hdn = jax.lax.conv_general_dilated(
+                x, k_in, (1, 1), "VALID", dimension_numbers=dn)
+            hdn = nn.relu(hdn + bi.reshape(e * hid))
+            # Feature-grouped 1x1: group g maps hidden block g through
+            # wo[g] — kernel[0, 0, i, g*d + j] = wo[g, i, j].
+            k_out = jnp.transpose(wo, (1, 0, 2)).reshape(1, 1, hid, e * d)
+            out = jax.lax.conv_general_dilated(
+                hdn, k_out, (1, 1), "VALID", dimension_numbers=dn,
+                feature_group_count=e)
+            out = (out + bo.reshape(e * d)).reshape(n, h, w, e, d)
+            combined = jnp.einsum("nxyed,nxye->nxyd", out, gate)
+            return x + combined.astype(x.dtype)
+
         tokens = x.reshape(n, t, d)
         if pad:
             tokens = jnp.concatenate(
@@ -165,47 +270,7 @@ class ExpertChoiceMoE(nn.Module):
             affinity = affinity * mask[:, :, None]
         # Each expert picks its top-cap tokens within the group.
         af = jnp.swapaxes(affinity, 1, 2)                   # (G, e, gs)
-        rank = None
-        sel = None
-        if self.router_impl == "radix":
-            # ops/select.py: radix threshold search — the k-th largest
-            # affinity found by binary search on the float bit pattern
-            # (O(passes*gs) traffic, no (gs, gs) pairwise broadcast),
-            # then one stable-tie pass. Selection set is bitwise the
-            # rank router's; like the rank, it is selection-only.
-            from vsr_tpu.ops.select import topk_mask
-
-            sel = topk_mask(jax.lax.stop_gradient(af), cap,
-                            radix_bits=self.radix_bits)
-        if self.router_impl == "rank_pallas":
-            # ops/rank.py: the same pairwise-comparison rank as "rank"
-            # below, but VMEM-resident in a Pallas kernel — the (gs, gs)
-            # broadcast the XLA reduction materializes never exists.
-            # Bitwise-identical selection; falls back to the XLA path
-            # when gs doesn't fill whole 128-lane registers.
-            from vsr_tpu.ops.rank import pairwise_rank, supports_pallas_rank
-
-            if supports_pallas_rank(gs):
-                # stop_gradient: pallas_call has no autodiff rule; the
-                # rank is integer (zero tangent) so cutting the edge is
-                # exact — gradients flow through the gate values only.
-                rank = pairwise_rank(
-                    jax.lax.stop_gradient(af),
-                    interpret=jax.default_backend() != "tpu")
-        if rank is None and self.router_impl in ("rank", "rank_pallas"):
-            # TPU sorts run at ~8 GB/s and lax.top_k was 47% of MoE
-            # serving device time (scripts/profile_net_serving.py). The
-            # descending rank of each token is a pairwise-comparison
-            # reduction instead — VPU compares, no sort — with the same
-            # stable tie-break as top_k (earlier index wins), so the
-            # selection AND slot order are identical to the sort path.
-            a_i = af[..., :, None]                          # (G, e, gs, 1)
-            a_j = af[..., None, :]                          # (G, e, 1, gs)
-            j_lt_i = (jnp.arange(gs)[None, :]
-                      < jnp.arange(gs)[:, None])            # [i, j]: j < i
-            rank = jnp.sum(
-                ((a_j > a_i) | ((a_j == a_i) & j_lt_i)).astype(jnp.int32),
-                axis=-1)                                    # (G, e, gs)
+        rank, sel = _route(af)
 
         if self.dispatch_impl == "dense":
             # Dense dispatch: every expert's FFN runs on every token and
