@@ -206,16 +206,21 @@ class ExpertChoiceMoE(nn.Module):
             return rank, sel
 
         if self.dispatch_impl == "dense_nhwc":
-            # Image-layout dense dispatch (the serving preset): the MoE
-            # trace (BENCH.md round 3) showed 17.6% of device time was
-            # layout copies of the (N, H, W, C) activation between the
-            # conv layout and the token-group einsum layout. Here the
-            # heavy tensors never leave conv-land — the expert FFN is a
-            # 1x1 conv to all experts' hiddens plus a feature-grouped
-            # 1x1 conv back (group g = expert g, block-diagonal == the
-            # per-expert wo einsum) — and only the e-channel affinity
-            # crosses into group-land for the top-cap mask. Same params,
-            # same selection (the router contraction is the identical
+            # Image-layout dense dispatch (opt-in; measured 0.67x on
+            # chip — see BENCH.md round 3). Motivation: the MoE trace
+            # showed 17.6% of device time in layout copies of the
+            # (N, H, W, C) activation between the conv layout and the
+            # token-group einsum layout, so here the heavy tensors never
+            # leave conv-land — the expert FFN is a 1x1 conv to all
+            # experts' hiddens plus a feature-grouped 1x1 conv back
+            # (group g = expert g, block-diagonal == the per-expert wo
+            # einsum) — and only the e-channel affinity crosses into
+            # group-land for the top-cap mask. On the v5e the
+            # feature-grouped conv lowering loses more than the layout
+            # copies cost (each group's 64-wide output underfills the
+            # 128-lane MXU tile), so 'dense' stays the serving preset.
+            # Same params, same
+            # selection (the router contraction is the identical
             # per-token dot), outputs equal to "dense" (tests pin it).
             logits = jnp.einsum("nxyd,de->nxye", x.astype(jnp.float32),
                                 router.astype(jnp.float32))
