@@ -26,6 +26,15 @@ torch = pytest.importorskip("torch")
         ("Adamax", {"lr": 2e-3}, {"lr": 2e-3}),
         ("NAdam", {"lr": 2e-3}, {"lr": 2e-3}),
         ("RAdam", {"lr": 1e-3}, {"lr": 1e-3}),
+        ("ASGD", {"lr": 1e-2}, {"lr": 1e-2}),
+        ("ASGD", {"lr": 0.5, "lambd": 1e-2, "alpha": 0.6, "t0": 2,
+                  "weight_decay": 1e-3},
+         {"lr": 0.5, "lambd": 1e-2, "alpha": 0.6, "t0": 2,
+          "weight_decay": 1e-3}),
+        ("Rprop", {"lr": 1e-2}, {"lr": 1e-2}),
+        ("Rprop", {"lr": 0.1, "etas": (0.4, 1.5),
+                   "step_sizes": (1e-4, 0.5)},
+         {"lr": 0.1, "etas": (0.4, 1.5), "step_sizes": (1e-4, 0.5)}),
     ],
 )
 def test_optimizer_updates_match_torch(name, kwargs, torch_kwargs, rng):
@@ -48,6 +57,38 @@ def test_optimizer_updates_match_torch(name, kwargs, torch_kwargs, rng):
 
     np.testing.assert_allclose(np.asarray(w), tp.detach().numpy(),
                                rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"base_lr": 0.01, "max_lr": 0.1, "step_size_up": 3},
+        {"base_lr": 0.01, "max_lr": 0.1, "step_size_up": 2,
+         "step_size_down": 5, "mode": "triangular2"},
+        {"base_lr": 0.02, "max_lr": 0.2, "step_size_up": 4,
+         "mode": "exp_range", "gamma": 0.9},
+    ],
+)
+def test_cyclic_lr_matches_torch(kwargs):
+    sched = O.CyclicLR(**kwargs)
+    sched.bind(0.5)  # optimizer lr is overridden by base_lr, as in torch
+    tp = torch.nn.Parameter(torch.zeros(1))
+    topt = torch.optim.SGD([tp], lr=0.5)
+    tsched = torch.optim.lr_scheduler.CyclicLR(
+        topt, cycle_momentum=False, **kwargs)
+    ours, golden = [], []
+    for _ in range(17):
+        golden.append(topt.param_groups[0]["lr"])
+        ours.append(sched._lr())
+        sched.step()
+        topt.step()
+        tsched.step()
+    np.testing.assert_allclose(ours, golden, rtol=1e-6, atol=1e-12)
+
+
+def test_cyclic_lr_refuses_momentum_cycling():
+    with pytest.raises(ValueError, match="cycle_momentum"):
+        O.CyclicLR(base_lr=0.01, max_lr=0.1, cycle_momentum=True)
 
 
 def test_cosine_warm_restarts_matches_torch():

@@ -230,6 +230,108 @@ def RAdam(learning_rate: float = 1e-3, lr: float | None = None,
     return optax.inject_hyperparams(make)(learning_rate=lr)
 
 
+def _scale_by_torch_asgd(lambd: float, alpha: float, t0: float):
+    """torch.optim.ASGD's exact parameter path: decay ``p *= 1 - lambd*eta``
+    then ``p -= eta*grad`` with the lagged eta schedule
+    ``eta_t = lr / (1 + lambd*lr*t)**alpha`` (eta_0 = lr). The averaged
+    iterate ``ax`` is tracked like torch's state (mu = 1/max(1, t - t0))
+    but, as in torch, never swapped into the live params."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(learning_rate):
+        def init(params):
+            # jnp.array(copy=True): inject_hyperparams passes its OWN
+            # learning_rate buffer here — aliasing it into this state
+            # would make the trainer's donated step donate it twice.
+            return {"ax": jax.tree_util.tree_map(jnp.zeros_like, params),
+                    "eta": jnp.array(learning_rate, jnp.float32, copy=True),
+                    "t": jnp.zeros([], jnp.int32)}
+
+        def update(grads, state, params):
+            if params is None:
+                raise ValueError("ASGD requires params")
+            t = state["t"] + 1
+            eta = state["eta"]
+            updates = jax.tree_util.tree_map(
+                lambda p, g: -(lambd * eta) * p - eta * g, params, grads)
+            mu = 1.0 / jnp.maximum(1.0, t.astype(jnp.float32) - t0)
+            ax = jax.tree_util.tree_map(
+                lambda a, p, u: jnp.where(mu == 1.0, p + u,
+                                          a + ((p + u) - a) * mu),
+                state["ax"], params, updates)
+            eta_next = learning_rate / (
+                1.0 + lambd * learning_rate * t.astype(jnp.float32)) ** alpha
+            return updates, {"ax": ax, "eta": eta_next, "t": t}
+
+        return optax.GradientTransformation(init, update)
+
+    return make
+
+
+@register("optimizer")
+def ASGD(learning_rate: float = 1e-2, lr: float | None = None,
+         lambd: float = 1e-4, alpha: float = 0.75, t0: float = 1e6,
+         weight_decay: float = 0.0):
+    lr = lr if lr is not None else learning_rate
+    inner = _scale_by_torch_asgd(lambd, alpha, t0)
+
+    def make(learning_rate):
+        return optax.chain(_maybe_l2(weight_decay), inner(learning_rate))
+
+    return optax.inject_hyperparams(make)(learning_rate=lr)
+
+
+def _scale_by_torch_rprop(etas: Sequence[float], step_sizes: Sequence[float]):
+    """torch.optim.Rprop: per-weight step sizes grown/shrunk by the sign
+    agreement of consecutive gradients; the gradient is zeroed (and recorded
+    as zero) where the sign flipped."""
+    import jax
+    import jax.numpy as jnp
+    etaminus, etaplus = etas
+    smin, smax = step_sizes
+
+    def make(learning_rate):
+        def init(params):
+            return {"prev": jax.tree_util.tree_map(jnp.zeros_like, params),
+                    "step_size": jax.tree_util.tree_map(
+                        lambda p: jnp.full_like(p, learning_rate), params)}
+
+        def update(grads, state, params=None):
+            def per_leaf(g, prev, ss):
+                s = g * prev
+                factor = jnp.where(s > 0, etaplus,
+                                   jnp.where(s < 0, etaminus, 1.0))
+                ss = jnp.clip(ss * factor, smin, smax)
+                g = jnp.where(s < 0, 0.0, g)
+                return -jnp.sign(g) * ss, g, ss
+
+            flat = jax.tree_util.tree_map(
+                per_leaf, grads, state["prev"], state["step_size"])
+            updates = jax.tree_util.tree_map(
+                lambda t: t[0], flat, is_leaf=lambda t: isinstance(t, tuple))
+            prev = jax.tree_util.tree_map(
+                lambda t: t[1], flat, is_leaf=lambda t: isinstance(t, tuple))
+            ss = jax.tree_util.tree_map(
+                lambda t: t[2], flat, is_leaf=lambda t: isinstance(t, tuple))
+            return updates, {"prev": prev, "step_size": ss}
+
+        return optax.GradientTransformation(init, update)
+
+    return make
+
+
+@register("optimizer")
+def Rprop(learning_rate: float = 1e-2, lr: float | None = None,
+          etas: Sequence[float] = (0.5, 1.2),
+          step_sizes: Sequence[float] = (1e-6, 50.0)):
+    """lr is only the INITIAL per-weight step size (as in torch); later
+    set_learning_rate calls do not rescale existing step sizes."""
+    lr = lr if lr is not None else learning_rate
+    return optax.inject_hyperparams(_scale_by_torch_rprop(etas, step_sizes))(
+        learning_rate=lr)
+
+
 def _unwrap_hyperparams_state(opt_state):
     """Find the inject_hyperparams state (possibly inside optax.MultiSteps,
     :func:`with_param_ema`, or an ``optax.chain`` tuple — e.g. the trainer's
@@ -477,6 +579,49 @@ class CosineAnnealingWarmRestarts(Scheduler):
         return self.eta_min + (self.base_lr - self.eta_min) * (
             1 + math.cos(math.pi * t / t_i)
         ) / 2
+
+
+@register("lr_scheduler")
+class CyclicLR(Scheduler):
+    """torch.optim.lr_scheduler.CyclicLR stepped at the reference's
+    epoch cadence (base_trainer.py:64-70 calls scheduler.step() once per
+    epoch). ``base_lr`` comes from the config (as in torch it overrides
+    the optimizer's lr); momentum cycling is not supported — pass
+    ``cycle_momentum: false`` (the default here)."""
+
+    def __init__(self, base_lr: float, max_lr: float,
+                 step_size_up: int = 2000, step_size_down: int | None = None,
+                 mode: str = "triangular", gamma: float = 1.0,
+                 cycle_momentum: bool = False, **kwargs: Any):
+        super().__init__(base_lr=base_lr)
+        if cycle_momentum:
+            raise ValueError(
+                "CyclicLR momentum cycling is not supported; the trainer "
+                "drives only the learning rate (set cycle_momentum: false)")
+        if mode not in ("triangular", "triangular2", "exp_range"):
+            raise ValueError(f"unknown CyclicLR mode {mode!r}")
+        self.max_lr = max_lr
+        self.step_size_up = step_size_up
+        self.step_size_down = (step_size_down if step_size_down is not None
+                               else step_size_up)
+        self.mode = mode
+        self.gamma = gamma
+
+    def _lr(self) -> float:
+        total = self.step_size_up + self.step_size_down
+        cycle = math.floor(1 + self.last_epoch / total)
+        x = 1.0 + self.last_epoch / total - cycle
+        ratio = self.step_size_up / total
+        if x <= ratio:
+            scale = x / ratio
+        else:
+            scale = (x - 1.0) / (ratio - 1.0)
+        height = (self.max_lr - self.base_lr) * scale
+        if self.mode == "triangular":
+            return self.base_lr + height
+        if self.mode == "triangular2":
+            return self.base_lr + height / (2.0 ** (cycle - 1))
+        return self.base_lr + height * self.gamma ** self.last_epoch
 
 
 @register("lr_scheduler")
