@@ -507,3 +507,33 @@ def test_kernel_shapes_matches_calibration_keys(rng):
     assert set(cal) <= set(shapes)
     assert shapes["Conv_0/Conv_0"] == (3, 3, 16, 24)
     assert shapes["Conv_1/Conv_0"] == (1, 1, 24, 24)
+
+
+def test_quantized_serving_composes_with_moe(rng):
+    """int8 weight-only and W8A8 both serve MoEEDSRNet: the trunk conv
+    kernels quantize, the expert/router einsum stacks (param names
+    expert_* / router, models/moe.py:137-145) stay full precision, and
+    the outputs track the fp net."""
+    from vsr_tpu.models.moe import MoEEDSRNet
+    from vsr_tpu.quantize import make_w8a8_apply
+
+    net = MoEEDSRNet(in_channels=1, out_channels=1, num_resblocks=2,
+                     num_features=16, upscale_factor=2, num_experts=2,
+                     group_size=16, dispatch_impl="dense")
+    params, x, y = _train_briefly(net, rng)
+    base = _psnr_of(lambda x: net.apply(params, x), x, y)
+    assert base > 20
+
+    q, s = quantize_params(params)
+    flat = jax.tree_util.tree_flatten_with_path(q)[0]
+    expert_dtypes = {jnp.asarray(l).dtype
+                     for path, l in flat
+                     if any("expert" in str(p) or "router" in str(p)
+                            for p in path)}
+    assert expert_dtypes and jnp.int8 not in expert_dtypes, expert_dtypes
+    assert any(jnp.asarray(l).dtype == jnp.int8 for _, l in flat)
+    quant = _psnr_of(jax.jit(make_quantized_apply(net, q, s)), x, y)
+    assert abs(base - quant) < 0.05, (base, quant)
+
+    w8a8 = _psnr_of(jax.jit(make_w8a8_apply(net, params)), x, y)
+    assert abs(base - w8a8) < 0.5, (base, w8a8)
