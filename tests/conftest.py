@@ -40,14 +40,27 @@ jax.config.update("jax_platforms", "cpu")
 _CACHE_DIR = "/tmp/vsr_tpu_jax_cache_cpu_suite8"
 
 
-def _pid_alive(pid: int) -> bool:
+def _pid_is_pytest(pid: int) -> bool:
+    """True only if ``pid`` is alive AND still looks like a pytest session.
+
+    The liveness probe alone is wrong under pid reuse: a stale marker whose
+    pid was recycled to an unrelated long-lived process would block the
+    self-heal wipe forever (and the poisoned cache would keep aborting every
+    run). /proc is authoritative on this platform; if it is unavailable,
+    fall back to the bare liveness check.
+    """
     try:
         os.kill(pid, 0)
     except ProcessLookupError:
         return False
     except Exception:
-        return True  # exists but not ours / unknown — assume alive
-    return True
+        pass  # exists but not ours / unknown — check cmdline below
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            cmdline = f.read().replace(b"\0", b" ")
+        return b"pytest" in cmdline or b"py.test" in cmdline
+    except OSError:
+        return True  # no /proc view — conservatively assume a live session
 
 
 if os.path.isdir(_CACHE_DIR):
@@ -55,7 +68,7 @@ if os.path.isdir(_CACHE_DIR):
 
     _markers = _glob.glob(os.path.join(_CACHE_DIR, ".inflight.*"))
     _dead = [m for m in _markers
-             if not _pid_alive(int(m.rsplit(".", 1)[-1]))]
+             if not _pid_is_pytest(int(m.rsplit(".", 1)[-1]))]
     if _dead and len(_dead) == len(_markers):
         import shutil
 

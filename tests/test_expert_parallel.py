@@ -452,6 +452,27 @@ def test_ep_rejects_indivisible_num_experts():
                       mesh=make_mesh({"data": 2, "expert": 4}))
 
 
+def test_ep_rejects_dense_nhwc_dispatch():
+    """dispatch_impl='dense_nhwc' folds all experts into replicated conv
+    kernels — numerically fine but it silently defeats the per-expert-
+    local EP schedule, so an 'expert' mesh axis refuses it (trainer
+    placement AND serving pipeline, via the shared validator)."""
+    net = _net(dispatch_impl="dense_nhwc")
+    t = _make({"data": 2, "expert": 4}, net=net)
+    x = jnp.zeros((2, 8, 8, 1), jnp.float32)
+    t.params = net.init(jax.random.PRNGKey(0), x)
+    t.opt_state = t.tx.init(t.params["params"])
+    with pytest.raises(NotImplementedError, match="dense_nhwc"):
+        t._place_state()
+
+    from vsr_tpu.infer import make_pipeline
+    from vsr_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="dense_nhwc"):
+        make_pipeline(net, t.params, 2, "acdc",
+                      mesh=make_mesh({"data": 2, "expert": 4}))
+
+
 def test_moe_unknown_impl_names_fail():
     x = jnp.zeros((1, 8, 8, 1), jnp.float32)
     with pytest.raises(ValueError, match="router_impl"):

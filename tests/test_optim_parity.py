@@ -59,6 +59,35 @@ def test_optimizer_updates_match_torch(name, kwargs, torch_kwargs, rng):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_asgd_averaged_iterate_matches_torch(rng):
+    """The tracked average ``ax`` must follow torch's LAGGED mu schedule
+    (mu for step t is computed at the end of step t-1) — invisible to the
+    params-only comparison above because ax never feeds back into params."""
+    kwargs = {"lr": 0.5, "lambd": 1e-2, "alpha": 0.6, "t0": 2}
+    tx = O.ASGD(**kwargs)
+    w0 = rng.standard_normal(32).astype(np.float32)
+    grads = [rng.standard_normal(32).astype(np.float32) for _ in range(6)]
+
+    w = jnp.asarray(w0)
+    state = tx.init(w)
+    for g in grads:
+        u, state = tx.update(jnp.asarray(g), state, w)
+        w = w + u
+    leaves = jax.tree_util.tree_flatten_with_path(state)[0]
+    ax = [l for path, l in leaves if any("ax" in str(p) for p in path)]
+    assert len(ax) == 1
+
+    tp = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.ASGD([tp], **kwargs)
+    for g in grads:
+        topt.zero_grad()
+        tp.grad = torch.from_numpy(g.copy())
+        topt.step()
+    golden_ax = topt.state[tp]["ax"].detach().numpy()
+    np.testing.assert_allclose(np.asarray(ax[0]), golden_ax,
+                               rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.parametrize(
     "kwargs",
     [
@@ -70,7 +99,7 @@ def test_optimizer_updates_match_torch(name, kwargs, torch_kwargs, rng):
     ],
 )
 def test_cyclic_lr_matches_torch(kwargs):
-    sched = O.CyclicLR(**kwargs)
+    sched = O.CyclicLR(cycle_momentum=False, **kwargs)
     sched.bind(0.5)  # optimizer lr is overridden by base_lr, as in torch
     tp = torch.nn.Parameter(torch.zeros(1))
     topt = torch.optim.SGD([tp], lr=0.5)
@@ -89,6 +118,14 @@ def test_cyclic_lr_matches_torch(kwargs):
 def test_cyclic_lr_refuses_momentum_cycling():
     with pytest.raises(ValueError, match="cycle_momentum"):
         O.CyclicLR(base_lr=0.01, max_lr=0.1, cycle_momentum=True)
+    # torch's DEFAULT is cycle_momentum=True (when the optimizer has
+    # momentum/betas) — omitting the knob must fail loudly too, not
+    # silently run an LR-only schedule the torch config wouldn't.
+    with pytest.raises(ValueError, match="cycle_momentum"):
+        O.CyclicLR(base_lr=0.01, max_lr=0.1)
+    with pytest.raises(ValueError, match="momentum"):
+        O.CyclicLR(base_lr=0.01, max_lr=0.1, cycle_momentum=False,
+                   base_momentum=0.8, max_momentum=0.9)
 
 
 def test_cosine_warm_restarts_matches_torch():

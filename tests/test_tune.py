@@ -127,3 +127,17 @@ def test_tune_moe_sweeps_dispatch(tmp_path):
         (tmp_path / "tuned.json").read_text())["presets"]["MoEEDSRNet"]
     assert entry["net_kwargs"]["dispatch_impl"] in ("sparse", "dense")
     assert "fused_tail" in entry["net_kwargs"]
+
+
+def test_tune_moe_radix_router_sweeps_dense_only(tmp_path):
+    """router_impl='radix' refuses sparse dispatch (models/moe.py), so the
+    sweep grid must drop it instead of crashing the whole run."""
+    out = tune_run(_args(
+        tmp_path, net="MoEEDSRNet",
+        net_kwargs='{"in_channels": 1, "out_channels": 1, '
+                   '"num_resblocks": 2, "num_features": 4, '
+                   '"upscale_factor": 2, "num_experts": 2, '
+                   '"group_size": 36, "moe_every": 1, '
+                   '"router_impl": "radix"}'))
+    ok = [r for r in out["measured"] if "error" not in r]
+    assert ok and {r["dispatch_impl"] for r in ok} == {"dense"}

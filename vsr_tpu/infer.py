@@ -310,7 +310,9 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
                                          validate_expert_mesh)
 
         validate_expert_mesh(mesh, params, context="--mesh serving",
-                             exc=ValueError)
+                             exc=ValueError,
+                             dispatch_impl=getattr(net, "dispatch_impl",
+                                                   None))
         params = shard_expert_params(params, mesh)
     elif mesh is not None and "model" in mesh.shape:
         # Tensor-parallel serving: the closed-over params commit to their

@@ -205,6 +205,24 @@ class ExpertChoiceMoE(nn.Module):
                     axis=-1)                                # (G, e, gs)
             return rank, sel
 
+        # ---- routing (shared by every dispatch path) -------------------
+        # Per-token affinity in f32 (softmax stability under bf16 nets).
+        # The router contraction is an independent per-token dot, so it is
+        # computed ONCE on the flat (n, t, d) tokens; padded slots get
+        # zero affinity for every expert — real tokens always win the
+        # top-cap, and a selected pad slot occupies capacity with gate 0.
+        logits = jnp.einsum("ntd,de->nte",
+                            x.reshape(n, t, d).astype(jnp.float32),
+                            router.astype(jnp.float32))
+        affinity_t = jax.nn.softmax(logits, axis=-1)        # (n, t, e)
+        aff_full = affinity_t
+        if pad:
+            aff_full = jnp.concatenate(
+                [aff_full, jnp.zeros((n, pad, e), aff_full.dtype)], axis=1)
+        af = jnp.swapaxes(
+            aff_full.reshape(n * (t + pad) // gs, gs, e), 1, 2)  # (G, e, gs)
+        rank, sel = _route(af)
+
         if self.dispatch_impl == "dense_nhwc":
             # Image-layout dense dispatch (opt-in; measured 0.67x on
             # chip — see BENCH.md round 3). Motivation: the MoE trace
@@ -219,27 +237,14 @@ class ExpertChoiceMoE(nn.Module):
             # feature-grouped conv lowering loses more than the layout
             # copies cost (each group's 64-wide output underfills the
             # 128-lane MXU tile), so 'dense' stays the serving preset.
-            # Same params, same
-            # selection (the router contraction is the identical
-            # per-token dot), outputs equal to "dense" (tests pin it).
-            logits = jnp.einsum("nxyd,de->nxye", x.astype(jnp.float32),
-                                router.astype(jnp.float32))
-            affinity = jax.nn.softmax(logits, axis=-1)      # (n, h, w, e)
-            aff_t = affinity.reshape(n, t, e)
-            if pad:
-                # Padded slots: zero affinity for every expert — real
-                # tokens always win the top-cap, and a selected pad slot
-                # occupies capacity exactly as in the grouped paths.
-                aff_t = jnp.concatenate(
-                    [aff_t, jnp.zeros((n, pad, e), aff_t.dtype)], axis=1)
-            af = jnp.swapaxes(
-                aff_t.reshape(n * (t + pad) // gs, gs, e), 1, 2)
-            rank, sel = _route(af)
+            # Same params, same selection, outputs equal to "dense"
+            # (tests pin it).
             if sel is None:
                 sel = rank < cap
             sel = jnp.swapaxes(sel, 1, 2).reshape(n, t + pad, e)
             sel = sel[:, :t].reshape(n, h, w, e)
-            gate = jnp.where(sel, affinity, 0).astype(cd)   # (n, h, w, e)
+            gate = jnp.where(sel, affinity_t.reshape(n, h, w, e),
+                             0).astype(cd)                  # (n, h, w, e)
             dn = ("NHWC", "HWIO", "NHWC")
             # (1, 1, d, e*hid): out channel g*hid+i contracts wi[g, :, i].
             k_in = jnp.transpose(wi, (1, 0, 2)).reshape(1, 1, d, e * hid)
@@ -262,21 +267,6 @@ class ExpertChoiceMoE(nn.Module):
                 [tokens, jnp.zeros((n, pad, d), tokens.dtype)], axis=1)
         tokens = tokens.reshape(n * (t + pad) // gs, gs, d)  # (G, gs, d)
 
-        # Router affinities in f32 (softmax stability under bf16 nets).
-        logits = jnp.einsum("gtd,de->gte", tokens.astype(jnp.float32),
-                            router.astype(jnp.float32))
-        affinity = jax.nn.softmax(logits, axis=-1)          # over experts
-        if pad:
-            # Padded slots: zero affinity for every expert (softmax over
-            # experts cannot express it, so mask after) — real tokens
-            # always win the top-k, and a picked pad slot gets gate 0.
-            mask = (jnp.arange(t + pad) < t).astype(affinity.dtype)
-            mask = jnp.tile(mask.reshape(-1, gs), (n, 1))   # (G, gs)
-            affinity = affinity * mask[:, :, None]
-        # Each expert picks its top-cap tokens within the group.
-        af = jnp.swapaxes(affinity, 1, 2)                   # (G, e, gs)
-        rank, sel = _route(af)
-
         if self.dispatch_impl == "dense":
             # Dense dispatch: every expert's FFN runs on every token and
             # the gated selection mask combines — no one-hot tensors, no
@@ -288,8 +278,9 @@ class ExpertChoiceMoE(nn.Module):
             if rank is None and sel is None:
                 raise ValueError(
                     "dispatch_impl='dense' routes by selection mask and "
-                    "needs router_impl='rank'/'radix' (the sort router "
-                    "produces capacity slots, not per-token ranks)")
+                    "needs router_impl='rank'/'rank_pallas'/'radix' (the "
+                    "sort router produces capacity slots, not per-token "
+                    "ranks)")
             if sel is None:
                 sel = rank < cap
             gate_t = jnp.where(sel, af, 0).astype(tokens.dtype)

@@ -234,8 +234,9 @@ def _scale_by_torch_asgd(lambd: float, alpha: float, t0: float):
     """torch.optim.ASGD's exact parameter path: decay ``p *= 1 - lambd*eta``
     then ``p -= eta*grad`` with the lagged eta schedule
     ``eta_t = lr / (1 + lambd*lr*t)**alpha`` (eta_0 = lr). The averaged
-    iterate ``ax`` is tracked like torch's state (mu = 1/max(1, t - t0))
-    but, as in torch, never swapped into the live params."""
+    iterate ``ax`` is tracked like torch's state (lagged
+    mu = 1/max(1, (t-1) - t0)) but, as in torch, never swapped into the
+    live params."""
     import jax
     import jax.numpy as jnp
 
@@ -255,7 +256,10 @@ def _scale_by_torch_asgd(lambd: float, alpha: float, t0: float):
             eta = state["eta"]
             updates = jax.tree_util.tree_map(
                 lambda p, g: -(lambd * eta) * p - eta * g, params, grads)
-            mu = 1.0 / jnp.maximum(1.0, t.astype(jnp.float32) - t0)
+            # Like eta, mu is LAGGED in torch: step t applies the mu
+            # computed at the END of step t-1, i.e. 1/max(1, (t-1) - t0)
+            # (torch._single_tensor_asgd updates mu after the averaging).
+            mu = 1.0 / jnp.maximum(1.0, t.astype(jnp.float32) - 1.0 - t0)
             ax = jax.tree_util.tree_map(
                 lambda a, p, u: jnp.where(mu == 1.0, p + u,
                                           a + ((p + u) - a) * mu),
@@ -586,18 +590,30 @@ class CyclicLR(Scheduler):
     """torch.optim.lr_scheduler.CyclicLR stepped at the reference's
     epoch cadence (base_trainer.py:64-70 calls scheduler.step() once per
     epoch). ``base_lr`` comes from the config (as in torch it overrides
-    the optimizer's lr); momentum cycling is not supported — pass
-    ``cycle_momentum: false`` (the default here)."""
+    the optimizer's lr); momentum cycling is not implemented, and torch
+    DEFAULTS to ``cycle_momentum=True`` whenever the optimizer has
+    momentum/betas — so a config must pass ``cycle_momentum: false``
+    explicitly to acknowledge the LR-only schedule (a silent default here
+    would silently train differently from the same torch config)."""
 
     def __init__(self, base_lr: float, max_lr: float,
                  step_size_up: int = 2000, step_size_down: int | None = None,
                  mode: str = "triangular", gamma: float = 1.0,
-                 cycle_momentum: bool = False, **kwargs: Any):
+                 cycle_momentum: bool | None = None,
+                 base_momentum: float | None = None,
+                 max_momentum: float | None = None, **kwargs: Any):
         super().__init__(base_lr=base_lr)
-        if cycle_momentum:
+        if cycle_momentum is None or cycle_momentum:
             raise ValueError(
-                "CyclicLR momentum cycling is not supported; the trainer "
-                "drives only the learning rate (set cycle_momentum: false)")
+                "CyclicLR momentum cycling is not implemented — this "
+                "scheduler drives only the learning rate, while torch "
+                "DEFAULTS to cycle_momentum=True when the optimizer has "
+                "momentum/betas. Pass cycle_momentum: false explicitly to "
+                "opt in to the LR-only schedule.")
+        if base_momentum is not None or max_momentum is not None:
+            raise ValueError(
+                "base_momentum/max_momentum are momentum-cycling knobs; "
+                "momentum cycling is not implemented (see cycle_momentum)")
         if mode not in ("triangular", "triangular2", "exp_range"):
             raise ValueError(f"unknown CyclicLR mode {mode!r}")
         self.max_lr = max_lr

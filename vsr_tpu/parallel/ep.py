@@ -159,7 +159,8 @@ def validate_expert_composition(mesh_shape, *, context: str,
 
 
 def validate_expert_mesh(mesh: Mesh, params, *, context: str,
-                         exc=NotImplementedError) -> None:
+                         exc=NotImplementedError,
+                         dispatch_impl: str | None = None) -> None:
     """The one place the 'expert' axis's composition and shardability
     rules live (used by the trainer's ``_place_state`` AND serving's
     ``make_pipeline``, so the two entry points cannot drift):
@@ -176,6 +177,15 @@ def validate_expert_mesh(mesh: Mesh, params, *, context: str,
     if size <= 1:
         return
     validate_expert_composition(mesh.shape, context=context, exc=exc)
+    if dispatch_impl == "dense_nhwc":
+        # dense_nhwc reshapes every expert's wi/wo into ONE conv kernel
+        # (models/moe.py), so GSPMD would all-gather the full expert stacks
+        # to every device each step — numerically correct but silently
+        # defeating the per-expert-local schedule the axis exists for.
+        raise exc(
+            "dispatch_impl='dense_nhwc' folds all experts into replicated "
+            "conv kernels and cannot run expert-parallel — use 'sparse' or "
+            f"'dense' under an 'expert' mesh axis ({context})")
     stacks = [
         (path, leaf) for path, leaf in
         jax.tree_util.tree_leaves_with_path(params)

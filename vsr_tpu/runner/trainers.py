@@ -527,8 +527,9 @@ class BaseTrainer:
             from vsr_tpu.parallel.ep import (shard_expert_params,
                                              validate_expert_mesh)
 
-            validate_expert_mesh(self.mesh, self.params,
-                                 context=type(self.net).__name__)
+            validate_expert_mesh(
+                self.mesh, self.params, context=type(self.net).__name__,
+                dispatch_impl=getattr(self.net, "dispatch_impl", None))
             self.params = shard_expert_params(self.params, self.mesh)
             self.opt_state = shard_expert_params(self.opt_state, self.mesh)
 

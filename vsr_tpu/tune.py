@@ -113,11 +113,16 @@ def run(args) -> dict:
     # MoE dispatch (models/moe.py): sparse one-hot vs dense gated-mask —
     # equal within float reassociation; the optimum flips with E and the
     # chip generation (BENCH.md round 3: dense 1.12x at E=4 on v5e).
-    dispatch_grid = (["sparse", "dense"]
-                     if hasattr(probe_net, "dispatch_impl")
-                     and "dispatch_impl" not in net_kwargs
-                     and net_kwargs.get("router_impl") != "sort"
-                     else [None])  # dense needs a rank router
+    if (hasattr(probe_net, "dispatch_impl")
+            and "dispatch_impl" not in net_kwargs
+            and net_kwargs.get("router_impl") != "sort"):
+        # The radix router produces a selection mask only — sparse one-hot
+        # dispatch is illegal with it (models/moe.py refuses the combo).
+        dispatch_grid = (["dense"]
+                         if net_kwargs.get("router_impl") == "radix"
+                         else ["sparse", "dense"])
+    else:
+        dispatch_grid = [None]  # dense needs a rank/radix router
 
     rng = np.random.default_rng(0)
     bufs = [jax.device_put(np.round(
@@ -133,11 +138,23 @@ def run(args) -> dict:
             kw["fused_tail"] = tail
         if dispatch is not None:
             kw["dispatch_impl"] = dispatch
-        net, params, train_flag = build_serving_net(
-            args.net, kw, args.checkpoint,
-            lr_hw=(h // args.factor, w // args.factor),
-            video=bool(video_t), windows=args.windows,
-            volume=volume[0] if volume else None)
+        try:
+            net, params, train_flag = build_serving_net(
+                args.net, kw, args.checkpoint,
+                lr_hw=(h // args.factor, w // args.factor),
+                video=bool(video_t), windows=args.windows,
+                volume=volume[0] if volume else None)
+        except Exception as exc:
+            # One refused knob combination must not abort the sweep — record
+            # it per would-be chunk point and move on.
+            label = {k: v for k, v in
+                     (("fused_tail", tail), ("dispatch_impl", dispatch))
+                     if v is not None}
+            row = {**label, "error": f"{type(exc).__name__}: "
+                                     f"{str(exc)[:160]}"}
+            logging.warning(f"{label} FAILED to build: {row['error']}")
+            rows.append(row)
+            continue
         for chunk in chunk_grid:
             label = {"chunk": chunk}
             if tail is not None:
