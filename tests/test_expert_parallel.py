@@ -792,3 +792,33 @@ def test_moe_dense_nhwc_net_checkpoint_compatible():
     np.testing.assert_allclose(
         np.asarray(sparse.apply(params, x)),
         np.asarray(nhwc.apply(params, x)), atol=2e-5, rtol=0)
+
+
+def test_ep_refuses_undetermined_dispatch_impl():
+    """A net carrying expert stacks but exposing no dispatch_impl (a future
+    embedder that forgot to plumb the knob) is refused loudly — None must
+    never silently pass the folded-dispatch guard."""
+    from vsr_tpu.parallel.ep import validate_expert_mesh
+    from vsr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"data": 2, "expert": 4})
+    params = {"params": {"moe": {
+        "expert_wi": jnp.zeros((4, 8, 16), jnp.float32)}}}
+    with pytest.raises(NotImplementedError, match="dispatch_impl"):
+        validate_expert_mesh(mesh, params, context="test", dispatch_impl=None)
+
+
+def test_embedded_moe_nets_expose_dispatch_impl():
+    """DRFNet/DRFSISRNet embed ExpertChoiceMoE with the module default —
+    the property keeps ep.resolve_dispatch_impl truthful for them."""
+    from vsr_tpu.models import DRFNet, DRFSISRNet
+    from vsr_tpu.parallel.ep import resolve_dispatch_impl
+
+    drf = DRFNet(in_channels=1, out_channels=1, num_features=8,
+                 num_groups=2, upscale_factor=2, num_experts=2)
+    sisr = DRFSISRNet(in_channels=1, out_channels=1, num_steps=2,
+                      num_features=8, num_groups=2, upscale_factor=2,
+                      num_experts=2)
+    assert resolve_dispatch_impl(drf) == ExpertChoiceMoE.dispatch_impl
+    assert resolve_dispatch_impl(sisr) == ExpertChoiceMoE.dispatch_impl
+    assert ExpertChoiceMoE.dispatch_impl == "sparse"

@@ -172,3 +172,25 @@ def test_epoch_schedulers_match_torch(name, kwargs):
         topt.step()
         tsched.step()
     np.testing.assert_allclose(ours, golden, rtol=1e-6, atol=1e-12)
+
+
+@pytest.mark.parametrize("name,kwargs", [
+    ("StepLR", {"step_size": 10, "step_size_typo": 3}),
+    ("CyclicLR", {"base_lr": 0.01, "max_lr": 0.1,
+                  "cycle_momentum": False, "scale_mode": "iterations"}),
+    ("ReduceLROnPlateau", {"min_lrs": 1e-6}),
+])
+def test_scheduler_refuses_unknown_kwargs(name, kwargs):
+    """Silently swallowing an unknown scheduler kwarg (a typo, or a torch
+    knob like CyclicLR's scale_mode that this reimplementation does not
+    drive) would train a different LR curve than the same torch config."""
+    with pytest.raises(ValueError, match="unsupported kwargs"):
+        getattr(O, name)(**kwargs)
+
+
+def test_scheduler_tolerates_cosmetic_torch_kwargs():
+    s = O.StepLR(step_size=10, verbose=True, last_epoch=-1)
+    s.bind(0.5)
+    assert s.step() == 0.5
+    with pytest.raises(ValueError, match="last_epoch"):
+        O.StepLR(step_size=10, last_epoch=3)

@@ -130,8 +130,9 @@ def test_tune_moe_sweeps_dispatch(tmp_path):
 
 
 def test_tune_moe_radix_router_sweeps_dense_only(tmp_path):
-    """router_impl='radix' refuses sparse dispatch (models/moe.py), so the
-    sweep grid must drop it instead of crashing the whole run."""
+    """router_impl='radix' refuses sparse dispatch (models/moe.py holds the
+    ONLY copy of the legality rules); the sweep records the refusal as
+    per-chunk error rows instead of crashing the whole run."""
     out = tune_run(_args(
         tmp_path, net="MoEEDSRNet",
         net_kwargs='{"in_channels": 1, "out_channels": 1, '
@@ -141,3 +142,8 @@ def test_tune_moe_radix_router_sweeps_dense_only(tmp_path):
                    '"router_impl": "radix"}'))
     ok = [r for r in out["measured"] if "error" not in r]
     assert ok and {r["dispatch_impl"] for r in ok} == {"dense"}
+    # The refused radix x sparse combo is RECORDED (per chunk point, same
+    # row schema as timing failures), not silently pruned from the grid.
+    bad = [r for r in out["measured"] if "error" in r]
+    assert bad and all(r["dispatch_impl"] == "sparse" and "chunk" in r
+                       for r in bad)

@@ -306,13 +306,13 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
         # all-reduced over the axis, under the constraints the layer pins
         # (activated by use_mesh at the pipeline wrap below). Same
         # composition rule as training: 'data' only.
-        from vsr_tpu.parallel.ep import (shard_expert_params,
+        from vsr_tpu.parallel.ep import (resolve_dispatch_impl,
+                                         shard_expert_params,
                                          validate_expert_mesh)
 
         validate_expert_mesh(mesh, params, context="--mesh serving",
                              exc=ValueError,
-                             dispatch_impl=getattr(net, "dispatch_impl",
-                                                   None))
+                             dispatch_impl=resolve_dispatch_impl(net))
         params = shard_expert_params(params, mesh)
     elif mesh is not None and "model" in mesh.shape:
         # Tensor-parallel serving: the closed-over params commit to their

@@ -115,6 +115,16 @@ class DRFSISRNet(nn.Module):
     #: lax.scan ``unroll`` for the feedback loop (exact; see DRFNet.unroll).
     unroll: int = 1
 
+    @property
+    def dispatch_impl(self) -> str:
+        """The embedded ExpertChoiceMoE blocks run the module default
+        (sparse) dispatch; exposed so parallel/ep.py's expert-mesh
+        validation (resolve_dispatch_impl) sees the real implementation
+        instead of silently assuming one."""
+        from vsr_tpu.models.moe import ExpertChoiceMoE
+
+        return ExpertChoiceMoE.dispatch_impl
+
     @nn.compact
     def __call__(self, x):
         check_upscale_factor(self.upscale_factor)
@@ -169,6 +179,13 @@ class DRFNet(nn.Module):
     #: lax.scan ``_split_transpose``: lower the backward pass as a separate
     #: scan instead of fusing it into the forward scan's transpose.
     split_transpose: bool = False
+
+    @property
+    def dispatch_impl(self) -> str:
+        """See DRFSISRNet.dispatch_impl (same embedded-MoE contract)."""
+        from vsr_tpu.models.moe import ExpertChoiceMoE
+
+        return ExpertChoiceMoE.dispatch_impl
 
     @nn.compact
     def __call__(self, x):

@@ -436,6 +436,29 @@ def get_learning_rate(opt_state) -> float:
     return float(_unwrap_hyperparams_state(opt_state).hyperparams["learning_rate"])
 
 
+def _refuse_unknown_kwargs(name: str, kwargs: dict) -> None:
+    """Schedulers resolve by name from YAML configs the way the reference
+    resolves torch.optim.lr_scheduler names (src/main.py:76) — a swallowed
+    unknown key (a typo like ``step_size_dwon``, or a torch knob this
+    reimplementation does not drive, like CyclicLR's ``scale_fn``) would
+    silently train a different LR curve than the same torch config.
+    ``verbose`` is cosmetic in torch and ignored; ``last_epoch`` is
+    accepted only at torch's -1 default (resume restores the epoch via
+    ``load_state_dict``, not construction)."""
+    kwargs = dict(kwargs)
+    kwargs.pop("verbose", None)
+    if kwargs.pop("last_epoch", -1) != -1:
+        raise ValueError(
+            f"{name}: last_epoch is restored by checkpoint resume "
+            "(load_state_dict), not construction — only the torch default "
+            "-1 is accepted")
+    if kwargs:
+        raise ValueError(
+            f"{name}: unsupported kwargs {sorted(kwargs)} — unknown keys "
+            "fail loudly (a typo, or a torch knob this scheduler does not "
+            "implement)")
+
+
 class Scheduler:
     """Epoch-level LR scheduler: returns the LR for the *next* epoch."""
 
@@ -468,6 +491,7 @@ class Scheduler:
 class StepLR(Scheduler):
     def __init__(self, step_size: int, gamma: float = 0.1, **kwargs: Any):
         super().__init__()
+        _refuse_unknown_kwargs(type(self).__name__, kwargs)
         self.step_size = step_size
         self.gamma = gamma
 
@@ -479,6 +503,7 @@ class StepLR(Scheduler):
 class MultiStepLR(Scheduler):
     def __init__(self, milestones: Sequence[int], gamma: float = 0.1, **kwargs: Any):
         super().__init__()
+        _refuse_unknown_kwargs(type(self).__name__, kwargs)
         self.milestones = sorted(milestones)
         self.gamma = gamma
 
@@ -491,6 +516,7 @@ class MultiStepLR(Scheduler):
 class ExponentialLR(Scheduler):
     def __init__(self, gamma: float, **kwargs: Any):
         super().__init__()
+        _refuse_unknown_kwargs(type(self).__name__, kwargs)
         self.gamma = gamma
 
     def _lr(self) -> float:
@@ -505,6 +531,7 @@ class ConstantLR(Scheduler):
     def __init__(self, factor: float = 1.0 / 3, total_iters: int = 5,
                  **kwargs: Any):
         super().__init__()
+        _refuse_unknown_kwargs(type(self).__name__, kwargs)
         self.factor = factor
         self.total_iters = total_iters
 
@@ -523,6 +550,7 @@ class LinearLR(Scheduler):
                  end_factor: float = 1.0, total_iters: int = 5,
                  **kwargs: Any):
         super().__init__()
+        _refuse_unknown_kwargs(type(self).__name__, kwargs)
         self.start_factor = start_factor
         self.end_factor = end_factor
         self.total_iters = total_iters
@@ -541,6 +569,7 @@ class PolynomialLR(Scheduler):
     def __init__(self, total_iters: int = 5, power: float = 1.0,
                  **kwargs: Any):
         super().__init__()
+        _refuse_unknown_kwargs(type(self).__name__, kwargs)
         self.total_iters = total_iters
         self.power = power
 
@@ -553,6 +582,7 @@ class PolynomialLR(Scheduler):
 class CosineAnnealingLR(Scheduler):
     def __init__(self, T_max: int, eta_min: float = 0.0, **kwargs: Any):
         super().__init__()
+        _refuse_unknown_kwargs(type(self).__name__, kwargs)
         self.T_max = T_max
         self.eta_min = eta_min
 
@@ -567,6 +597,7 @@ class CosineAnnealingWarmRestarts(Scheduler):
     def __init__(self, T_0: int, T_mult: int = 1, eta_min: float = 0.0,
                  **kwargs: Any):
         super().__init__()
+        _refuse_unknown_kwargs(type(self).__name__, kwargs)
         if T_0 <= 0:
             raise ValueError(f"Expected positive integer T_0, got {T_0}")
         if T_mult < 1:
@@ -603,6 +634,7 @@ class CyclicLR(Scheduler):
                  base_momentum: float | None = None,
                  max_momentum: float | None = None, **kwargs: Any):
         super().__init__(base_lr=base_lr)
+        _refuse_unknown_kwargs(type(self).__name__, kwargs)
         if cycle_momentum is None or cycle_momentum:
             raise ValueError(
                 "CyclicLR momentum cycling is not implemented — this "
@@ -650,6 +682,7 @@ class ReduceLROnPlateau(Scheduler):
                  threshold: float = 1e-4, min_lr: float = 0.0, cooldown: int = 0,
                  **kwargs: Any):
         super().__init__()
+        _refuse_unknown_kwargs(type(self).__name__, kwargs)
         self.mode = mode
         self.factor = factor
         self.patience = patience

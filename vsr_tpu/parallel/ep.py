@@ -158,6 +158,17 @@ def validate_expert_composition(mesh_shape, *, context: str,
                 f"cannot join an expert mesh ({context})")
 
 
+def resolve_dispatch_impl(net) -> str | None:
+    """The ONE accessor for a net's MoE dispatch implementation, used by
+    every ``validate_expert_mesh`` caller. Top-level MoE nets expose
+    ``dispatch_impl`` as a field; nets that embed :class:`ExpertChoiceMoE`
+    (DRFNet/DRFSISRNet) expose it as a property. A net with expert params
+    but no attribute returns None here, and ``validate_expert_mesh``
+    refuses it loudly — so a future embedder cannot silently bypass the
+    folded-dispatch (dense_nhwc) refusal by not plumbing the knob."""
+    return getattr(net, "dispatch_impl", None)
+
+
 def validate_expert_mesh(mesh: Mesh, params, *, context: str,
                          exc=NotImplementedError,
                          dispatch_impl: str | None = None) -> None:
@@ -177,15 +188,6 @@ def validate_expert_mesh(mesh: Mesh, params, *, context: str,
     if size <= 1:
         return
     validate_expert_composition(mesh.shape, context=context, exc=exc)
-    if dispatch_impl == "dense_nhwc":
-        # dense_nhwc reshapes every expert's wi/wo into ONE conv kernel
-        # (models/moe.py), so GSPMD would all-gather the full expert stacks
-        # to every device each step — numerically correct but silently
-        # defeating the per-expert-local schedule the axis exists for.
-        raise exc(
-            "dispatch_impl='dense_nhwc' folds all experts into replicated "
-            "conv kernels and cannot run expert-parallel — use 'sparse' or "
-            f"'dense' under an 'expert' mesh axis ({context})")
     stacks = [
         (path, leaf) for path, leaf in
         jax.tree_util.tree_leaves_with_path(params)
@@ -196,6 +198,26 @@ def validate_expert_mesh(mesh: Mesh, params, *, context: str,
         raise exc(
             "no expert-stacked params (expert_* leaves) — the 'expert' "
             f"mesh axis applies to MoE nets (e.g. MoEEDSRNet) ({context})")
+    if dispatch_impl == "dense_nhwc":
+        # dense_nhwc reshapes every expert's wi/wo into ONE conv kernel
+        # (models/moe.py), so GSPMD would all-gather the full expert stacks
+        # to every device each step — numerically correct but silently
+        # defeating the per-expert-local schedule the axis exists for.
+        raise exc(
+            "dispatch_impl='dense_nhwc' folds all experts into replicated "
+            "conv kernels and cannot run expert-parallel — use 'sparse' or "
+            f"'dense' under an 'expert' mesh axis ({context})")
+    if dispatch_impl is None:
+        # Expert stacks with an undetermined dispatch implementation means
+        # a net embedding MoE blocks without exposing ``dispatch_impl``
+        # (see resolve_dispatch_impl) — refuse rather than assume: a folded
+        # dispatch would silently defeat the axis, the exact no-op this
+        # validator exists to catch.
+        raise exc(
+            f"{context}: the net carries expert-stacked params but does "
+            "not expose 'dispatch_impl' — nets embedding MoE blocks must "
+            "surface the knob (a property is enough; see DRFNet) so the "
+            "'expert' axis can refuse folded dispatch implementations")
     for path, leaf in stacks:
         if leaf.shape[0] < size or leaf.shape[0] % size:
             raise exc(

@@ -524,12 +524,13 @@ class BaseTrainer:
             # Expert parallelism: expert stacks SPLIT over 'expert' (all
             # other leaves replicated); composition + shardability rules
             # live in ep.validate_expert_mesh (shared with serving).
-            from vsr_tpu.parallel.ep import (shard_expert_params,
+            from vsr_tpu.parallel.ep import (resolve_dispatch_impl,
+                                             shard_expert_params,
                                              validate_expert_mesh)
 
             validate_expert_mesh(
                 self.mesh, self.params, context=type(self.net).__name__,
-                dispatch_impl=getattr(self.net, "dispatch_impl", None))
+                dispatch_impl=resolve_dispatch_impl(self.net))
             self.params = shard_expert_params(self.params, self.mesh)
             self.opt_state = shard_expert_params(self.opt_state, self.mesh)
 

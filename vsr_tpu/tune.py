@@ -65,10 +65,16 @@ def _time_pipeline(pipeline, bufs, repeats: int) -> float:
 def run(args) -> dict:
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if jax.config.jax_compilation_cache_dir is None:
+        # Never override an already-configured cache dir: under pytest the
+        # suite runs with its PRIVATE dir (tests/conftest.py) precisely so
+        # differently-flagged processes can't poison the shared one
+        # (CLAUDE.md: mixed XLA machine-feature flags -> corrupt
+        # deserialized executables that hang at 0% CPU).
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from vsr_tpu.infer import (build_serving_net, make_pipeline,
@@ -113,16 +119,16 @@ def run(args) -> dict:
     # MoE dispatch (models/moe.py): sparse one-hot vs dense gated-mask —
     # equal within float reassociation; the optimum flips with E and the
     # chip generation (BENCH.md round 3: dense 1.12x at E=4 on v5e).
-    if (hasattr(probe_net, "dispatch_impl")
-            and "dispatch_impl" not in net_kwargs
-            and net_kwargs.get("router_impl") != "sort"):
-        # The radix router produces a selection mask only — sparse one-hot
-        # dispatch is illegal with it (models/moe.py refuses the combo).
-        dispatch_grid = (["dense"]
-                         if net_kwargs.get("router_impl") == "radix"
-                         else ["sparse", "dense"])
-    else:
-        dispatch_grid = [None]  # dense needs a rank/radix router
+    # Which (router, dispatch) combos are legal lives in models/moe.py
+    # ONLY — an illegal one (e.g. radix x sparse) is refused at build and
+    # recorded as an error row below, so this grid never duplicates the
+    # legality rules. 'sort' keeps the un-swept default: dense dispatch
+    # needs per-token ranks the sort router does not produce.
+    dispatch_grid = (["sparse", "dense"]
+                     if hasattr(probe_net, "dispatch_impl")
+                     and "dispatch_impl" not in net_kwargs
+                     and net_kwargs.get("router_impl") != "sort"
+                     else [None])
 
     rng = np.random.default_rng(0)
     bufs = [jax.device_put(np.round(
@@ -144,16 +150,19 @@ def run(args) -> dict:
                 lr_hw=(h // args.factor, w // args.factor),
                 video=bool(video_t), windows=args.windows,
                 volume=volume[0] if volume else None)
-        except Exception as exc:
-            # One refused knob combination must not abort the sweep — record
-            # it per would-be chunk point and move on.
+        except (ValueError, NotImplementedError) as exc:
+            # A REFUSED knob combination (models/moe.py legality rules)
+            # must not abort the sweep — record it at every chunk point it
+            # would have covered (same row schema as timing failures) and
+            # move on. Anything else (bad checkpoint path, OOM) stays
+            # fatal with its real traceback.
             label = {k: v for k, v in
                      (("fused_tail", tail), ("dispatch_impl", dispatch))
                      if v is not None}
-            row = {**label, "error": f"{type(exc).__name__}: "
-                                     f"{str(exc)[:160]}"}
-            logging.warning(f"{label} FAILED to build: {row['error']}")
-            rows.append(row)
+            err = f"{type(exc).__name__}: {str(exc)[:160]}"
+            logging.warning(f"{label} REFUSED to build: {err}")
+            rows.extend({"chunk": chunk, **label, "error": err}
+                        for chunk in chunk_grid)
             continue
         for chunk in chunk_grid:
             label = {"chunk": chunk}
