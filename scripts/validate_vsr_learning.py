@@ -93,11 +93,15 @@ def main() -> None:
     print(f"bicubic per-frame PSNR: {base:.3f} dB")
 
     moe = "--moe" in sys.argv
+    bf16 = "--bf16" in sys.argv
     net = DRFNet(in_channels=1, out_channels=1, num_features=32, num_groups=3,
                  upscale_factor=factor,
-                 num_experts=4 if moe else 0, expert_group_size=64)
+                 num_experts=4 if moe else 0, expert_group_size=64,
+                 dtype=jnp.bfloat16 if bf16 else None)
     if moe:
         print("MoE flagship: num_experts=4 on every frame step's hidden")
+    if bf16:
+        print("mixed precision: bf16 compute, f32 master params")
     trainer = DeviceEpochTrainer(
         net=net, loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[],
         optimizer=Adam(lr=2e-4), lr_data=lw, hr_data=hw,
@@ -111,7 +115,7 @@ def main() -> None:
     @jax.jit
     def infer(params, lr_seqs):
         z = (lr_seqs - mean) / (std + 1e-10)
-        sr = net.apply(params, z[..., None])
+        sr = net.apply(params, z[..., None]).astype(jnp.float32)
         return jnp.clip(jnp.round(sr * std + mean), 0, 255)
 
     sr = np.asarray(infer(trainer.params, jnp.asarray(lr_val)))  # (8, 12, 96, 96, 1)

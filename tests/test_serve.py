@@ -159,6 +159,32 @@ def test_sr_rejects_bad_body(server):
     assert err.value.code == 400
 
 
+def test_sr_rejects_empty_volume(server):
+    # A (0, H, W) npy is a malformed input (400), not an internal error:
+    # without the _parse_volume guard it reaches np.concatenate([]) -> 500.
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post_npy(server, np.zeros((0, 16, 16), np.float32))
+    assert err.value.code == 400
+
+
+def test_batcher_refuses_contract_violations():
+    from vsr_tpu.serve import _Batcher
+
+    calls = []
+    b = _Batcher(lambda x: (calls.append(x.shape), x * 2)[1],
+                 cap=4, unit=2, wait_s=0.0, metrics_ref=lambda: None)
+    # Over-cap and off-granule segments must raise, not hang the leader
+    # loop on an empty dispatch prefix.
+    with pytest.raises(ValueError):
+        b.submit(np.zeros((6, 4, 4), np.float32))
+    with pytest.raises(ValueError):
+        b.submit(np.zeros((3, 4, 4), np.float32))
+    with pytest.raises(ValueError):
+        b.submit(np.zeros((0, 4, 4), np.float32))
+    out = b.submit(np.ones((2, 4, 4), np.float32))
+    assert out.shape == (2, 4, 4) and float(out[0, 0, 0]) == 2.0
+
+
 def test_metrics_exposition(server):
     with urllib.request.urlopen(_url(server, "/metrics")) as resp:
         text = resp.read().decode()

@@ -138,6 +138,11 @@ class ExportedServing:
 def _enable_compile_cache() -> None:
     import jax
 
+    if jax.config.jax_compilation_cache_dir is not None:
+        # Never override an already-configured cache dir: the pytest suite
+        # runs with its PRIVATE dir (tests/conftest.py) precisely so
+        # differently-flagged processes can't poison the shared one.
+        return
     jax.config.update("jax_compilation_cache_dir",
                       f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -373,6 +373,14 @@ class _Batcher:
     def submit(self, frames: np.ndarray) -> np.ndarray:
         """Blocking: returns this segment's SR rows. ``frames`` must be a
         multiple of the granule and at most ``cap`` frames."""
+        n = frames.shape[0]
+        if not 0 < n <= self.cap or n % self.unit:
+            # An over-cap segment can never join a batch: _dispatch_locked
+            # would spin on an empty prefix forever. Enforce the contract
+            # here instead of hanging the caller.
+            raise ValueError(
+                f"segment of {n} frames violates the batcher contract "
+                f"(granule {self.unit}, cap {self.cap})")
         item = _Item(frames)
         with self._cond:
             self._pending.append(item)
@@ -478,13 +486,16 @@ class ArtifactPool:
     def _call(self, serving, frames: np.ndarray) -> np.ndarray:
         import jax
 
+        # Host<->device transfers stay OUTSIDE the device lock: through the
+        # dev tunnel they run at 10-75 MB/s with multi-second stalls, and
+        # jax dispatch is async — holding the lock only around the dispatch
+        # lets one request's readback overlap the next request's program.
+        if not getattr(serving, "host_input", False):
+            frames = jax.device_put(frames)
         with self._device_lock:
-            if getattr(serving, "host_input", False):
-                _, sr = serving(frames)  # mesh path shards host arrays
-            else:
-                _, sr = serving(jax.device_put(frames))
+            _, sr = serving(frames)  # mesh path shards host arrays itself
             self._warmed.add(id(serving))
-            return np.asarray(sr, np.float32)
+        return np.asarray(sr, np.float32)
 
     def route(self, frames_shape, req_t: int | None = None
               ) -> "ExportedServing":
@@ -566,9 +577,19 @@ class ArtifactPool:
                     f"{frames.shape[0]} frames is not a whole number of "
                     f"T={unit} sequences")  # direct pool callers
             batcher = self._batcher_for(serving)
-            outs = [batcher.submit(frames[i:i + batcher.cap])
+            segs = [frames[i:i + batcher.cap]
                     for i in range(0, frames.shape[0], batcher.cap)]
-            sr = np.concatenate(outs, axis=0)
+            if len(segs) == 1:
+                sr = batcher.submit(segs[0])
+            else:
+                # Submit every segment concurrently: chunk i+1's host->
+                # device transfer overlaps chunk i's program, and segments
+                # can coalesce with other requests' calls in flight.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(min(len(segs), 8)) as ex:
+                    outs = list(ex.map(batcher.submit, segs))
+                sr = np.concatenate(outs, axis=0)
         with metrics._lock:
             metrics.volumes += 1
         return sr
@@ -596,8 +617,9 @@ def _parse_volume(body: bytes, content_type: str):
     """
     if content_type == "application/x-npy":
         arr = np.load(io.BytesIO(body), allow_pickle=False)
-        if arr.ndim != 3:
-            raise ValueError(f"expected (N, H, W) frames, got {arr.shape}")
+        if arr.ndim != 3 or 0 in arr.shape:
+            raise ValueError(
+                f"expected non-empty (N, H, W) frames, got {arr.shape}")
         return np.asarray(arr, np.float32), "npy", None
     # Anything else: treat as NIfTI bytes (.nii or .nii.gz).
     from vsr_tpu.export import _load_hr_frames
@@ -1059,11 +1081,9 @@ def main() -> None:
             raise SystemExit(f"--preset-file: {exc}") from None
         apply_preset_to_args(args, args.preset, overrides=overrides)
 
-    import jax
+    from vsr_tpu.export import _enable_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _enable_compile_cache()
 
     live = live_from_args(args)
     stream_spec = None

@@ -65,16 +65,9 @@ def _time_pipeline(pipeline, bufs, repeats: int) -> float:
 def run(args) -> dict:
     import jax
 
-    if jax.config.jax_compilation_cache_dir is None:
-        # Never override an already-configured cache dir: under pytest the
-        # suite runs with its PRIVATE dir (tests/conftest.py) precisely so
-        # differently-flagged processes can't poison the shared one
-        # (CLAUDE.md: mixed XLA machine-feature flags -> corrupt
-        # deserialized executables that hang at 0% CPU).
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from vsr_tpu.export import _enable_compile_cache
+
+    _enable_compile_cache()  # gated: never overrides a configured dir
     import jax.numpy as jnp
 
     from vsr_tpu.infer import (build_serving_net, make_pipeline,
@@ -115,7 +108,7 @@ def run(args) -> dict:
     probe_net = registry_build(
         "net", {"name": args.net, "kwargs": dict(net_kwargs)})
     tail_grid = ([False, True] if hasattr(probe_net, "fused_tail")
-                 and not net_kwargs.get("fused_tail") else [None])
+                 and "fused_tail" not in net_kwargs else [None])
     # MoE dispatch (models/moe.py): sparse one-hot vs dense gated-mask —
     # equal within float reassociation; the optimum flips with E and the
     # chip generation (BENCH.md round 3: dense 1.12x at E=4 on v5e).
