@@ -7,7 +7,7 @@ a few hundred device-epoch steps through the CONFIG-DRIVEN trainer classes
 (HBM-resident volume buffers, on-device paired crops with depth untouched),
 held-out volume PSNR must beat bicubic.
 
-Run: python scripts/validate_vol_learning.py [3d|4d ...]
+Run: python scripts/validate_vol_learning.py [3d|4d] [--bf16]
 """
 
 from __future__ import annotations
@@ -55,6 +55,12 @@ def main(which: list[str]) -> None:
     from vsr_tpu.runner.device_trainer import (Acdc3DSRDeviceTrainer,
                                                Acdc4DSRDeviceTrainer)
     from vsr_tpu.utils.normalize import DATASET_STATS
+
+    bf16 = "--bf16" in which
+    which = [w for w in which if w != "--bf16"]
+    dtype = jnp.bfloat16 if bf16 else None
+    if bf16:
+        print("mixed precision: bf16 compute, f32 master params", flush=True)
 
     mean, std = DATASET_STATS["acdc"]
     hr_train = make_volumes(16, seed=0)  # (16, T, D, H, W)
@@ -106,7 +112,8 @@ def main(which: list[str]) -> None:
             for i in range(hr_train.shape[0]) for t in range(TFRAMES)
         ]
         net3 = Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=4,
-                             num_features=16, upscale_factor=FACTOR)
+                             num_features=16, upscale_factor=FACTOR,
+                             dtype=dtype)
         tr = Acdc3DSRDeviceTrainer(
             train_dataloader=Dataloader(_MemDataset(samples), batch_size=8),
             net=net3, optimizer=Adam(lr=3e-4), steps_per_epoch=50, **common)
@@ -120,7 +127,7 @@ def main(which: list[str]) -> None:
         @jax.jit
         def infer3(params, lr_vols):  # (B, D, h, w, 1)
             z = (lr_vols - mean) / (std + 1e-10)
-            sr = net3.apply(params, z)
+            sr = net3.apply(params, z).astype(jnp.float32)
             return jnp.clip(jnp.round(sr * std + mean), 0, 255)
 
         lrv = lr_val.reshape(-1, DDEPTH, lo, lo)[..., None]
@@ -144,7 +151,8 @@ def main(which: list[str]) -> None:
                     "hr_vols": np.moveaxis(hr_train[i, idx], 1, -1)[..., None],
                 })
         net4 = Volume4DSRNet(in_channels=1, out_channels=1, num_features=16,
-                             num_resblocks=2, upscale_factor=FACTOR)
+                             num_resblocks=2, upscale_factor=FACTOR,
+                             dtype=dtype)
         tr = Acdc4DSRDeviceTrainer(
             train_dataloader=Dataloader(_MemDataset(samples), batch_size=4),
             net=net4, optimizer=Adam(lr=3e-4), steps_per_epoch=50, **common)
@@ -158,7 +166,7 @@ def main(which: list[str]) -> None:
         @jax.jit
         def infer4(params, lr_seqs):  # (B, T, D, h, w, 1)
             z = (lr_seqs - mean) / (std + 1e-10)
-            sr = net4.apply(params, z)
+            sr = net4.apply(params, z).astype(jnp.float32)
             return jnp.clip(jnp.round(sr * std + mean), 0, 255)
 
         lrv = lr_val[..., None]  # (4, T, D, lo, lo, 1)
