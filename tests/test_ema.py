@@ -119,6 +119,31 @@ def test_trainer_tracks_and_serves_ema(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_ema_checkpoint_found_under_grad_clip_chain(tmp_path):
+    # grad_clip wraps the EMA'd optimizer in optax.chain, which serializes
+    # the opt_state as {'0': clip, '1': ema-wrapper} — infer --ema must
+    # find the EMA tree through that nesting too.
+    trainer = _trainer(ema_decay=0.9, grad_clip=1.0)
+    batch = _batch()
+    inputs, targets = trainer._get_inputs_targets(batch)
+    trainer.params = trainer.net.init(jax.random.PRNGKey(0), inputs)
+    trainer.opt_state = trainer.tx.init(trainer.params["params"])
+    trainer.params, trainer.opt_state, _, _ = trainer._train_step(
+        trainer.params, trainer.opt_state, inputs, targets, training=True)
+    ema = get_ema_params(trainer.opt_state)
+    trainer.monitor = type("M", (), {"state_dict": lambda self: {}})()
+    trainer.save(tmp_path / "model.ckpt")
+    from vsr_tpu.infer import build_serving_net
+
+    _, served, _ = build_serving_net(
+        "EDSRNet", dict(in_channels=1, out_channels=1, num_resblocks=1,
+                        num_features=8, upscale_factor=2),
+        str(tmp_path / "model.ckpt"), lr_hw=(8, 8), ema=True)
+    for a, b in zip(jax.tree_util.tree_leaves(served["params"]),
+                    jax.tree_util.tree_leaves(ema)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 def test_ema_missing_in_checkpoint_raises(tmp_path):
     trainer = _trainer()  # no ema_decay
     batch = _batch()

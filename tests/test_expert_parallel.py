@@ -413,6 +413,43 @@ def test_ep_serving_matches_single_device():
     assert np.mean(np.asarray(sr) != np.asarray(ref_sr)) < 0.01
 
 
+def test_ep_int8_serving_keeps_expert_stacks_sharded():
+    """--int8 --mesh expert=N: quantize_params gathers to host numpy, so
+    the pipeline must RE-apply the expert placement to the int8 tree —
+    and jnp.asarray (make_quantized_apply) must not collapse it back to
+    replicated."""
+    from vsr_tpu.parallel.ep import shard_expert_params
+    from vsr_tpu.parallel.mesh import make_mesh
+    from vsr_tpu.quantize import quantize_params
+
+    net = _net()
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8, 8, 1), jnp.float32))
+    mesh = make_mesh({"data": 2, "expert": 4})
+    qparams, scales = quantize_params(shard_expert_params(params, mesh))
+    qparams = shard_expert_params(qparams, mesh)
+    qparams = jax.tree_util.tree_map(jnp.asarray, qparams)  # the apply wrap
+    found = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(qparams):
+        if "expert_" not in str(path[-1]) or not isinstance(leaf, jax.Array):
+            continue
+        shard = leaf.addressable_shards[0].data.shape
+        assert shard[0] == leaf.shape[0] // 4, (path, leaf.shape, shard)
+        found += 1
+    assert found > 0
+
+    # And the full int8 pipeline still serves correct pixels on the mesh.
+    from vsr_tpu.infer import make_pipeline
+
+    rng = np.random.default_rng(7)
+    frames = np.asarray(rng.random((5, 16, 16)) * 255, np.float32)
+    ref_lr, ref_sr = make_pipeline(net, params, 2, "acdc", int8=True)(frames)
+    lr, sr = make_pipeline(net, params, 2, "acdc", int8=True,
+                           mesh=mesh)(frames)
+    np.testing.assert_array_equal(np.asarray(lr), np.asarray(ref_lr))
+    np.testing.assert_allclose(np.asarray(sr), np.asarray(ref_sr), atol=1.0)
+
+
 def test_ep_serving_guards():
     from vsr_tpu.infer import make_pipeline
     from vsr_tpu.models import EDSRNet

@@ -145,6 +145,22 @@ def test_apply_infer_video_nets():
     assert args.video is False and args.windows == 3
 
 
+def test_apply_preset_never_conflicts_with_user_mode_flags():
+    # User forces --video on a windows+chunk preset net: the preset's
+    # chunk must be skipped (run() rejects chunk+video), not applied.
+    args = _infer_args(net="TOFlowNet", video=True)
+    notes = apply_preset_to_args(args, "tuned")
+    assert args.chunk == 0 and args.windows == 0
+    assert any("chunk skipped" in n for n in notes)
+
+    # User explicitly chunks a whole-sequence-preset net: the preset's
+    # video switch must be skipped instead of erroring the user's flag.
+    args = _infer_args(net="DRFNet", chunk=60)
+    notes = apply_preset_to_args(args, "tuned")
+    assert args.video is False and args.chunk == 60
+    assert any("video skipped" in n for n in notes)
+
+
 def test_apply_serve_namespace_static_scales_only():
     args = _serve_args(net="DUFNet")
     notes = apply_preset_to_args(args, "fast")

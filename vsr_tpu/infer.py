@@ -177,7 +177,15 @@ def build_serving_net(net_name: str, net_kwargs: dict, checkpoint: str = "",
                     return None
                 if set(sd) == {"inner_opt_state", "ema"}:
                     return sd["ema"]
-                return _find_ema(sd.get("inner_opt_state"))
+                # Recurse into EVERY nested dict, not just
+                # 'inner_opt_state': optax.chain (e.g. grad_clip +
+                # with_param_ema) serializes as {'0': ..., '1': ...}
+                # tuples that would otherwise hide the EMA state.
+                for v in sd.values():
+                    found = _find_ema(v)
+                    if found is not None:
+                        return found
+                return None
 
             ema_sd = _find_ema(state.get("opt_state"))
             if ema_sd is None:
@@ -344,7 +352,7 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
                          "silently serve full precision; pass False to "
                          "disable W8A8 explicitly")
     if w8a8:
-        from vsr_tpu.quantize import filter_scales_by_kernel, make_w8a8_apply
+        from vsr_tpu.quantize import make_w8a8_apply
 
         # A dict (from calibrate_w8a8) bakes static scales directly;
         # w8a8=True calibrates LAZILY on the first batch below — static
@@ -363,6 +371,20 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
         from vsr_tpu.quantize import make_quantized_apply, quantize_params
 
         qparams, scales = quantize_params(params)
+        if mesh is not None and "expert" in mesh.shape:
+            # quantize_params gathered the sharded leaves to host numpy;
+            # re-apply the expert/model placement to the int8 tree (same
+            # structure + kernel shapes -> same specs) or every device
+            # would hold the full weight set, silently defeating EP/TP.
+            from vsr_tpu.parallel.ep import shard_expert_params
+
+            qparams = shard_expert_params(qparams, mesh)
+            scales = shard_expert_params(scales, mesh)
+        elif mesh is not None and "model" in mesh.shape:
+            from vsr_tpu.parallel.tp import shard_model_params
+
+            qparams = shard_model_params(qparams, mesh)
+            scales = shard_model_params(scales, mesh)
         net_apply = make_quantized_apply(net, qparams, scales, **extra)
     else:
         net_apply = lambda z: net.apply(params, z, **extra)
@@ -425,7 +447,12 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
         def lazy(hr_frames):
             if "fn" not in state:
                 z = jax.jit(lambda h: prep(h)[1])(jnp.asarray(hr_frames))
-                act_scales = calibrate_w8a8(net, params, [z], **extra)
+                # Calibrate on one chunk-sized slice when serving is
+                # chunked: scales are per-tensor maxima, and the full
+                # un-chunked batch would compile a second large program
+                # (and re-raise the activation footprint chunking bounds).
+                z_cal = z[:chunk] if (chunk and not video_t) else z
+                act_scales = calibrate_w8a8(net, params, [z_cal], **extra)
                 if w8a8_kernels is not None:
                     act_scales = filter_scales_by_kernel(
                         params, act_scales, w8a8_kernels)

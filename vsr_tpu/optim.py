@@ -408,15 +408,29 @@ def with_param_ema(tx: optax.GradientTransformation,
 
 def get_ema_params(opt_state):
     """The EMA param tree from a :func:`with_param_ema`-wrapped state (the
-    trainable collection only, matching what ``tx.init`` saw)."""
-    state = opt_state
-    while not isinstance(state, ParamEmaState):
+    trainable collection only, matching what ``tx.init`` saw).
+
+    Traverses ``inner_opt_state`` wrappers (MultiSteps) AND plain tuples —
+    ``optax.chain`` (e.g. the ``grad_clip`` knob) stores its member states
+    as a tuple the attribute walk alone would miss."""
+
+    def find(state):
+        if isinstance(state, ParamEmaState):
+            return state
         if hasattr(state, "inner_opt_state"):
-            state = state.inner_opt_state
-        else:
-            raise ValueError(
-                "Optimizer state carries no param EMA — train with "
-                "trainer.kwargs.ema_decay to track one")
+            return find(state.inner_opt_state)
+        if isinstance(state, (tuple, list)):
+            for member in state:
+                found = find(member)
+                if found is not None:
+                    return found
+        return None
+
+    state = find(opt_state)
+    if state is None:
+        raise ValueError(
+            "Optimizer state carries no param EMA — train with "
+            "trainer.kwargs.ema_decay to track one")
     return state.ema
 
 

@@ -29,7 +29,7 @@ Usage::
     vsr_tpu.serve  --net DUFNet --preset tuned ...
     from vsr_tpu.presets import serving_config
     serving_config("DUFNet", "fast")
-    # {'windows': 7, 'chunk': 100, 'w8a8': 'lazy', 'volumes_per_call': 1}
+    # {'windows': 7, 'chunk': 100, 'w8a8': True}  (True = lazy-calibratable)
 
 Explicit user flags always win: the preset only fills knobs still at their
 CLI defaults.
@@ -231,16 +231,26 @@ def apply_preset_to_args(args, level: str,
     video_set = bool(getattr(args, "video", False)
                      or getattr(args, "video_t", 0))
     windows_set = bool(getattr(args, "windows", 0))
+    user_chunk = bool(getattr(args, "chunk", 0))  # before the preset fills it
 
     if cfg.get("chunk") and not getattr(args, "chunk", 0):
         if mesh:
             applied.append("chunk skipped (--mesh shards the un-chunked "
                            "batch)")
+        elif video_set:
+            applied.append("chunk skipped (the --video path is already "
+                           "sequence-batched)")
         else:
             args.chunk = cfg["chunk"]
             applied.append(f"chunk = {cfg['chunk']}")
 
-    if cfg.get("video") and not video_set and not windows_set:
+    if (cfg.get("video") and not video_set and not windows_set
+            and user_chunk):
+        # The user explicitly chunked frame-mode serving; switching the
+        # mode under them would turn their flag into a hard CLI error.
+        applied.append("video skipped (explicit --chunk pins frame-mode "
+                       "serving)")
+    elif cfg.get("video") and not video_set and not windows_set:
         if hasattr(args, "video"):  # infer: T comes from each volume
             args.video = True
             applied.append("video = True (whole-sequence VSR serving)")
