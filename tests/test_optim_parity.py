@@ -128,6 +128,58 @@ def test_cyclic_lr_refuses_momentum_cycling():
                    base_momentum=0.8, max_momentum=0.9)
 
 
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"max_lr": 0.1, "total_steps": 12},
+        {"max_lr": 0.1, "total_steps": 12, "anneal_strategy": "linear"},
+        {"max_lr": 0.2, "epochs": 4, "steps_per_epoch": 3,
+         "pct_start": 0.25, "div_factor": 10.0, "final_div_factor": 100.0},
+        {"max_lr": 0.1, "total_steps": 15, "three_phase": True,
+         "pct_start": 0.2},
+        {"max_lr": 0.1, "total_steps": 15, "three_phase": True,
+         "pct_start": 0.2, "anneal_strategy": "linear"},
+    ],
+)
+def test_one_cycle_lr_matches_torch(kwargs):
+    sched = O.OneCycleLR(cycle_momentum=False, **kwargs)
+    sched.bind(0.5)  # optimizer lr is overridden by max_lr/div_factor
+    tp = torch.nn.Parameter(torch.zeros(1))
+    topt = torch.optim.SGD([tp], lr=0.5)
+    tsched = torch.optim.lr_scheduler.OneCycleLR(
+        topt, cycle_momentum=False, **kwargs)
+    total = kwargs.get("total_steps") or (
+        kwargs["epochs"] * kwargs["steps_per_epoch"])
+    ours, golden = [], []
+    for _ in range(total):
+        golden.append(topt.param_groups[0]["lr"])
+        ours.append(sched._lr())
+        sched.step()
+        topt.step()
+        tsched.step()
+    np.testing.assert_allclose(ours, golden, rtol=1e-6, atol=1e-12)
+
+
+def test_one_cycle_lr_refusals():
+    with pytest.raises(ValueError, match="cycle_momentum"):
+        O.OneCycleLR(max_lr=0.1, total_steps=10)
+    with pytest.raises(ValueError, match="cycle_momentum"):
+        O.OneCycleLR(max_lr=0.1, total_steps=10, cycle_momentum=True)
+    with pytest.raises(ValueError, match="momentum"):
+        O.OneCycleLR(max_lr=0.1, total_steps=10, cycle_momentum=False,
+                     base_momentum=0.85)
+    with pytest.raises(ValueError, match="total_steps"):
+        O.OneCycleLR(max_lr=0.1, cycle_momentum=False)
+    with pytest.raises(ValueError, match="total_steps"):
+        O.OneCycleLR(max_lr=0.1, cycle_momentum=False, epochs=3)
+    # Stepping past total_steps raises, as in torch.
+    s = O.OneCycleLR(max_lr=0.1, total_steps=3, cycle_momentum=False)
+    for _ in range(3):
+        s.step()
+    with pytest.raises(ValueError, match="total steps"):
+        s.step()
+
+
 def test_cosine_warm_restarts_matches_torch():
     sched = O.CosineAnnealingWarmRestarts(T_0=4, T_mult=2, eta_min=1e-5)
     sched.bind(0.1)

@@ -687,6 +687,91 @@ class CyclicLR(Scheduler):
 
 
 @register("lr_scheduler")
+class OneCycleLR(Scheduler):
+    """torch.optim.lr_scheduler.OneCycleLR stepped at the reference's
+    epoch cadence (base_trainer.py:64-70 — one ``scheduler.step()`` per
+    epoch, so ``total_steps`` counts epochs here). Warmup from
+    ``max_lr / div_factor`` to ``max_lr`` over ``pct_start`` of the run,
+    then anneal to ``max_lr / div_factor / final_div_factor`` (cos or
+    linear; optional symmetric ``three_phase``). As with CyclicLR,
+    momentum cycling is not implemented and torch DEFAULTS to
+    ``cycle_momentum=True`` — configs must pass ``cycle_momentum: false``
+    to opt in to the LR-only schedule."""
+
+    def __init__(self, max_lr: float, total_steps: int | None = None,
+                 epochs: int | None = None,
+                 steps_per_epoch: int | None = None,
+                 pct_start: float = 0.3, anneal_strategy: str = "cos",
+                 cycle_momentum: bool | None = None,
+                 base_momentum: float | None = None,
+                 max_momentum: float | None = None,
+                 div_factor: float = 25.0, final_div_factor: float = 1e4,
+                 three_phase: bool = False, **kwargs: Any):
+        super().__init__(base_lr=max_lr / div_factor)
+        _refuse_unknown_kwargs(type(self).__name__, kwargs)
+        if cycle_momentum is None or cycle_momentum:
+            raise ValueError(
+                "OneCycleLR momentum cycling is not implemented — this "
+                "scheduler drives only the learning rate, while torch "
+                "DEFAULTS to cycle_momentum=True when the optimizer has "
+                "momentum/betas. Pass cycle_momentum: false explicitly to "
+                "opt in to the LR-only schedule.")
+        if base_momentum is not None or max_momentum is not None:
+            raise ValueError(
+                "base_momentum/max_momentum are momentum-cycling knobs; "
+                "momentum cycling is not implemented (see cycle_momentum)")
+        if total_steps is None:
+            if epochs is None or steps_per_epoch is None:
+                raise ValueError(
+                    "OneCycleLR needs total_steps, or epochs together with "
+                    "steps_per_epoch")
+            total_steps = epochs * steps_per_epoch
+        if total_steps <= 0:
+            raise ValueError(f"Expected positive total_steps, got {total_steps}")
+        if not 0.0 <= pct_start <= 1.0:
+            raise ValueError(f"Expected pct_start in [0, 1], got {pct_start}")
+        if anneal_strategy not in ("cos", "linear"):
+            raise ValueError(f"unknown anneal_strategy {anneal_strategy!r}")
+        self.max_lr = max_lr
+        self.total_steps = int(total_steps)
+        self.anneal_strategy = anneal_strategy
+        initial_lr = max_lr / div_factor
+        min_lr = initial_lr / final_div_factor
+        # torch's phase table (lr_scheduler.OneCycleLR.__init__): fractional
+        # end_step boundaries, last phase always ends at total_steps - 1.
+        if three_phase:
+            self.phases = [
+                (float(pct_start * total_steps) - 1, initial_lr, max_lr),
+                (float(2 * pct_start * total_steps) - 2, max_lr, initial_lr),
+                (self.total_steps - 1, initial_lr, min_lr),
+            ]
+        else:
+            self.phases = [
+                (float(pct_start * total_steps) - 1, initial_lr, max_lr),
+                (self.total_steps - 1, max_lr, min_lr),
+            ]
+
+    def _anneal(self, start: float, end: float, pct: float) -> float:
+        if self.anneal_strategy == "cos":
+            return end + (start - end) / 2.0 * (1 + math.cos(math.pi * pct))
+        return (end - start) * pct + start
+
+    def _lr(self) -> float:
+        step_num = self.last_epoch
+        if step_num > self.total_steps:
+            raise ValueError(
+                f"Tried to step {step_num} times. The specified number of "
+                f"total steps is {self.total_steps}")
+        start_step = 0.0
+        for i, (end_step, start_lr, end_lr) in enumerate(self.phases):
+            if step_num <= end_step or i == len(self.phases) - 1:
+                pct = (step_num - start_step) / (end_step - start_step)
+                return self._anneal(start_lr, end_lr, pct)
+            start_step = end_step
+        raise AssertionError("unreachable")
+
+
+@register("lr_scheduler")
 class ReduceLROnPlateau(Scheduler):
     """Steps on the validation 'Loss' (what base_trainer.py:67 intended)."""
 
