@@ -82,8 +82,18 @@ class BaseTrainer:
         grad_clip: float = 0.0,
         ema_decay: float | None = None,
         t_bucket: int = 16,
+        async_ckpt: bool = False,
         **kwargs: Any,
     ):
+        # Non-blocking checkpoint writes: save() snapshots on device and a
+        # background thread does the host transfer + file IO while training
+        # continues (utils/checkpoint.py AsyncCheckpointWriter). Identical
+        # file contents to sync saves; train()/load() drain the queue.
+        self._ckpt_writer = None
+        if async_ckpt:
+            from vsr_tpu.utils.checkpoint import AsyncCheckpointWriter
+
+            self._ckpt_writer = AsyncCheckpointWriter()
         # Variable-T validation sequences are padded up to multiples of
         # ``t_bucket`` frames with masked losses/metrics (causal sequence
         # trainers only; see vsr_tpu/utils/bucketing.py). <=1 disables.
@@ -756,6 +766,9 @@ class BaseTrainer:
             self._train_loop()
         finally:
             self._restore_handlers(previous_handlers)
+            # Async checkpoint writes must land before the process can
+            # exit (covers the preemption ckpt and the last epoch's saves).
+            self.wait_for_checkpoints()
 
     def _train_loop(self) -> None:
         while self.epoch <= self.num_epochs:
@@ -836,10 +849,20 @@ class BaseTrainer:
             "lr_scheduler": self.lr_scheduler.state_dict() if self.lr_scheduler else None,
             "random_seed": str(self.rng_tree.root_seed),
         }
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.submit(path, state, aux)
+            return
         save_checkpoint(path, state, aux)
+
+    def wait_for_checkpoints(self) -> None:
+        """Drain pending async checkpoint writes (no-op for sync saves)."""
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.wait()
 
     def load(self, path: str | Path) -> None:
         self._ensure_initialized()
+        # A just-submitted async write to this very file must land first.
+        self.wait_for_checkpoints()
         state, aux = load_checkpoint(
             path, {"params": self.params, "opt_state": self.opt_state}
         )
