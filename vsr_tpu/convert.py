@@ -350,6 +350,23 @@ def convert(config_path: str | Path, torch_ckpt: str | Path,
 
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO, format="%(message)s")
+    import sys
+
+    args_in = sys.argv[1:] if argv is None else list(argv)
+    if args_in[:1] == ["--consolidate"]:
+        # Standalone mode: stitch a sharded-v1 checkpoint (per-process
+        # shard files from trainer.kwargs.sharded_ckpt) into a plain
+        # gathered .ckpt — pure numpy, runs on any host with the files.
+        cap = argparse.ArgumentParser(
+            description="Consolidate a sharded checkpoint into a plain one.")
+        cap.add_argument("--consolidate", nargs=2,
+                         metavar=("SHARDED_CKPT", "OUT_CKPT"), required=True)
+        a = cap.parse_args(args_in)
+        from vsr_tpu.utils.checkpoint import consolidate_sharded_checkpoint
+
+        consolidate_sharded_checkpoint(*a.consolidate)
+        logging.info(f"Consolidated {a.consolidate[0]} -> {a.consolidate[1]}")
+        return
     ap = argparse.ArgumentParser(
         description="Convert a reference torch checkpoint to a vsr_tpu one.")
     ap.add_argument("--config", required=True,

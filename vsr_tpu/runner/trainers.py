@@ -83,17 +83,29 @@ class BaseTrainer:
         ema_decay: float | None = None,
         t_bucket: int = 16,
         async_ckpt: bool = False,
+        sharded_ckpt: bool = False,
         **kwargs: Any,
     ):
+        # Scalable checkpoint format for sharded state (FSDP/ZeRO/TP/EP):
+        # each process writes only the shards it owns — no gather-to-
+        # primary O(model) traffic. Restore needs the same topology.
+        self._sharded_ckpt = bool(sharded_ckpt)
+        if sharded_ckpt and not mesh_axes:
+            raise ValueError(
+                "sharded_ckpt needs mesh_axes — without a mesh no state is "
+                "sharded and the default (gathered) checkpoint is already "
+                "optimal")
         # Non-blocking checkpoint writes: save() snapshots on device and a
         # background thread does the host transfer + file IO while training
         # continues (utils/checkpoint.py AsyncCheckpointWriter). Identical
         # file contents to sync saves; train()/load() drain the queue.
         self._ckpt_writer = None
         if async_ckpt:
-            from vsr_tpu.utils.checkpoint import AsyncCheckpointWriter
+            from vsr_tpu.utils.checkpoint import (AsyncCheckpointWriter,
+                                                  save_checkpoint_sharded)
 
-            self._ckpt_writer = AsyncCheckpointWriter()
+            self._ckpt_writer = AsyncCheckpointWriter(
+                write_fn=save_checkpoint_sharded if sharded_ckpt else None)
         # Variable-T validation sequences are padded up to multiples of
         # ``t_bucket`` frames with masked losses/metrics (causal sequence
         # trainers only; see vsr_tpu/utils/bucketing.py). <=1 disables.
@@ -834,6 +846,25 @@ class BaseTrainer:
     def save(self, path: str | Path, epoch: int | None = None) -> None:
         from vsr_tpu.parallel.distributed import gather_sharded, is_primary
 
+        aux = {
+            "epoch": self.epoch if epoch is None else epoch,
+            "monitor": self.monitor.state_dict(),
+            "lr_scheduler": self.lr_scheduler.state_dict() if self.lr_scheduler else None,
+            "random_seed": str(self.rng_tree.root_seed),
+        }
+        if self._sharded_ckpt:
+            # Every process writes ONLY the shards it owns (plus the main
+            # file on process 0) — no gather, no O(model) cross-host
+            # traffic. Monitor/scheduler state is lockstep, so each
+            # process builds identical aux.
+            state = {"params": self.params, "opt_state": self.opt_state}
+            if self._ckpt_writer is not None:
+                self._ckpt_writer.submit(path, state, aux)
+                return
+            from vsr_tpu.utils.checkpoint import save_checkpoint_sharded
+
+            save_checkpoint_sharded(path, state, aux)
+            return
         # Cross-host ZeRO/FSDP shards must be gathered by EVERY process (a
         # collective) before the primary-only write; replicated leaves pass
         # through untouched. Checkpoint/monitor decisions are lockstep
@@ -843,12 +874,6 @@ class BaseTrainer:
         if not is_primary():
             # Process 0 owns the file.
             return
-        aux = {
-            "epoch": self.epoch if epoch is None else epoch,
-            "monitor": self.monitor.state_dict(),
-            "lr_scheduler": self.lr_scheduler.state_dict() if self.lr_scheduler else None,
-            "random_seed": str(self.rng_tree.root_seed),
-        }
         if self._ckpt_writer is not None:
             self._ckpt_writer.submit(path, state, aux)
             return
@@ -863,9 +888,17 @@ class BaseTrainer:
         self._ensure_initialized()
         # A just-submitted async write to this very file must land first.
         self.wait_for_checkpoints()
-        state, aux = load_checkpoint(
-            path, {"params": self.params, "opt_state": self.opt_state}
-        )
+        from vsr_tpu.utils.checkpoint import (is_sharded_checkpoint,
+                                              load_checkpoint_sharded)
+
+        template = {"params": self.params, "opt_state": self.opt_state}
+        if is_sharded_checkpoint(path):
+            # _ensure_initialized already placed the template per the
+            # mesh's parameter rule, so each leaf's target sharding tells
+            # this process which saved shards to read back.
+            state, aux = load_checkpoint_sharded(path, template)
+        else:
+            state, aux = load_checkpoint(path, template)
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         # Restored leaves are host arrays — re-place them per the mesh's

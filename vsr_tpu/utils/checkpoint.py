@@ -36,6 +36,228 @@ def save_checkpoint(path: str | Path, state: Any, aux: dict | None = None) -> No
     tmp.replace(path)  # atomic on POSIX
 
 
+#: Marker for empty-dict nodes (e.g. optax's ``hyperparams_states = {}``) —
+#: flatten_dict would silently drop them and break from_state_dict's
+#: structure match on restore.
+_EMPTY_NODE = "__vsr_empty_node__"
+
+
+def _flatten_state(state: Any) -> dict:
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(
+        serialization.to_state_dict(state), sep="/", keep_empty_nodes=True)
+    return {k: (_EMPTY_NODE if v is traverse_util.empty_node else v)
+            for k, v in flat.items()}
+
+
+def _unflatten_state(flat: dict) -> dict:
+    from flax import traverse_util
+
+    flat = {k: (traverse_util.empty_node if (isinstance(v, str) and
+                                             v == _EMPTY_NODE) else v)
+            for k, v in flat.items()}
+    return traverse_util.unflatten_dict(flat, sep="/")
+
+
+def _encode_index(index, shape) -> list:
+    """Shard index (tuple of slices) -> [[start, stop], ...] (msgpack-able)."""
+    out = []
+    for sl, dim in zip(index, shape):
+        out.append([int(sl.start or 0), int(dim if sl.stop is None else sl.stop)])
+    return out
+
+
+def save_checkpoint_sharded(path: str | Path, state: Any, aux: dict | None = None) -> None:
+    """Scalable checkpoint for FSDP/ZeRO/TP/EP state: every process writes
+    ONLY the array shards it owns (``<path>.shard<k>``), process 0 writes
+    the main file (replicated leaves + aux + a shard manifest). Nothing is
+    gathered — no O(model) cross-host traffic or host memory, unlike
+    :meth:`BaseTrainer.save`'s default gather-to-primary path (the
+    reference's ``torch.save`` has no analogue, ``base_trainer.py:224``).
+
+    Restore requires the SAME mesh/process topology (each leaf is
+    reassembled from the shard indices the current placement asks for);
+    :func:`load_checkpoint_sharded` raises a clear error otherwise.
+    """
+    import jax
+    import numpy as np
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    flat = _flatten_state(state)
+    replicated: dict = {}
+    manifest: dict = {}
+    my_shards: dict = {}
+    for key, leaf in flat.items():
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_replicated:
+            manifest[key] = {"shape": list(leaf.shape), "dtype": str(leaf.dtype)}
+            entries = []
+            for s in leaf.addressable_shards:
+                if s.replica_id != 0:
+                    continue  # another process/device owns this copy
+                entries.append({"index": _encode_index(s.index, leaf.shape),
+                                "data": np.asarray(s.data)})
+            my_shards[key] = entries
+        else:
+            replicated[key] = np.asarray(leaf) if isinstance(
+                leaf, jax.Array) else leaf
+    proc = jax.process_index()
+    shard_payload = serialization.msgpack_serialize(
+        {"process": proc, "leaves": my_shards})
+    shard_path = path.with_name(path.name + f".shard{proc}")
+    tmp = shard_path.with_suffix(shard_path.suffix + ".tmp")
+    tmp.write_bytes(shard_payload)
+    tmp.replace(shard_path)
+    if proc == 0:
+        payload = serialization.msgpack_serialize({
+            "format": "sharded-v1",
+            "replicated": replicated,
+            "sharded": manifest,
+            "num_processes": jax.process_count(),
+            "aux": aux or {},
+        })
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        tmp.write_bytes(payload)
+        tmp.replace(path)
+
+
+def is_sharded_checkpoint(path: str | Path) -> bool:
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return payload.get("format") == "sharded-v1"
+
+
+def load_checkpoint_sharded(path: str | Path, state_template: Any):
+    """Restore a :func:`save_checkpoint_sharded` checkpoint onto a PLACED
+    template (leaves already carry their target shardings, e.g. via the
+    trainer's ``_place_state``). Each process reads only its own shard
+    file and assembles every sharded leaf device-by-device. Returns
+    ``(state, aux)`` like :func:`load_checkpoint`."""
+    import jax
+    import numpy as np
+    from flax import traverse_util
+
+    path = Path(path)
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    if payload.get("format") != "sharded-v1":
+        raise ValueError(f"{path} is not a sharded-v1 checkpoint")
+    if payload["num_processes"] != jax.process_count():
+        raise ValueError(
+            f"sharded checkpoint was written by {payload['num_processes']} "
+            f"process(es) but this run has {jax.process_count()} — restore "
+            "needs the same topology (or a gathered checkpoint)")
+    proc = jax.process_index()
+    shard_path = path.with_name(path.name + f".shard{proc}")
+    if not shard_path.exists():
+        raise FileNotFoundError(
+            f"missing {shard_path} — every process's shard file must be on "
+            "a filesystem this process can read")
+    with open(shard_path, "rb") as f:
+        mine = serialization.msgpack_restore(f.read())["leaves"]
+
+    flat_tmpl = _flatten_state(state_template)
+    out: dict = {}
+    for key, leaf in flat_tmpl.items():
+        if key in payload["sharded"]:
+            meta = payload["sharded"][key]
+            shape = tuple(meta["shape"])
+            if not isinstance(leaf, jax.Array) or leaf.is_fully_replicated:
+                raise ValueError(
+                    f"checkpoint leaf {key!r} was saved sharded but the "
+                    "template is not sharded — restore with the same "
+                    "mesh/parallelism config, or from a gathered checkpoint")
+            if tuple(leaf.shape) != shape:
+                raise ValueError(
+                    f"shape mismatch for {key!r}: checkpoint {shape}, "
+                    f"template {tuple(leaf.shape)}")
+            entries = mine.get(key, [])
+            if isinstance(entries, dict):  # msgpack may restore as a dict
+                entries = list(entries.values())
+            by_index = {tuple(map(tuple, e["index"])): e["data"]
+                        for e in entries}
+            sharding = leaf.sharding
+            arrays = []
+            for dev, idx in sharding.addressable_devices_indices_map(
+                    shape).items():
+                want = tuple(
+                    (int(sl.start or 0), int(dim if sl.stop is None else sl.stop))
+                    for sl, dim in zip(idx, shape))
+                if want not in by_index:
+                    raise ValueError(
+                        f"{key!r}: this process needs shard {want} but its "
+                        f"shard file holds {sorted(by_index)} — the mesh "
+                        "layout changed since the checkpoint was written")
+                arrays.append(jax.device_put(
+                    np.asarray(by_index[want]).astype(leaf.dtype), dev))
+            out[key] = jax.make_array_from_single_device_arrays(
+                shape, sharding, arrays)
+        else:
+            if key not in payload["replicated"]:
+                raise ValueError(f"checkpoint is missing leaf {key!r}")
+            out[key] = payload["replicated"][key]
+    state = serialization.from_state_dict(
+        state_template, _unflatten_state(out))
+    return state, payload.get("aux", {})
+
+
+def consolidate_sharded_checkpoint(path: str | Path, out_path: str | Path) -> None:
+    """Stitch a sharded-v1 checkpoint (main file + every ``.shard<k>``)
+    into a plain gathered checkpoint — pure numpy, no mesh or devices
+    needed, so it runs on any host that can see all the files. The result
+    loads everywhere a normal checkpoint does (infer/export/convert/
+    differently-meshed trainers)."""
+    import numpy as np
+    from flax import traverse_util
+
+    path = Path(path)
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    if payload.get("format") != "sharded-v1":
+        raise ValueError(f"{path} is not a sharded-v1 checkpoint")
+    def _np_dtype(name: str):
+        try:
+            return np.dtype(name)
+        except TypeError:  # bfloat16 etc. live in ml_dtypes, not numpy
+            import ml_dtypes
+
+            return np.dtype(getattr(ml_dtypes, name))
+
+    flat = dict(payload["replicated"])
+    filled: dict = {key: np.zeros(tuple(meta["shape"]),
+                                  dtype=_np_dtype(meta["dtype"]))
+                    for key, meta in payload["sharded"].items()}
+    seen: dict = {key: np.zeros(tuple(meta["shape"]), dtype=bool)
+                  for key, meta in payload["sharded"].items()}
+    for proc in range(payload["num_processes"]):
+        shard_path = path.with_name(path.name + f".shard{proc}")
+        if not shard_path.exists():
+            raise FileNotFoundError(
+                f"missing {shard_path} — consolidation needs every "
+                "process's shard file")
+        with open(shard_path, "rb") as f:
+            leaves = serialization.msgpack_restore(f.read())["leaves"]
+        for key, entries in leaves.items():
+            if isinstance(entries, dict):  # msgpack may restore as a dict
+                entries = list(entries.values())
+            for e in entries:
+                sl = tuple(slice(int(a), int(b)) for a, b in
+                           (e["index"].values() if isinstance(e["index"], dict)
+                            else e["index"]))
+                filled[key][sl] = e["data"]
+                seen[key][sl] = True
+    for key, mask in seen.items():
+        if not mask.all():
+            raise ValueError(
+                f"{key!r}: shard files do not cover the full array "
+                f"({int(mask.sum())}/{mask.size} elements) — checkpoint "
+                "is incomplete")
+    flat.update(filled)
+    state = _unflatten_state(flat)
+    save_checkpoint(out_path, state, payload.get("aux", {}))
+
+
 class AsyncCheckpointWriter:
     """Non-blocking checkpoint writes that overlap training.
 
@@ -58,7 +280,12 @@ class AsyncCheckpointWriter:
     version or absent).
     """
 
-    def __init__(self) -> None:
+    def __init__(self, write_fn=None) -> None:
+        # write_fn(path, snapshot, aux) — the snapshot's jax.Array leaves
+        # keep their shardings, so a sharded writer (e.g.
+        # save_checkpoint_sharded) can extract its owned shards in the
+        # worker. Default: device_get + save_checkpoint.
+        self._write_fn = write_fn
         self._queue: queue.Queue = queue.Queue()
         self._errors: list[BaseException] = []
         self._lock = threading.Lock()
@@ -110,7 +337,10 @@ class AsyncCheckpointWriter:
         while True:
             path, snapshot, aux = self._queue.get()
             try:
-                save_checkpoint(path, jax.device_get(snapshot), aux)
+                if self._write_fn is not None:
+                    self._write_fn(path, snapshot, aux)
+                else:
+                    save_checkpoint(path, jax.device_get(snapshot), aux)
             except BaseException as e:  # surfaced on next submit()/wait()
                 with self._lock:
                     self._errors.append(e)
@@ -132,6 +362,12 @@ def load_checkpoint(path: str | Path, state_template: Any | None = None):
     state dict is returned."""
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
+    if payload.get("format") == "sharded-v1":
+        raise ValueError(
+            f"{path} is a sharded checkpoint (per-process shard files). "
+            "Restore it through a trainer with the same mesh topology, or "
+            "consolidate it into a plain checkpoint first: "
+            "python -m vsr_tpu.convert --consolidate <ckpt> <out.ckpt>")
     state = payload["state"]
     if state_template is not None:
         state = serialization.from_state_dict(state_template, state)
