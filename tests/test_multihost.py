@@ -315,3 +315,49 @@ def test_tensor_parallel_two_process_matches_plain_dp(mh_run):
     for key in flat_dp:
         np.testing.assert_allclose(flat_t[key], flat_dp[key], rtol=5e-4,
                                    atol=1e-5, err_msg=key)
+
+
+def test_sharded_ckpt_two_process_tp_roundtrip(mh_run):
+    """2-process tensor-parallel training with ``sharded_ckpt: true``:
+    every process writes only the param/moment shards it OWNS (replica 0
+    of each index — the host-spanning 'data' axis replicates TP leaves, so
+    process 1's file is mostly empty), restore pulls missing shards from
+    the other process's file, and offline consolidation rebuilds a plain
+    checkpoint that matches the plain-DP run."""
+    root, saved, _logs = mh_run
+    from vsr_tpu.utils.checkpoint import (consolidate_sharded_checkpoint,
+                                          load_checkpoint)
+
+    sh_saved = root / "sharded_tp_out"
+    cfg = _config(root / "data", sh_saved, local_batch=6, host_shard=True,
+                  valid_batch=1)
+    cfg["trainer"]["kwargs"]["mesh_axes"] = {"data": 2, "model": 2}
+    cfg["trainer"]["kwargs"]["sharded_ckpt"] = True
+    _launch_pair(root, cfg, "sharded_tp")
+
+    ckpt = sh_saved / "checkpoints" / "model_2.ckpt"
+    assert ckpt.exists()
+    for p in range(2):
+        assert ckpt.with_name(ckpt.name + f".shard{p}").exists()
+
+    # Offline consolidation (pure numpy) -> plain checkpoint == plain DP.
+    consolidate_sharded_checkpoint(ckpt, root / "consolidated_tp.ckpt")
+    c_state, c_aux = load_checkpoint(root / "consolidated_tp.ckpt")
+    dp_state, _ = load_checkpoint(saved / "checkpoints" / "model_2.ckpt")
+    flat_dp = jax_flatten(dp_state["params"])
+    flat_c = jax_flatten(c_state["params"])
+    assert flat_dp.keys() == flat_c.keys()
+    for key in flat_dp:
+        assert flat_c[key].shape == flat_dp[key].shape, key
+        np.testing.assert_allclose(flat_c[key], flat_dp[key], rtol=5e-4,
+                                   atol=1e-5, err_msg=key)
+    assert c_aux["epoch"] == 2
+
+    # Resume leg straight from the SHARDED checkpoint: each process
+    # reassembles its placement (process 1 via the cross-file fallback).
+    cfg["main"]["loaded_path"] = str(ckpt)
+    cfg["trainer"]["kwargs"]["num_epochs"] = 3
+    logs = _launch_pair(root, cfg, "sharded_tp_resume")
+    assert all("Resume training." in t for t in logs)
+    t0 = _parse_logs(logs[0], "Train log: ")
+    assert len(t0) == 1 and np.isfinite(t0[0]["Loss"])

@@ -149,13 +149,37 @@ def load_checkpoint_sharded(path: str | Path, state_template: Any):
             f"process(es) but this run has {jax.process_count()} — restore "
             "needs the same topology (or a gathered checkpoint)")
     proc = jax.process_index()
-    shard_path = path.with_name(path.name + f".shard{proc}")
-    if not shard_path.exists():
-        raise FileNotFoundError(
-            f"missing {shard_path} — every process's shard file must be on "
-            "a filesystem this process can read")
-    with open(shard_path, "rb") as f:
-        mine = serialization.msgpack_restore(f.read())["leaves"]
+
+    # This process's shards normally live in its own file; leaves that are
+    # REPLICATED across processes but sharded locally (e.g. multi-host
+    # tensor parallelism: split over an intra-host 'model' axis, copied
+    # over the host-spanning 'data' axis) were deduplicated at save time
+    # (replica_id==0 wins), so their data may sit in another process's
+    # file — fall back to scanning the rest on a miss.
+    _cache: dict = {}
+
+    def _shard_file(p: int):
+        if p not in _cache:
+            sp = path.with_name(path.name + f".shard{p}")
+            if not sp.exists():
+                raise FileNotFoundError(
+                    f"missing {sp} — every process's shard file must be on "
+                    "a filesystem this process can read")
+            with open(sp, "rb") as f:
+                _cache[p] = serialization.msgpack_restore(f.read())["leaves"]
+        return _cache[p]
+
+    def _lookup(key: str, want: tuple):
+        order = [proc] + [p for p in range(payload["num_processes"])
+                          if p != proc]
+        for p in order:
+            entries = _shard_file(p).get(key, [])
+            if isinstance(entries, dict):  # msgpack may restore as a dict
+                entries = list(entries.values())
+            for e in entries:
+                if tuple(map(tuple, e["index"])) == want:
+                    return e["data"]
+        return None
 
     flat_tmpl = _flatten_state(state_template)
     out: dict = {}
@@ -172,11 +196,6 @@ def load_checkpoint_sharded(path: str | Path, state_template: Any):
                 raise ValueError(
                     f"shape mismatch for {key!r}: checkpoint {shape}, "
                     f"template {tuple(leaf.shape)}")
-            entries = mine.get(key, [])
-            if isinstance(entries, dict):  # msgpack may restore as a dict
-                entries = list(entries.values())
-            by_index = {tuple(map(tuple, e["index"])): e["data"]
-                        for e in entries}
             sharding = leaf.sharding
             arrays = []
             for dev, idx in sharding.addressable_devices_indices_map(
@@ -184,13 +203,14 @@ def load_checkpoint_sharded(path: str | Path, state_template: Any):
                 want = tuple(
                     (int(sl.start or 0), int(dim if sl.stop is None else sl.stop))
                     for sl, dim in zip(idx, shape))
-                if want not in by_index:
+                data = _lookup(key, want)
+                if data is None:
                     raise ValueError(
-                        f"{key!r}: this process needs shard {want} but its "
-                        f"shard file holds {sorted(by_index)} — the mesh "
-                        "layout changed since the checkpoint was written")
+                        f"{key!r}: no shard file holds shard {want} — the "
+                        "mesh layout changed since the checkpoint was "
+                        "written (consolidate it to re-shard)")
                 arrays.append(jax.device_put(
-                    np.asarray(by_index[want]).astype(leaf.dtype), dev))
+                    np.asarray(data).astype(leaf.dtype), dev))
             out[key] = jax.make_array_from_single_device_arrays(
                 shape, sharding, arrays)
         else:
