@@ -155,6 +155,53 @@ def test_sharded_composes_with_async(tmp_path):
         tmp_path / "sync.ckpt.shard0").read_bytes()
 
 
+def test_mixed_save_shards_detected(tmp_path):
+    """A crash mid-save over a reused path can leave the NEW main file next
+    to an OLD shard file (or vice versa). The embedded save_id nonce makes
+    load and consolidate refuse the mix instead of silently reassembling
+    mixed-epoch state."""
+    src = _init_and_step(_make({"data": 8}, fsdp=True, sharded_ckpt=True))
+    path = tmp_path / "model.ckpt"
+    src.save(path)
+    stale_shard = (tmp_path / "model.ckpt.shard0").read_bytes()
+    # Second save to the SAME path at a later epoch (different aux).
+    src.epoch += 1
+    src.save(path)
+    assert (tmp_path / "model.ckpt.shard0").read_bytes() != stale_shard
+    # Simulate the crash: fresh main file, stale shard file.
+    (tmp_path / "model.ckpt.shard0").write_bytes(stale_shard)
+    dst = _make({"data": 8}, fsdp=True, sharded_ckpt=True)
+    batch = _batch()
+    inputs, _ = dst._get_inputs_targets(batch)
+    dst.params = dst.net.init(jax.random.PRNGKey(99), inputs)
+    dst.opt_state = dst.tx.init(dst.params["params"])
+    dst._place_state()
+    with pytest.raises(ValueError, match="different save"):
+        dst.load(path)
+    with pytest.raises(ValueError, match="different save"):
+        consolidate_sharded_checkpoint(path, tmp_path / "plain.ckpt")
+
+
+def test_sharded_dtype_mismatch_raises(tmp_path):
+    src = _init_and_step(_make({"data": 8}, fsdp=True, sharded_ckpt=True))
+    path = tmp_path / "model.ckpt"
+    src.save(path)
+    dst = _make({"data": 8}, fsdp=True, sharded_ckpt=True)
+    batch = _batch()
+    inputs, _ = dst._get_inputs_targets(batch)
+    dst.params = dst.net.init(jax.random.PRNGKey(99), inputs)
+    dst.opt_state = dst.tx.init(dst.params["params"])
+    import jax.numpy as jnp
+
+    dst.opt_state = jax.tree_util.tree_map(
+        lambda l: l.astype(jnp.bfloat16)
+        if isinstance(l, jax.Array) and l.dtype == jnp.float32 else l,
+        dst.opt_state)
+    dst._place_state()
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        dst.load(path)
+
+
 def test_consolidate_cli(tmp_path):
     src = _init_and_step(_make({"data": 8}, fsdp=True, sharded_ckpt=True))
     src.save(tmp_path / "model.ckpt")

@@ -190,6 +190,8 @@ class BaseTrainer:
         #   _partition_specs); XLA inserts the conv halo exchanges and global
         #   reductions, so the math matches the unsharded step.
         self.mesh = None
+        self._mesh_blocks = None
+        self._assembly_specs = None
         self._dp_train_step = self._dp_eval_step = None
         self._pipe_apply = None
         self._zero_axis = None
@@ -224,17 +226,39 @@ class BaseTrainer:
             from vsr_tpu.parallel.mesh import make_mesh
 
             self.mesh = make_mesh(dict(mesh_axes))
-            if self._multiprocess and any(
-                    a in self.mesh.shape
-                    for a in ("spatial", "seq", "pipe")):
-                # model/expert DO span hosts (GSPMD parameter placement +
-                # collective ckpt gather — same machinery as multi-host
-                # ZeRO/FSDP); spatial/seq halo exchanges and the shard_map
-                # pipeline schedule stay single-host.
+            if self._multiprocess and "pipe" in self.mesh.shape:
+                # Every other axis spans hosts: data/model/expert via
+                # GSPMD placement + collective ckpt gather, spatial/seq
+                # via the block assembly below (XLA's halo exchanges ride
+                # DCN exactly like ICI). 'pipe' is the one schedule built
+                # by hand: its shard_map ppermutes activations every tick
+                # over the local device ring and the microbatch loop
+                # assumes the stage params are addressable — porting that
+                # to DCN would reinvent what the GSPMD axes already give,
+                # for a schedule whose point (fitting model+activations)
+                # the fsdp/model axes cover across hosts.
                 raise NotImplementedError(
-                    "multi-host spatial/seq/pipe training is not wired "
-                    "yet — across hosts use data/model/expert axes "
+                    "multi-host 'pipe' training is not wired — across "
+                    "hosts use data/model/expert/spatial/seq axes "
                     "(+ zero_optim/fsdp)")
+            if self._multiprocess:
+                from vsr_tpu.parallel.distributed import (
+                    mesh_process_blocks, process_count)
+
+                # (block_index, block_count) of this process along every
+                # mesh axis — drives the global-batch assembly for
+                # process-spanning spatial/seq axes.
+                self._mesh_blocks = mesh_process_blocks(self.mesh)
+                d_idx, d_cnt = self._mesh_blocks.get("data", (0, 1))
+                if d_cnt != process_count():
+                    # 'data' does not absorb every process: processes in
+                    # the same data block hold different spatial/seq
+                    # slices of the SAME samples, so their loaders must
+                    # read identical batches (sharded only over the data
+                    # blocks, not over all processes).
+                    for ld in (train_dataloader, valid_dataloader):
+                        if ld is not None and getattr(ld, "host_shard", False):
+                            ld._host_shard_override = (d_cnt, d_idx)
             if "pipe" in self.mesh.shape:
                 # Pipeline parallelism (parallel/pipeline.py): the EDSR
                 # resblock chain cut into 'pipe' stages, microbatches
@@ -338,6 +362,10 @@ class BaseTrainer:
                 reject_spatial_x_model(self.mesh)
                 model_axis = "model" if "model" in self.mesh.shape else None
                 in_spec, tgt_spec = self._partition_specs()
+                # Multi-host global-batch assembly slices/places local
+                # arrays by these same specs (host-spanning spatial/seq
+                # dims included).
+                self._assembly_specs = (in_spec, tgt_spec)
                 if self.mesh.shape.get("seq", 1) > 1:
                     # 'seq' shards the volume depth / MISR window axis
                     # (SURVEY §5: the conv-world analogue of context
@@ -368,8 +396,11 @@ class BaseTrainer:
                     fsdp_axis=self._fsdp_axis, expert_axis=self._expert_axis,
                 )
             else:
+                from jax.sharding import PartitionSpec as _P
+
                 from vsr_tpu.parallel.data_parallel import make_dp_step
 
+                self._assembly_specs = (_P("data"), _P("data"))
                 self._dp_train_step = make_dp_step(
                     lambda p, o, i, t, axis_name: self._step(
                         p, o, i, t, training=True, axis_name=axis_name
@@ -578,12 +609,13 @@ class BaseTrainer:
         pbar = tqdm(iterator, total=len(loader), desc=mode, leave=False)
         n_data = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
         if self._multiprocess:
-            from vsr_tpu.parallel.distributed import (host_local_to_global,
-                                                      process_count)
-
-            # Each process contributes 1/P of every global batch; its local
-            # batch must still split over its local slice of the mesh.
-            n_data = max(n_data // process_count(), 1)
+            # Each process contributes its data block's slice of every
+            # global batch; the local batch must still split over the
+            # LOCAL extent of the 'data' axis (= global extent / number
+            # of process blocks along it — not process_count: with
+            # host-spanning spatial/seq axes several processes share one
+            # data block).
+            n_data = max(n_data // self._mesh_blocks.get("data", (0, 1))[1], 1)
         local_eval = False  # multi-host: per-process shard eval happened
         local_params = None
         for step_i, batch in enumerate(pbar):
@@ -592,11 +624,7 @@ class BaseTrainer:
             use_dp = self.mesh is not None and batch_n % n_data == 0
             if self._multiprocess:
                 if use_dp:
-                    from jax.sharding import PartitionSpec as P
-
-                    inputs, targets = jax.tree_util.tree_map(
-                        lambda a: host_local_to_global(a, self.mesh, P("data")),
-                        (inputs, targets))
+                    inputs, targets = self._assemble_global(inputs, targets)
                 elif training:
                     raise RuntimeError(
                         f"multi-host training requires every local batch "
@@ -680,17 +708,83 @@ class BaseTrainer:
             count = float(summed[-1])
         log = {k: float(v) / count for k, v in (acc or {}).items()}
         if self._multiprocess and outputs is not None and not local_eval:
-            # Keep only this process's addressable shards for the logging
-            # path (np.asarray on a multi-host global array would fail).
-            # (local_eval outputs are already host-local.)
-            from jax.sharding import PartitionSpec as P
+            # Host-localize the last batch's outputs for the logging path
+            # (np.asarray on a multi-host global array would fail;
+            # local_eval outputs are already host-local.)
+            if all(cnt == 1 for ax, (_, cnt) in self._mesh_blocks.items()
+                   if ax != "data"):
+                # Only 'data' spans processes: reinterpret each output as
+                # this process's batch shard (no communication).
+                from jax.sharding import PartitionSpec as P
 
-            from vsr_tpu.parallel.distributed import global_to_host_local
+                from vsr_tpu.parallel.distributed import global_to_host_local
 
-            outputs = jax.tree_util.tree_map(
-                lambda a: global_to_host_local(a, self.mesh, P("data")),
-                outputs)
+                outputs = jax.tree_util.tree_map(
+                    lambda a: global_to_host_local(a, self.mesh, P("data")),
+                    outputs)
+            else:
+                # spatial/seq span processes too — each process holds
+                # activation SLICES, so gather the full arrays (one small
+                # collective on the epoch's last batch, logging only).
+                from jax.experimental import multihost_utils
+
+                outputs = jax.tree_util.tree_map(
+                    lambda a: np.asarray(multihost_utils.process_allgather(
+                        a, tiled=True))
+                    if isinstance(a, jax.Array) and not a.is_fully_addressable
+                    else a,
+                    outputs)
         return log, batch, outputs
+
+    def _assemble_global(self, inputs, targets):
+        """Per-process host-local (inputs, targets) -> global jax.Arrays
+        sharded by the task's partition specs over the process-spanning
+        mesh.
+
+        The loader already sliced the batch dim per DATA block
+        (``_host_shard_override``); here every host-spanning spatial/seq
+        dim is sliced to this process's block, so the local chunk handed
+        to jax is exactly the process's addressable portion of the
+        global array. XLA then places halo exchanges and reductions over
+        DCN the same way it does over ICI — multi-host volume sharding
+        with no new collective code (SURVEY §2.9 / §5)."""
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as P
+
+        from vsr_tpu.parallel.gspmd import _prune_spec
+
+        blocks = self._mesh_blocks
+
+        def leaf_to_global(a, spec):
+            spec = _prune_spec(self.mesh, spec)
+            index = []
+            for d in range(np.ndim(a)):
+                name = spec[d] if d < len(spec) else None
+                axes = (name if isinstance(name, tuple)
+                        else (name,) if name else ())
+                sl = slice(None)
+                for ax in axes:
+                    b_idx, b_cnt = blocks.get(ax, (0, 1))
+                    if b_cnt > 1 and ax != "data":
+                        if a.shape[d] % b_cnt:
+                            raise ValueError(
+                                f"batch dim {d} (size {a.shape[d]}) does "
+                                f"not divide the {b_cnt} process blocks "
+                                f"of mesh axis {ax!r}")
+                        size = a.shape[d] // b_cnt
+                        sl = slice(b_idx * size, (b_idx + 1) * size)
+                index.append(sl)
+            return multihost_utils.host_local_array_to_global_array(
+                a[tuple(index)], self.mesh, spec)
+
+        def convert(tree, spec):
+            if isinstance(spec, P):
+                return jax.tree_util.tree_map(
+                    lambda a: leaf_to_global(a, spec), tree)
+            return type(tree)(convert(t, s) for t, s in zip(tree, spec))
+
+        in_spec, tgt_spec = self._assembly_specs
+        return convert(inputs, in_spec), convert(targets, tgt_spec)
 
     #: Multi-host preemption votes happen every this many train batches.
     _PREEMPT_SYNC_EVERY = 8
@@ -888,17 +982,24 @@ class BaseTrainer:
         self._ensure_initialized()
         # A just-submitted async write to this very file must land first.
         self.wait_for_checkpoints()
-        from vsr_tpu.utils.checkpoint import (is_sharded_checkpoint,
-                                              load_checkpoint_sharded)
+        from flax import serialization
+
+        from vsr_tpu.utils.checkpoint import load_checkpoint_sharded
 
         template = {"params": self.params, "opt_state": self.opt_state}
-        if is_sharded_checkpoint(path):
+        # Read + msgpack-parse the (potentially multi-GB) main file ONCE
+        # and branch on its format, instead of is_sharded_checkpoint +
+        # loader each doing a full restore.
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        if payload.get("format") == "sharded-v1":
             # _ensure_initialized already placed the template per the
             # mesh's parameter rule, so each leaf's target sharding tells
             # this process which saved shards to read back.
-            state, aux = load_checkpoint_sharded(path, template)
+            state, aux = load_checkpoint_sharded(path, template, payload=payload)
         else:
-            state, aux = load_checkpoint(path, template)
+            state = serialization.from_state_dict(template, payload["state"])
+            aux = payload.get("aux", {})
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         # Restored leaves are host arrays — re-place them per the mesh's

@@ -68,6 +68,36 @@ def _encode_index(index, shape) -> list:
     return out
 
 
+def _decode_index(e: dict) -> list:
+    """Shard entry -> [[start, stop], ...]. msgpack may restore the saved
+    list-of-pairs as a dict keyed by position — one decoder shared by the
+    load and consolidate paths so they cannot diverge."""
+    idx = e["index"]
+    if isinstance(idx, dict):
+        idx = [idx[k] for k in sorted(idx, key=int)]
+    return [[int(a), int(b)] for a, b in idx]
+
+
+def _derive_save_id(aux: dict) -> str:
+    """Deterministic save nonce, identical across processes of one save but
+    distinct between any two saves that could reuse the same file path.
+
+    aux is lockstep-identical across processes (epoch, monitor state, RNG
+    seed), and the trainer writes a given path at most once per epoch;
+    across a crash + resume the epoch advances before the next save — so
+    hashing aux separates every pair of saves that could mix on one path.
+    Computed WITHOUT collectives so the async writer thread can call it
+    safely (a cross-host barrier here could interleave with main-thread
+    collectives and deadlock — which is also why the main file is only
+    ordered after this process's own shard write, not all processes').
+    Deterministic on purpose: re-running the same training reproduces the
+    checkpoint files bitwise."""
+    import hashlib
+
+    blob = serialization.msgpack_serialize({"aux": aux})
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
 def save_checkpoint_sharded(path: str | Path, state: Any, aux: dict | None = None) -> None:
     """Scalable checkpoint for FSDP/ZeRO/TP/EP state: every process writes
     ONLY the array shards it owns (``<path>.shard<k>``), process 0 writes
@@ -79,12 +109,18 @@ def save_checkpoint_sharded(path: str | Path, state: Any, aux: dict | None = Non
     Restore requires the SAME mesh/process topology (each leaf is
     reassembled from the shard indices the current placement asks for);
     :func:`load_checkpoint_sharded` raises a clear error otherwise.
+
+    Every file of one save (main + all shards) embeds the same ``save_id``
+    nonce; load/consolidate require an exact match, so a crash mid-save
+    over a reused path (model_best.ckpt, model_preempt.ckpt) can never be
+    silently reassembled from mixed-epoch shard files.
     """
     import jax
     import numpy as np
 
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    save_id = _derive_save_id(aux or {})
     flat = _flatten_state(state)
     replicated: dict = {}
     manifest: dict = {}
@@ -104,14 +140,18 @@ def save_checkpoint_sharded(path: str | Path, state: Any, aux: dict | None = Non
                 leaf, jax.Array) else leaf
     proc = jax.process_index()
     shard_payload = serialization.msgpack_serialize(
-        {"process": proc, "leaves": my_shards})
+        {"process": proc, "save_id": save_id, "leaves": my_shards})
     shard_path = path.with_name(path.name + f".shard{proc}")
     tmp = shard_path.with_suffix(shard_path.suffix + ".tmp")
     tmp.write_bytes(shard_payload)
     tmp.replace(shard_path)
     if proc == 0:
+        # Written after this process's own shard, so on single-host runs
+        # the main file (the manifest the nonce check anchors on) lands
+        # last; see _derive_save_id for why there is no cross-host barrier.
         payload = serialization.msgpack_serialize({
             "format": "sharded-v1",
+            "save_id": save_id,
             "replicated": replicated,
             "sharded": manifest,
             "num_processes": jax.process_count(),
@@ -128,21 +168,26 @@ def is_sharded_checkpoint(path: str | Path) -> bool:
     return payload.get("format") == "sharded-v1"
 
 
-def load_checkpoint_sharded(path: str | Path, state_template: Any):
+def load_checkpoint_sharded(path: str | Path, state_template: Any,
+                            payload: dict | None = None):
     """Restore a :func:`save_checkpoint_sharded` checkpoint onto a PLACED
     template (leaves already carry their target shardings, e.g. via the
     trainer's ``_place_state``). Each process reads only its own shard
     file and assembles every sharded leaf device-by-device. Returns
-    ``(state, aux)`` like :func:`load_checkpoint`."""
+    ``(state, aux)`` like :func:`load_checkpoint`. ``payload`` lets a
+    caller that already parsed the main file pass it in instead of
+    reading + msgpack-restoring it a second time."""
     import jax
     import numpy as np
     from flax import traverse_util
 
     path = Path(path)
-    with open(path, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
+    if payload is None:
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
     if payload.get("format") != "sharded-v1":
         raise ValueError(f"{path} is not a sharded-v1 checkpoint")
+    save_id = payload.get("save_id")  # absent in pre-nonce checkpoints
     if payload["num_processes"] != jax.process_count():
         raise ValueError(
             f"sharded checkpoint was written by {payload['num_processes']} "
@@ -166,7 +211,14 @@ def load_checkpoint_sharded(path: str | Path, state_template: Any):
                     f"missing {sp} — every process's shard file must be on "
                     "a filesystem this process can read")
             with open(sp, "rb") as f:
-                _cache[p] = serialization.msgpack_restore(f.read())["leaves"]
+                shard = serialization.msgpack_restore(f.read())
+            if save_id is not None and shard.get("save_id") != save_id:
+                raise ValueError(
+                    f"{sp} is from a different save than {path} (save_id "
+                    f"{shard.get('save_id')} != {save_id}) — a crash "
+                    "mid-save left mixed-epoch shard files; restore from "
+                    "an older intact checkpoint")
+            _cache[p] = shard["leaves"]
         return _cache[p]
 
     def _lookup(key: str, want: tuple):
@@ -177,7 +229,7 @@ def load_checkpoint_sharded(path: str | Path, state_template: Any):
             if isinstance(entries, dict):  # msgpack may restore as a dict
                 entries = list(entries.values())
             for e in entries:
-                if tuple(map(tuple, e["index"])) == want:
+                if tuple(map(tuple, _decode_index(e))) == want:
                     return e["data"]
         return None
 
@@ -196,6 +248,11 @@ def load_checkpoint_sharded(path: str | Path, state_template: Any):
                 raise ValueError(
                     f"shape mismatch for {key!r}: checkpoint {shape}, "
                     f"template {tuple(leaf.shape)}")
+            if str(leaf.dtype) != meta["dtype"]:
+                raise ValueError(
+                    f"dtype mismatch for {key!r}: checkpoint "
+                    f"{meta['dtype']}, template {leaf.dtype} — the model/"
+                    "optimizer dtype config changed since the save")
             sharding = leaf.sharding
             arrays = []
             for dev, idx in sharding.addressable_devices_indices_map(
@@ -209,8 +266,7 @@ def load_checkpoint_sharded(path: str | Path, state_template: Any):
                         f"{key!r}: no shard file holds shard {want} — the "
                         "mesh layout changed since the checkpoint was "
                         "written (consolidate it to re-shard)")
-                arrays.append(jax.device_put(
-                    np.asarray(data).astype(leaf.dtype), dev))
+                arrays.append(jax.device_put(np.asarray(data), dev))
             out[key] = jax.make_array_from_single_device_arrays(
                 shape, sharding, arrays)
         else:
@@ -250,6 +306,7 @@ def consolidate_sharded_checkpoint(path: str | Path, out_path: str | Path) -> No
                     for key, meta in payload["sharded"].items()}
     seen: dict = {key: np.zeros(tuple(meta["shape"]), dtype=bool)
                   for key, meta in payload["sharded"].items()}
+    save_id = payload.get("save_id")  # absent in pre-nonce checkpoints
     for proc in range(payload["num_processes"]):
         shard_path = path.with_name(path.name + f".shard{proc}")
         if not shard_path.exists():
@@ -257,14 +314,17 @@ def consolidate_sharded_checkpoint(path: str | Path, out_path: str | Path) -> No
                 f"missing {shard_path} — consolidation needs every "
                 "process's shard file")
         with open(shard_path, "rb") as f:
-            leaves = serialization.msgpack_restore(f.read())["leaves"]
-        for key, entries in leaves.items():
+            shard = serialization.msgpack_restore(f.read())
+        if save_id is not None and shard.get("save_id") != save_id:
+            raise ValueError(
+                f"{shard_path} is from a different save than {path} "
+                f"(save_id {shard.get('save_id')} != {save_id}) — a crash "
+                "mid-save left mixed-epoch shard files")
+        for key, entries in shard["leaves"].items():
             if isinstance(entries, dict):  # msgpack may restore as a dict
                 entries = list(entries.values())
             for e in entries:
-                sl = tuple(slice(int(a), int(b)) for a, b in
-                           (e["index"].values() if isinstance(e["index"], dict)
-                            else e["index"]))
+                sl = tuple(slice(a, b) for a, b in _decode_index(e))
                 filled[key][sl] = e["data"]
                 seen[key][sl] = True
     for key, mask in seen.items():
@@ -306,7 +366,11 @@ class AsyncCheckpointWriter:
         # save_checkpoint_sharded) can extract its owned shards in the
         # worker. Default: device_get + save_checkpoint.
         self._write_fn = write_fn
-        self._queue: queue.Queue = queue.Queue()
+        # Bounded: each queued job pins a full on-device snapshot of
+        # params+opt_state until the writer drains it; with the slow
+        # dev-tunnel transfers (10-75 MB/s) an unbounded queue could pile
+        # snapshots in HBM and OOM. submit() blocks when 2 are in flight.
+        self._queue: queue.Queue = queue.Queue(maxsize=2)
         self._errors: list[BaseException] = []
         self._lock = threading.Lock()
         self._thread: threading.Thread | None = None
@@ -315,7 +379,8 @@ class AsyncCheckpointWriter:
 
     def submit(self, path: str | Path, state: Any, aux: dict | None = None) -> None:
         """Snapshot ``state`` (cheap: on-device copies) and enqueue the
-        write. Raises any error stashed by a PREVIOUS write."""
+        write; blocks only when 2 snapshots are already in flight (HBM
+        bound). Raises any error stashed by a PREVIOUS write."""
         self._raise_pending()
         import jax
 
