@@ -97,7 +97,11 @@ def _launch_pair(root: Path, cfg: dict, tag: str) -> list[str]:
     their logs (asserting both exited 0)."""
     cfg_path = root / f"{tag}.yaml"
     with open(cfg_path, "w") as f:
-        yaml.safe_dump(cfg, f)
+        # sort_keys=False: mesh_axes ORDER decides which axis spans the
+        # processes (make_mesh reshapes jax.devices() row-major) — the
+        # default alphabetical sort would silently turn a seq-leading
+        # mesh into a data-leading one.
+        yaml.safe_dump(cfg, f, sort_keys=False)
 
     port = _free_port()
     procs, outs = [], []
@@ -241,6 +245,154 @@ def test_fsdp_two_process_matches_plain_dp(mh_run):
     assert all("Resume training." in t for t in logs)
     t0 = _parse_logs(logs[0], "Train log: ")
     assert len(t0) == 1 and np.isfinite(t0[0]["Loss"])
+
+
+def _vol4d_config(tree: Path, saved: Path, batch: int, host_shard: bool,
+                  mesh_axes: dict | None) -> dict:
+    cfg = {
+        "main": {"saved_dir": str(saved), "random_seed": "vsr"},
+        "dataset": {
+            "name": "AcdcVolumeVSRDataset",
+            "kwargs": {
+                "data_dir": str(tree / "videos"),
+                "downscale_factor": 2,
+                "transforms": [
+                    {"name": "Normalize",
+                     "kwargs": {"means": [54.089], "stds": [48.084]}},
+                    {"name": "ToTensor"},
+                ],
+                "augments": [],
+                "num_frames": 3,
+            },
+        },
+        "dataloader": {
+            "name": "Dataloader",
+            "kwargs": {"train_batch_size": batch, "valid_batch_size": 1,
+                       "shuffle": False, "num_workers": 0,
+                       "host_shard": host_shard},
+        },
+        "net": {"name": "Volume4DSRNet",
+                "kwargs": {"in_channels": 1, "out_channels": 1,
+                           "num_features": 4, "num_resblocks": 1,
+                           "upscale_factor": 2}},
+        "losses": [{"name": "L1Loss", "weight": 1.0}],
+        "metrics": [{"name": "PSNR"}],
+        "optimizer": {"name": "Adam", "kwargs": {"lr": 0.001}},
+        "logger": {"name": "Acdc4DSRLogger"},
+        "monitor": {"name": "Monitor",
+                    "kwargs": {"mode": "min", "target": "Loss",
+                               "saved_freq": 1}},
+        "trainer": {"name": "Acdc4DSRTrainer",
+                    "kwargs": {"num_epochs": 2}},
+    }
+    if mesh_axes:
+        cfg["trainer"]["kwargs"]["mesh_axes"] = mesh_axes
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def vol_tree(tmp_path_factory):
+    """Synthetic videos tree with DEPTH 4 (the 'seq' axis shards volume
+    depth — mh_run's slices=1 tree has nothing to shard)."""
+    root = tmp_path_factory.mktemp("multihost_vol")
+    make_processed_tree(root / "data", types=("train", "valid"),
+                        patients_per_type=2, slices=4, frames=6, hr_size=24,
+                        factors=(2,), seed=9)
+    return root
+
+
+@pytest.mark.parametrize("mesh_axes,local_batch", [
+    # 'data' leading -> spans the 2 processes; 'seq' (volume depth) shards
+    # within each host. Each process loads its half of every global batch.
+    ({"data": 2, "seq": 2}, 2),
+    # 'seq' leading -> the DEPTH axis spans the processes: both processes
+    # read the SAME global batch (the trainer overrides the loader's host
+    # shard to 1 data block) and contribute their depth slice; XLA places
+    # the 3x3x3-conv halo exchanges across the process boundary (DCN on a
+    # real pod). The strongest multi-host volume-sharding case.
+    ({"seq": 2, "data": 2}, 4),
+])
+def test_vol4d_multihost_seq_matches_single_process(vol_tree, tmp_path,
+                                                    mesh_axes, local_batch):
+    """Multi-host SEQ-PARALLEL 4D volume training (VERDICT round-3 item
+    #1): 2 processes train a Volume4DSRNet over a {data, seq} mesh and
+    must produce the same parameters as an unsharded single-process run
+    on the same batch stream."""
+    root = vol_tree
+    from vsr_tpu.config import Config
+    from vsr_tpu.main import run_train
+    from vsr_tpu.utils.checkpoint import load_checkpoint
+
+    tag = "x".join(f"{k}{v}" for k, v in mesh_axes.items())
+    dist_saved = root / f"vol4d_{tag}_out"
+    cfg = _vol4d_config(root / "data", dist_saved, batch=local_batch,
+                        host_shard=True, mesh_axes=mesh_axes)
+    _launch_pair(root, cfg, f"vol4d_{tag}")
+
+    single_saved = tmp_path / "vol4d_single"
+    cfg1 = _vol4d_config(root / "data", single_saved, batch=4,
+                         host_shard=False, mesh_axes=None)
+    run_train(Config(cfg1))
+
+    d_state, _ = load_checkpoint(dist_saved / "checkpoints" / "model_2.ckpt")
+    s_state, _ = load_checkpoint(single_saved / "checkpoints" / "model_2.ckpt")
+    flat_d = jax_flatten(d_state["params"])
+    flat_s = jax_flatten(s_state["params"])
+    assert flat_d.keys() == flat_s.keys()
+    for key in flat_d:
+        np.testing.assert_allclose(flat_d[key], flat_s[key], rtol=5e-4,
+                                   atol=1e-5, err_msg=key)
+
+
+def test_spatial_two_process_matches_plain_dp(mh_run):
+    """Multi-host SPATIAL sharding: mesh {'spatial': 2 across hosts,
+    'data': 2 within each host} — every process reads the full global
+    batch and computes its H-half of every conv (halo exchanges across
+    the process boundary). Final params must match the plain 2-process
+    DP run on the same batch stream."""
+    root, saved, _logs = mh_run
+    from vsr_tpu.utils.checkpoint import load_checkpoint
+
+    sp_saved = root / "spatial_out"
+    # Both processes load the full global batch (12): 'data' does not
+    # span hosts here, so the trainer overrides the loader to ONE shard.
+    cfg = _config(root / "data", sp_saved, local_batch=12, host_shard=True,
+                  valid_batch=1)
+    cfg["trainer"]["kwargs"]["mesh_axes"] = {"spatial": 2, "data": 2}
+    _launch_pair(root, cfg, "spatial")
+
+    dp_state, _ = load_checkpoint(saved / "checkpoints" / "model_2.ckpt")
+    s_state, _ = load_checkpoint(sp_saved / "checkpoints" / "model_2.ckpt")
+    flat_dp = jax_flatten(dp_state["params"])
+    flat_s = jax_flatten(s_state["params"])
+    assert flat_dp.keys() == flat_s.keys()
+    for key in flat_dp:
+        np.testing.assert_allclose(flat_s[key], flat_dp[key], rtol=5e-4,
+                                   atol=1e-5, err_msg=key)
+
+
+def test_multihost_pipe_still_refused():
+    """'pipe' stays single-host (hand-built shard_map schedule over the
+    local ring) — the guard must name the alternatives."""
+    from unittest import mock
+
+    from vsr_tpu.losses import L1Loss
+    from vsr_tpu.metrics import PSNR
+    from vsr_tpu.models import EDSRNet
+    from vsr_tpu.optim import Adam
+    from vsr_tpu.runner.trainers import AcdcSISRTrainer
+
+    with mock.patch("vsr_tpu.parallel.distributed.process_count",
+                    return_value=2):
+        with pytest.raises(NotImplementedError, match="pipe"):
+            AcdcSISRTrainer(
+                train_dataloader=None, valid_dataloader=None,
+                net=EDSRNet(in_channels=1, out_channels=1, num_resblocks=2,
+                            num_features=8, upscale_factor=2),
+                loss_fns=[L1Loss()], loss_weights=[1.0],
+                metric_fns=[PSNR()], optimizer=Adam(lr=1e-3),
+                lr_scheduler=None, logger=None, monitor=None, num_epochs=1,
+                mesh_axes={"data": 4, "pipe": 2}, pipe_microbatches=2)
 
 
 def test_expert_two_process_matches_single_process(mh_run, tmp_path):

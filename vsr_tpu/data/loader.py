@@ -74,11 +74,18 @@ class Dataloader:
         # its own batch_size-slice of each — so the union of the per-process
         # batches at step k is exactly the single-process batch at step k.
         self.host_shard = bool(host_shard)
+        # Set by the trainer when the mesh's 'data' axis does not absorb
+        # every process (spatial/seq axes span hosts too): (count, index)
+        # of this process's DATA block — processes in the same block read
+        # the SAME samples and contribute different activation slices.
+        self._host_shard_override: tuple[int, int] | None = None
 
     def _shard_info(self) -> tuple[int, int]:
-        """(process_count, process_index) when host-sharding, else (1, 0)."""
+        """(shard_count, shard_index) when host-sharding, else (1, 0)."""
         if not self.host_shard:
             return 1, 0
+        if self._host_shard_override is not None:
+            return self._host_shard_override
         from vsr_tpu.parallel.distributed import process_count, process_index
 
         return process_count(), process_index()

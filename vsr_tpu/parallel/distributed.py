@@ -132,6 +132,58 @@ def host_local_to_global(tree, mesh, spec):
     return multihost_utils.host_local_array_to_global_array(tree, mesh, spec)
 
 
+def mesh_process_blocks(mesh) -> dict[str, tuple[int, int]]:
+    """Per mesh axis: ``(block_index, block_count)`` for THIS process.
+
+    ``block_count`` is how many process groups partition the axis (1 =
+    the axis lives entirely within each process's devices) and
+    ``block_index`` is which of those blocks this process's devices
+    occupy. Used to assemble multi-host global batches when spatial/seq
+    axes shard activation dims: a process contributes its slice of every
+    sharded dim, and processes in the same 'data' block read the SAME
+    samples (``Dataloader._host_shard_override``).
+
+    Requires each process's devices to form one contiguous, aligned
+    sub-block of the mesh grid — true for :func:`make_mesh`'s row-major
+    reshape of ``jax.devices()`` (sorted by process), where the LEADING
+    mesh axes span processes.
+    """
+    import jax
+    import numpy as np
+
+    if not is_multiprocess():
+        return {a: (0, 1) for a in mesh.axis_names}
+    pidx = jax.process_index()
+    procs = np.empty(mesh.devices.shape, dtype=np.int64)
+    for i, d in np.ndenumerate(mesh.devices):
+        procs[i] = d.process_index
+    mask = procs == pidx
+    if not mask.any():
+        raise ValueError(
+            f"process {pidx} owns no devices in the mesh "
+            f"{dict(mesh.shape)} — multi-host meshes must span every "
+            "process's devices")
+    out: dict[str, tuple[int, int]] = {}
+    block_prod = 1
+    for ax, name in enumerate(mesh.axis_names):
+        other = tuple(i for i in range(mask.ndim) if i != ax)
+        pos = np.nonzero(mask.any(axis=other) if other else mask)[0]
+        size, block = mask.shape[ax], len(pos)
+        if (size % block or pos[0] % block
+                or not np.array_equal(pos, np.arange(pos[0], pos[0] + block))):
+            raise ValueError(
+                f"process {pidx}'s devices are not a contiguous aligned "
+                f"block along mesh axis {name!r} — order mesh_axes so "
+                "process-spanning axes come first")
+        block_prod *= block
+        out[name] = (int(pos[0]) // block, size // block)
+    if block_prod != int(mask.sum()):
+        raise ValueError(
+            f"process {pidx}'s devices do not form a cartesian sub-block "
+            f"of the mesh {dict(mesh.shape)}")
+    return out
+
+
 def gather_sharded(tree):
     """Materialize every process-spanning SHARDED leaf as a full host array
     (fully-replicated and addressable leaves pass through untouched).
