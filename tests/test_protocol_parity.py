@@ -57,10 +57,20 @@ LOSSES = [
     {"name": "L1Loss", "weight": 1.0},
     {"name": "MSELoss", "weight": 0.1},
 ]
-NORMALIZE = [
-    {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
-    {"name": "ToTensor"},
-]
+#: Per-family normalize stats — must match the reference's hard-coded
+#: denormalize table (``src/utils.py:13-16``) so round-trips are exact.
+STATS = {"Acdc": (54.089, 48.084), "Dsb15": (51.193, 52.671)}
+
+
+def _normalize(family):
+    mean, std = STATS[family]
+    return [
+        {"name": "Normalize", "kwargs": {"means": [mean], "stds": [std]}},
+        {"name": "ToTensor"},
+    ]
+
+
+NORMALIZE = _normalize("Acdc")
 
 
 @pytest.fixture(scope="module")
@@ -228,7 +238,12 @@ def test_misr_protocol_parity(tree, tmp_path):
     _assert_log_match(ref_log, our_log)
 
 
-def test_vsr_protocol_parity(tree, tmp_path):
+@pytest.mark.parametrize("family", ["Acdc", "Dsb15"])
+def test_vsr_protocol_parity(tree, tmp_path, family):
+    """Parametrized over the Acdc/Dsb15 twins: the reference pairs are
+    byte-identical except for the denormalize stats (``src/utils.py:13-16``,
+    ``dsb15_vsr_predictor.py:29``), so this pins every reference-named
+    dataset/predictor surface against its own oracle."""
     from vsr_tpu.models import DRFNet
 
     Ref = load_ref_net("src.model.nets.drf_net", "DRFNet")
@@ -240,20 +255,21 @@ def test_vsr_protocol_parity(tree, tmp_path):
     our_ckpt, ref_ckpt = _make_checkpoints(
         tmp_path, net, tnet, example, lambda m: m(frames))
 
-    dataset = {"name": "AcdcVSRDataset",
+    dataset = {"name": f"{family}VSRDataset",
                "kwargs": {"data_dir": str(tree / "videos"),
-                          "downscale_factor": 2, "transforms": NORMALIZE,
+                          "downscale_factor": 2,
+                          "transforms": _normalize(family),
                           "num_frames": 5}}
     net_cfg = {"name": "DRFNet",
                "kwargs": {"in_channels": 1, "out_channels": 1,
                           "num_features": 8, "num_groups": 2,
                           "upscale_factor": 2}}
     ref_cfg = _base_config(tree, tmp_path, "ref", dataset, net_cfg,
-                           "AcdcVSRPredictor", ref_ckpt)
+                           f"{family}VSRPredictor", ref_ckpt)
     # t_bucket=4 forces real end-padding of the T=6 sequences through the
     # bucketed eval path — parity must hold through the padding machinery.
     our_cfg = _base_config(tree, tmp_path, "ours", dataset, net_cfg,
-                           "AcdcVSRPredictor", our_ckpt,
+                           f"{family}VSRPredictor", our_ckpt,
                            predictor_extra={"t_bucket": 4})
     (ref_log, ref_csv), (our_log, our_csv) = _run_both(tmp_path, ref_cfg, our_cfg)
 
@@ -289,11 +305,15 @@ def train_tree(tmp_path_factory):
     return root
 
 
-def test_train_protocol_parity(train_tree, tmp_path):
+@pytest.mark.parametrize("family", ["Acdc", "Dsb15"])
+def test_train_protocol_parity(train_tree, tmp_path, family):
+    """Parametrized over the Acdc/Dsb15 trainer+logger twins (which differ
+    only in denormalize stats — ``dsb15_sisr_trainer.py:13``)."""
     from vsr_tpu.models import EDSRNet
     from vsr_tpu.registry import build
 
     num_epochs = 2
+    mean, std = STATS[family]
     Ref = load_ref_net("src.model.nets.edsr_net", "EDSRNet")
     net = EDSRNet(in_channels=1, out_channels=1, num_resblocks=2,
                   num_features=8, upscale_factor=2)
@@ -314,7 +334,7 @@ def test_train_protocol_parity(train_tree, tmp_path):
     mon_mod = importlib.import_module("src.callbacks.monitor")
 
     transforms = [Box({"name": "Normalize",
-                       "kwargs": {"means": [54.089], "stds": [48.084]}}),
+                       "kwargs": {"means": [mean], "stds": [std]}}),
                   Box({"name": "ToTensor"})]
 
     def ref_loader(split):
@@ -327,7 +347,7 @@ def test_train_protocol_parity(train_tree, tmp_path):
         assert len(ds) == 12
         return dl_mod.Dataloader(ds, batch_size=4, shuffle=False, num_workers=0)
 
-    ref_trainer = tr_mod.AcdcSISRTrainer(
+    ref_trainer = getattr(tr_mod, f"{family}SISRTrainer")(
         device=torch.device("cpu"),
         train_dataloader=ref_loader("train"),
         valid_dataloader=ref_loader("valid"),
@@ -337,7 +357,7 @@ def test_train_protocol_parity(train_tree, tmp_path):
         metric_fns=[importlib.import_module("src.model.metrics").PSNR()],
         optimizer=torch.optim.Adam(tnet.parameters(), lr=1e-3),
         lr_scheduler=None,
-        logger=lg_mod.AcdcSISRLogger(
+        logger=getattr(lg_mod, f"{family}SISRLogger")(
             log_dir=tmp_path / "ref_log", net=tnet,
             dummy_input=torch.randn(1, 1, 12, 12)),
         monitor=mon_mod.Monitor(
@@ -374,7 +394,8 @@ def test_train_protocol_parity(train_tree, tmp_path):
                                            "num_workers": 0}}, ds)
 
     our_trainer = build(
-        "trainer", {"name": "AcdcSISRTrainer", "kwargs": {"num_epochs": num_epochs}},
+        "trainer", {"name": f"{family}SISRTrainer",
+                    "kwargs": {"num_epochs": num_epochs}},
         train_dataloader=our_loader("train"),
         valid_dataloader=our_loader("valid"),
         net=net,
@@ -384,7 +405,7 @@ def test_train_protocol_parity(train_tree, tmp_path):
         metric_fns=[build("metric", {"name": "PSNR"})],
         optimizer=build("optimizer", {"name": "Adam", "kwargs": {"lr": 1e-3}}),
         lr_scheduler=None,
-        logger=build("logger", {"name": "AcdcSISRLogger"},
+        logger=build("logger", {"name": f"{family}SISRLogger"},
                      log_dir=tmp_path / "our_log"),
         monitor=build("monitor", {"name": "Monitor",
                                   "kwargs": {"mode": "min", "target": "Loss",
