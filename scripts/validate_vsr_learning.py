@@ -94,14 +94,19 @@ def main() -> None:
 
     moe = "--moe" in sys.argv
     bf16 = "--bf16" in sys.argv
+    carry_f32 = "--carry-f32" in sys.argv
+    if carry_f32 and not bf16:
+        raise SystemExit("--carry-f32 modifies the bf16 path; add --bf16")
     net = DRFNet(in_channels=1, out_channels=1, num_features=32, num_groups=3,
                  upscale_factor=factor,
                  num_experts=4 if moe else 0, expert_group_size=64,
-                 dtype=jnp.bfloat16 if bf16 else None)
+                 dtype=jnp.bfloat16 if bf16 else None,
+                 carry_f32=carry_f32)
     if moe:
         print("MoE flagship: num_experts=4 on every frame step's hidden")
     if bf16:
-        print("mixed precision: bf16 compute, f32 master params")
+        print("mixed precision: bf16 compute, f32 master params"
+              + (", f32 carries/skips (hybrid)" if carry_f32 else ""))
     trainer = DeviceEpochTrainer(
         net=net, loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[],
         optimizer=Adam(lr=2e-4), lr_data=lw, hr_data=hw,

@@ -38,6 +38,44 @@ def make_torch_bias_init(fan_in: int) -> Callable:
     return init
 
 
+def make_accum_conv(out_dtype):
+    """A ``conv_general_dilated`` replacement that emits ``out_dtype``
+    via ``preferred_element_type`` — with bf16 operands the MXU's native
+    f32 accumulation reaches the output with no extra matmul cost.
+
+    Wrapped in a custom VJP because jax's conv transpose rule would mix
+    the f32 cotangent with the bf16 operands (dtype error): the backward
+    here is the STANDARD compute-dtype conv backward (two transposed
+    convs via ``jax.linear_transpose``, cotangent cast down first) —
+    bit-identical gradients to the plain bf16 conv path, so the flag is
+    purely a forward-precision upgrade."""
+
+    def conv_fn(lhs, rhs, *args, **kw):
+        def low(l, r):
+            return jax.lax.conv_general_dilated(l, r, *args, **kw)
+
+        @jax.custom_vjp
+        def conv(l, r):
+            return jax.lax.conv_general_dilated(
+                l, r, *args,
+                **dict(kw, preferred_element_type=out_dtype))
+
+        def fwd(l, r):
+            return conv(l, r), (l, r)
+
+        def bwd(res, g):
+            l, r = res
+            g = g.astype(jnp.result_type(l.dtype, r.dtype))
+            dl = jax.linear_transpose(lambda t: low(t, r), l)(g)[0]
+            dr = jax.linear_transpose(lambda t: low(l, t), r)(g)[0]
+            return dl, dr
+
+        conv.defvjp(fwd, bwd)
+        return conv(lhs, rhs)
+
+    return conv_fn
+
+
 class Conv(nn.Module):
     """2D conv, NHWC, torch-default init, SAME-style explicit padding.
 
@@ -55,6 +93,12 @@ class Conv(nn.Module):
     #: 1x1 convs only: __call__ takes a TUPLE of inputs and fuses the
     #: channel concat into the conv (Pallas kernel, HBM concat eliminated).
     fused_list: bool = False
+    #: Emit the conv result in this dtype WITHOUT an intermediate downcast
+    #: (``preferred_element_type``): with ``dtype=bfloat16,
+    #: out_dtype=float32`` the MXU's native f32 accumulation is kept —
+    #: higher-precision output at bf16 compute cost. Used by the hybrid-
+    #: precision recurrent carries (``carry_f32``).
+    out_dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -77,6 +121,8 @@ class Conv(nn.Module):
             p = self.padding if isinstance(self.padding, tuple) else (self.padding,) * 2
             pad = [(p[0], p[0]), (p[1], p[1])]
         fan_in = k[0] * k[1] * (x.shape[-1] // self.feature_group_count)
+        conv_fn = (make_accum_conv(self.out_dtype)
+                   if self.out_dtype is not None else None)
         return nn.Conv(
             features=self.features,
             kernel_size=k,
@@ -87,6 +133,7 @@ class Conv(nn.Module):
             kernel_init=torch_kernel_init,
             bias_init=make_torch_bias_init(fan_in),
             dtype=self.dtype,
+            conv_general_dilated=conv_fn,
         )(x)
 
 
@@ -204,12 +251,16 @@ class Conv3D(nn.Module):
     padding: tuple[int, int, int] = (1, 1, 1)
     use_bias: bool = True
     dtype: Any = None
+    #: See Conv.out_dtype (f32-accumulated output under bf16 compute).
+    out_dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         pad = [(p, p) for p in self.padding]
         fan_in = int(np.prod(k)) * x.shape[-1]
+        conv_fn = (make_accum_conv(self.out_dtype)
+                   if self.out_dtype is not None else None)
         return nn.Conv(
             features=self.features,
             kernel_size=k,
@@ -219,6 +270,7 @@ class Conv3D(nn.Module):
             kernel_init=torch_kernel_init,
             bias_init=make_torch_bias_init(fan_in),
             dtype=self.dtype,
+            conv_general_dilated=conv_fn,
         )(x)
 
 

@@ -45,16 +45,24 @@ class PReLU(nn.Module):
 
 class InBlock(nn.Module):
     """3x3 expand (4F) -> PReLU -> 1x1 squeeze (F) -> PReLU. Used as the LR
-    feature extraction block of SRFBN and the input block of DRF."""
+    feature extraction block of SRFBN and the input block of DRF.
+
+    ``out_f32``: the squeeze conv keeps its MXU f32 accumulation
+    (``Conv.out_dtype``) so the returned features — the global-skip
+    accumulator the recurrent nets add every step's hidden state to — stay
+    float32 under bf16 compute (hybrid-precision training, ``carry_f32``).
+    """
 
     num_features: int
     dtype: Any = None
+    out_f32: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = Conv(4 * self.num_features, 3, padding=1, dtype=self.dtype)(x)
         x = PReLU()(x)
-        x = Conv(self.num_features, 1, padding=0, dtype=self.dtype)(x)
+        x = Conv(self.num_features, 1, padding=0, dtype=self.dtype,
+                 out_dtype=jnp.float32 if self.out_f32 else None)(x)
         x = PReLU()(x)
         return x
 
@@ -71,14 +79,25 @@ class FBlock(nn.Module):
     #: the concats never hit HBM (ops/fused_squeeze.py). Exact (same
     #: params); opt-in for serving/training alike.
     fused_squeeze: bool = False
+    #: Hybrid-precision recurrence (bf16 compute, f32 carry): the OUTPUT
+    #: squeeze keeps its MXU f32 accumulation (``Conv.out_dtype``) so the
+    #: hidden state returned to the scan carry is float32, while every
+    #: conv still runs bf16 (inputs cast down explicitly at entry — no
+    #: dtype leak into the ladder). Identical parameter tree.
+    carry_f32: bool = False
 
-    def _squeeze(self, parts, f):
+    def _squeeze(self, parts, f, out_dtype=None, compute_dtype="default"):
         """concat(parts) -> 1x1 conv, fused or via materialized concat.
         Creates the SAME Conv module either way (checkpoint parity)."""
+        dtype = self.dtype if compute_dtype == "default" else compute_dtype
         if self.fused_squeeze and len(parts) > 1:
+            if out_dtype is not None or dtype is not self.dtype:
+                raise NotImplementedError(
+                    "carry_f32 does not compose with fused_squeeze (the "
+                    "Pallas concat-matmul kernel emits the compute dtype)")
             return Conv(f, 1, padding=0, dtype=self.dtype,
                         fused_list=True)(tuple(parts))
-        return Conv(f, 1, padding=0, dtype=self.dtype)(
+        return Conv(f, 1, padding=0, dtype=dtype, out_dtype=out_dtype)(
             parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1))
 
     @nn.compact
@@ -86,8 +105,19 @@ class FBlock(nn.Module):
         f = self.num_features
         k, s, p = PROJECTION_PARAMS[self.upscale_factor]
 
-        lr = self._squeeze([x, hidden], f)
+        hybrid = self.carry_f32 and self.dtype is not None
+        if hybrid:
+            # The f32 carry is CONSUMED at f32: the input squeeze (a 1x1
+            # conv, a sliver of the step's FLOPs next to the k6s2 ladder)
+            # computes in f32 so the recurrence never rounds the hidden
+            # state to bf16 — the downcast happens once, after the
+            # squeeze, on the mixed features entering the bf16 ladder.
+            lr = self._squeeze([x, hidden], f, compute_dtype=None)
+        else:
+            lr = self._squeeze([x, hidden], f)
         lr = PReLU()(lr)
+        if hybrid:
+            lr = lr.astype(self.dtype)
 
         lr_list, hr_list = [lr], []
         for i in range(self.num_groups):
@@ -113,6 +143,9 @@ class FBlock(nn.Module):
                 down = PReLU()(down)
             lr_list.append(down)
 
-        out = self._squeeze(lr_list[1:], f)
-        out = PReLU()(out)
+        out = self._squeeze(
+            lr_list[1:], f,
+            out_dtype=jnp.float32 if (self.carry_f32 and
+                                      self.dtype is not None) else None)
+        out = PReLU()(out)  # computes in out's dtype (f32 under carry_f32)
         return out

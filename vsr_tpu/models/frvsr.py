@@ -35,9 +35,13 @@ from vsr_tpu.registry import register
 _xavier = nn.initializers.xavier_uniform()
 
 
-def _conv(features, k=3, s=1, p=1, dtype=None):
+def _conv(features, k=3, s=1, p=1, dtype=None, out_dtype=None):
+    from vsr_tpu.models.common import make_accum_conv
+
+    conv_fn = make_accum_conv(out_dtype) if out_dtype is not None else None
     return nn.Conv(features, (k, k), strides=(s, s), padding=[(p, p), (p, p)],
-                   kernel_init=_xavier, dtype=dtype)
+                   kernel_init=_xavier, dtype=dtype,
+                   conv_general_dilated=conv_fn)
 
 
 def _deconv_x2(features, dtype=None):
@@ -85,6 +89,9 @@ class SRNet(nn.Module):
     upscale_factor: int
     num_resblocks: int = 10
     dtype: Any = None
+    #: Final conv emits f32 (MXU accumulation kept) — the SR frame is both
+    #: the net output and the warped recurrence carry (carry_f32).
+    out_f32: bool = False
 
     @nn.compact
     def __call__(self, warped_s2d, lr_img):
@@ -102,7 +109,8 @@ class SRNet(nn.Module):
             x = nn.relu(_deconv_x2(64, dtype=self.dtype)(x))
         else:
             raise NotImplementedError(f"upscale_factor={f}")
-        return _conv(self.out_channels, dtype=self.dtype)(x)
+        return _conv(self.out_channels, dtype=self.dtype,
+                     out_dtype=jnp.float32 if self.out_f32 else None)(x)
 
 
 class FNet(nn.Module):
@@ -149,6 +157,8 @@ class _FRVSRStep(nn.Module):
     upscale_factor: int
     num_resblocks: int
     dtype: Any = None
+    #: f32 SR-frame carry under bf16 compute (see FRVSRNet.carry_f32).
+    carry_f32: bool = False
 
     @nn.compact
     def __call__(self, carry, lr_img):
@@ -159,7 +169,8 @@ class _FRVSRStep(nn.Module):
         warped_sr = stn_warp(jax.lax.stop_gradient(sr_last), sr_flow,
                              padding_mode="border")
         sr_img = SRNet(self.out_channels, self.upscale_factor,
-                       self.num_resblocks, dtype=self.dtype)(
+                       self.num_resblocks, dtype=self.dtype,
+                       out_f32=self.carry_f32)(
             space_to_depth(warped_sr, self.upscale_factor), lr_img
         )
         warped_lr = stn_warp(lr_last, lr_flow, padding_mode="border")
@@ -180,6 +191,11 @@ class FRVSRNet(nn.Module):
     dtype: Any = None
     #: lax.scan ``unroll`` for the frame loop (exact; see DRFNet.unroll).
     unroll: int = 1
+    #: Hybrid-precision training (VERDICT r3 weak #1): under
+    #: ``dtype=bfloat16`` the final SR conv keeps its MXU f32 accumulation
+    #: (the SR frame is both the output and the warped carry) while every
+    #: other conv stays bf16. Same parameter tree.
+    carry_f32: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -199,7 +215,9 @@ class FRVSRNet(nn.Module):
         )
         _, (sr_imgs, warped_lrs) = scan(
             self.out_channels, self.upscale_factor, self.num_resblocks,
-            dtype=self.dtype, name="step",
+            dtype=self.dtype,
+            carry_f32=self.carry_f32 and self.dtype is not None,
+            name="step",
         )((lr0, sr0), frames)
         sr_imgs = jnp.moveaxis(sr_imgs, 0, 1)
         warped_lrs = jnp.moveaxis(warped_lrs, 0, 1)

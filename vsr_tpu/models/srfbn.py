@@ -55,13 +55,16 @@ class _SRFBStep(nn.Module):
     dtype: Any = None
     subpixel_deconv: bool = False
     fused_squeeze: bool = False
+    #: f32 feedback carry under bf16 compute (see FBlock.carry_f32).
+    carry_f32: bool = False
 
     @nn.compact
     def __call__(self, hidden, feat, upscaled_input):
         f = FBlock(self.num_features, self.num_groups, self.upscale_factor,
                    dtype=self.dtype,
                    subpixel_deconv=self.subpixel_deconv,
-                   fused_squeeze=self.fused_squeeze)(feat, hidden)
+                   fused_squeeze=self.fused_squeeze,
+                   carry_f32=self.carry_f32)(feat, hidden)
         residual = _RBlock(self.out_channels, self.upscale_factor, dtype=self.dtype,
                            subpixel_deconv=self.subpixel_deconv)(f)
         return f, upscaled_input + residual
@@ -88,11 +91,19 @@ class SRFBNet(nn.Module):
     #: (scripts/probe_drf_train_scan.py measured +25% on DRFNet's frame
     #: scan); serving keeps 1.
     unroll: int = 1
+    #: Hybrid-precision training: f32 feedback carry + f32 skip features
+    #: under bf16 compute (VERDICT r3 weak #1; see DRFSISRNet.carry_f32).
+    #: Same parameter tree — checkpoints interchange.
+    carry_f32: bool = False
 
     @nn.compact
     def __call__(self, x):
         check_upscale_factor(self.upscale_factor)
-        feat = InBlock(self.num_features, dtype=self.dtype)(x)
+        from vsr_tpu.models.drf import _check_carry_f32
+
+        carry_f32 = _check_carry_f32(self)
+        feat = InBlock(self.num_features, dtype=self.dtype,
+                       out_f32=carry_f32)(x)
         upscaled = upsample_bilinear(x, scale=self.upscale_factor, align_corners=False)
 
         scan = nn.scan(
@@ -109,5 +120,6 @@ class SRFBNet(nn.Module):
             self.upscale_factor, dtype=self.dtype,
             subpixel_deconv=self.subpixel_deconv,
             fused_squeeze=self.fused_squeeze,
+            carry_f32=carry_f32,
         )(feat, feat, upscaled)
         return outputs  # (num_steps, N, H, W, C)

@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 from typing import Any
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from vsr_tpu.models.common import Conv3D
@@ -33,12 +34,18 @@ class _ResBlock3D(nn.Module):
     features: int
     res_scale: float
     dtype: Any = None
+    #: f32 residual accumulator under bf16 compute: the body's second conv
+    #: keeps its MXU f32 accumulation and the ``x + 0.1*y`` add runs f32 —
+    #: the res_scale-shrunk increments are exactly the magnitudes bf16
+    #: accumulation loses (hybrid-precision carry path, vol4d carry_f32).
+    acc_f32: bool = False
 
     @nn.compact
     def __call__(self, x):
         y = Conv3D(self.features, (3, 3, 3), padding=(1, 1, 1), dtype=self.dtype)(x)
         y = nn.relu(y)
-        y = Conv3D(self.features, (3, 3, 3), padding=(1, 1, 1), dtype=self.dtype)(y)
+        y = Conv3D(self.features, (3, 3, 3), padding=(1, 1, 1), dtype=self.dtype,
+                   out_dtype=jnp.float32 if self.acc_f32 else None)(y)
         return x + y * self.res_scale
 
 

