@@ -110,7 +110,23 @@ def resolve_volume(net_name: str, *, video=False, windows: int = 0,
         raise exc("--video/--video-t/--windows do not apply to the "
                   "volumetric nets (volume mode is automatic)")
     if mesh is not None:
-        raise exc("volume serving under --mesh is not wired yet")
+        bad = [a for a in ("model", "expert")
+               if mesh.shape.get(a, 1) > 1]
+        if bad:
+            raise exc(f"volume serving does not compose with the "
+                      f"{'/'.join(bad)!r} mesh axes — feature-sharded "
+                      "kernels + depth-partitioned 3D convs hit the same "
+                      "two-axis partitioner exposure as spatial x model "
+                      "(tp.reject_spatial_x_model); shard depth with "
+                      "seq/spatial (+data for 3d)")
+        if vmode == "4d" and mesh.shape.get("data", 1) > 1:
+            raise exc("4D volume serving has no batch dim to shard over "
+                      "'data' (the whole scan is one causal sample) — "
+                      "use seq/spatial")
+        if chunk:
+            raise exc("--chunk does not compose with volume serving "
+                      "under --mesh (the lax.map chunking would hide the "
+                      "volume sharding from the partitioner)")
     if not seq_t:
         raise exc("volumetric nets need --seq-t (frames per slice, T of "
                   "the N = D*T frame dim)")
@@ -303,8 +319,15 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
         raise ValueError("chunk has no effect on 4D volume serving (the "
                          "whole scan is one sample)")
     if volume and mesh is not None:
-        raise ValueError("volume serving under a mesh is not wired yet — "
-                         "serve volumes without --mesh")
+        # Re-run the shared guard cluster (callers that bypass
+        # resolve_volume get the same refusals).
+        resolve_volume({"3d": "Volume3DSRNet", "4d": "Volume4DSRNet"}[
+            volume[0]], seq_t=volume[1], chunk=chunk, mesh=mesh)
+    if mesh is not None and mesh.shape.get("seq", 1) > 1 and not volume:
+        raise ValueError(
+            "the 'seq' mesh axis shards the volumetric pipelines' DEPTH — "
+            "frame/video/window serving has no seq-shardable dim (the "
+            "axis would silently replicate); use data/spatial")
     mean, std = DATASET_STATS[dataset]
 
     if mesh is not None and mesh.shape.get("expert", 1) > 1:
@@ -395,6 +418,21 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     def make_fn(net_apply):
         def pipeline(hr_frames):
             lr, z = prep(hr_frames)
+            if mesh is not None and volume:
+                # Pin the regrouped volume batch to the mesh: depth over
+                # 'seq' (3D-conv halo exchanges across slices — SURVEY §5's
+                # context-parallel analogue at inference), time-batch over
+                # 'data' (3d only), H over 'spatial'. The raw input frames
+                # stay replicated (prep is a sliver of the conv compute);
+                # GSPMD distributes everything downstream of this pin.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from vsr_tpu.parallel.gspmd import _prune_spec
+
+                vspec = (P("data", "seq", "spatial") if volume[0] == "3d"
+                         else P(None, None, "seq", "spatial"))
+                z = jax.lax.with_sharding_constraint(
+                    z, NamedSharding(mesh, _prune_spec(mesh, vspec)))
             def apply_reduce(zb):
                 """net -> one frame-shaped output per item (last feedback
                 step, first tuple element) so chunked results stack
@@ -475,6 +513,10 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
         return lazy
 
     pipeline = make_fn(net_apply)
+    if mesh is not None and volume:
+        from vsr_tpu.parallel.serving import shard_volume_pipeline
+
+        return shard_volume_pipeline(pipeline, mesh, volume[0], volume[1])
     if mesh is not None:
         from vsr_tpu.parallel.serving import shard_pipeline
 

@@ -23,10 +23,13 @@ from vsr_tpu.parallel.gspmd import _prune_spec
 
 
 #: Axis names the serving/GSPMD partition specs know about.  'data' shards
-#: the frame batch, 'spatial' each frame's H axis, 'model' the parameters'
-#: output-feature dims (vsr_tpu/parallel/tp.py), 'expert' the MoE expert
-#: stacks' leading num_experts dim (vsr_tpu/parallel/ep.py).
-KNOWN_AXES = ("data", "spatial", "model", "expert")
+#: the frame batch, 'spatial' each frame's H axis, 'seq' the volume DEPTH
+#: of the volumetric pipelines (a volume too deep for one chip's HBM
+#: shards its slices at inference exactly like training — SURVEY §5),
+#: 'model' the parameters' output-feature dims (vsr_tpu/parallel/tp.py),
+#: 'expert' the MoE expert stacks' leading num_experts dim
+#: (vsr_tpu/parallel/ep.py).
+KNOWN_AXES = ("data", "spatial", "seq", "model", "expert")
 
 
 def parse_mesh_axes(spec: str) -> dict[str, int]:
@@ -56,6 +59,44 @@ def parse_mesh_axes(spec: str) -> dict[str, int]:
     if not axes:
         raise ValueError(f"Empty mesh spec: {spec!r}")
     return axes
+
+
+def shard_volume_pipeline(pipeline_fn, mesh: Mesh, vmode: str, seq_t: int):
+    """Volumetric serving over a mesh: depth over ``'seq'``, time-batch
+    over ``'data'`` (3d only), H over ``'spatial'``.
+
+    The raw slice-major input frames stay replicated — the flat N = D*T
+    dim has no rectangular sharding that survives the (D, T) regroup, and
+    prep is a sliver of the conv compute; ``make_pipeline`` pins the
+    regrouped volume batch to the mesh with a sharding constraint, so
+    everything downstream (the 3D conv stack, halo exchanges over ICI)
+    runs partitioned. No padding: volume geometry must divide the mesh
+    (loud errors beat silently serving a padded half-empty volume)."""
+    sq = mesh.shape.get("seq", 1)
+    dp = mesh.shape.get("data", 1)
+    sp = mesh.shape.get("spatial", 1)
+    if vmode == "3d" and dp > 1 and seq_t % dp:
+        raise ValueError(
+            f"per-slice T={seq_t} is not divisible by the 'data' mesh "
+            f"axis ({dp}) — 3d volume serving batches the T time points")
+    jitted = jax.jit(pipeline_fn)
+
+    def wrapped(hr_frames):
+        frames = np.asarray(hr_frames)
+        n, h, _w = frames.shape
+        if n % seq_t:
+            raise ValueError(f"N={n} is not whole slices of T={seq_t}")
+        depth = n // seq_t
+        if depth % sq:
+            raise ValueError(
+                f"volume depth D={depth} is not divisible by the 'seq' "
+                f"mesh axis ({sq})")
+        if h % sp:
+            raise ValueError(
+                f"H={h} is not divisible by the 'spatial' mesh axis ({sp})")
+        return jitted(frames)
+
+    return wrapped
 
 
 def shard_pipeline(pipeline_fn, mesh: Mesh, batch_axis: str = "data",
