@@ -127,11 +127,21 @@ class Dataloader:
         return batches
 
     def epoch(
-        self, rng_tree: RngTree | None = None, epoch: int = 0
+        self, rng_tree: RngTree | None = None, epoch: int = 0,
+        skip: int = 0,
     ) -> Iterator[dict[str, np.ndarray]]:
-        """Yield this epoch's batches; augmentation RNG is derived per sample."""
+        """Yield this epoch's batches; augmentation RNG is derived per sample.
+
+        ``skip``: drop the first ``skip`` batches WITHOUT decoding them —
+        step-granular preemption resume replays exactly the interrupted
+        epoch's remaining batches (the epoch order is a pure function of
+        (root seed, epoch) and each sample's augment RNG is derived from
+        its global index, so the tail is bitwise the same batches the
+        uninterrupted run would have seen)."""
         shuffle_rng = rng_tree.numpy_generator("shuffle", epoch) if rng_tree else None
         batches = self._batch_indices(shuffle_rng)
+        if skip:
+            batches = batches[skip:]
 
         def load(i: int) -> Mapping[str, Any]:
             rng = rng_tree.numpy_generator("data", epoch, i) if rng_tree else None

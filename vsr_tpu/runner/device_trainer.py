@@ -517,6 +517,17 @@ class DeviceTrainerMixin:
     def _run_epoch(self, mode: str, epoch: int):
         if mode != "training":
             return super()._run_epoch(mode, epoch)
+        if self._mid_epoch_resume is not None:
+            # A host-loop trainer's STEP-GRANULAR preempt checkpoint: the
+            # device-epoch scan has no mid-epoch entry point (one program
+            # per epoch — preemption here already loses no batches).
+            # Silently ignoring the marker would skip the interrupted
+            # epoch's replayed tail.
+            raise NotImplementedError(
+                "this mid-epoch preemption checkpoint was written by a "
+                "host-loop trainer; resume it with the same trainer "
+                "family (device-epoch trainers train whole epochs as one "
+                "program and cannot enter an epoch at a batch offset)")
         self._epoch_training = True
         self._ensure_buffers()
         key = self.rng_tree.jax_key("device-epoch", epoch)

@@ -122,6 +122,14 @@ class BaseTrainer:
             self._qat_interceptor = resolve_qat(qat)
         self._epoch_training = True
         self._preempted = False
+        # Step-granular preemption: progress of the interrupted epoch
+        # ({"steps_done", "acc", "count", "total"}) stashed at the graceful
+        # break, saved into model_preempt.ckpt, and replayed on resume so
+        # the final params are BITWISE equal to an uninterrupted run
+        # (beats the reference's epoch-granular recovery and round-3's
+        # sacrifice-the-tail semantics).
+        self._epoch_progress = None
+        self._mid_epoch_resume = None
         self.profile_dir = profile_dir
         self.prefetch_to_device = prefetch_to_device
         if ema_decay:
@@ -593,8 +601,27 @@ class BaseTrainer:
         training = mode == "training"
         self._epoch_training = training
         loader = self.train_dataloader if training else self.valid_dataloader
+        skip, resume_acc, resume_count = 0, None, 0.0
+        if training:
+            self._epoch_progress = None
+            if self._mid_epoch_resume is not None:
+                # Step-granular preemption resume: replay exactly the
+                # interrupted epoch's remaining batches, with the saved
+                # scalar accumulators restored so the epoch log equals the
+                # uninterrupted run's.
+                mid = self._mid_epoch_resume
+                self._mid_epoch_resume = None
+                skip = int(mid["steps_done"])
+                resume_count = float(mid["count"])
+                if mid["acc"]:
+                    resume_acc = {k: jnp.asarray(np.float32(v))
+                                  for k, v in mid["acc"].items()}
+                logging.info(
+                    f"Mid-epoch resume: skipping the {skip} already-"
+                    f"trained batches of epoch {epoch}.")
         iterator = (
-            loader.epoch(self.rng_tree, epoch) if training else loader.epoch(None, epoch)
+            loader.epoch(self.rng_tree, epoch, skip=skip)
+            if training else loader.epoch(None, epoch)
         )
         if self.prefetch_to_device and not self._multiprocess:
             # Multi-host batches must stay host-side until they are
@@ -603,10 +630,10 @@ class BaseTrainer:
 
             iterator = device_prefetch(iterator, depth=2)
 
-        acc: dict[str, jnp.ndarray] | None = None
-        count = 0.0
+        acc: dict[str, jnp.ndarray] | None = resume_acc
+        count = resume_count
         batch = outputs = None
-        pbar = tqdm(iterator, total=len(loader), desc=mode, leave=False)
+        pbar = tqdm(iterator, total=len(loader) - skip, desc=mode, leave=False)
         n_data = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
         if self._multiprocess:
             # Each process contributes its data block's slice of every
@@ -692,7 +719,14 @@ class BaseTrainer:
             )
             count += w
             if training and self._agreed_preempted(step_i):
-                break  # graceful stop at a batch boundary (signal received)
+                # Graceful stop at a batch boundary: record how far the
+                # epoch got (plus the device-resident accumulators) so the
+                # preempt checkpoint can resume step-granular.
+                self._epoch_progress = {
+                    "steps_done": skip + step_i + 1,
+                    "acc": acc, "count": count, "total": len(loader),
+                }
+                break
         if local_eval and acc is not None:
             # Per-process shard evaluation: sum the weighted accumulators
             # and counts over all processes so every process reports the
@@ -855,11 +889,28 @@ class BaseTrainer:
             logging.warning("Preempted with no monitor: nothing saved.")
             return
         path = Path(self.monitor.checkpoints_dir) / "model_preempt.ckpt"
-        # params already contain the interrupted epoch's (partial) updates,
-        # so the checkpoint counts that epoch as DONE and resume starts at
-        # the next one — re-running it would apply its batches a second time
-        # on top of their own updates. The tail of the interrupted epoch is
-        # sacrificed, never double-trained.
+        progress, self._epoch_progress = self._epoch_progress, None
+        if progress and progress["steps_done"] < progress["total"]:
+            # STEP-GRANULAR preemption: the checkpoint records how many of
+            # the interrupted epoch's batches were applied plus the scalar
+            # accumulators; resume replays exactly the remaining batches
+            # (the epoch's batch order is a pure function of the seed),
+            # so the final params are bitwise equal to an uninterrupted
+            # run. aux epoch is the LAST COMPLETED epoch; the mid_epoch
+            # marker makes load() re-enter the interrupted one.
+            mid = {
+                "steps_done": int(progress["steps_done"]),
+                "count": float(progress["count"]),
+                "acc": ({k: float(v) for k, v in progress["acc"].items()}
+                        if progress["acc"] else {}),
+            }
+            self.save(path, epoch=self.epoch - 1, extra_aux={"mid_epoch": mid})
+            logging.info(
+                f"Preemption checkpoint saved to {path} (resume replays "
+                f"epoch {self.epoch} from batch {mid['steps_done']}).")
+            return
+        # Preempted exactly at the epoch's last batch: the epoch is DONE
+        # (validation/monitor skipped, as before); resume starts the next.
         self.save(path, epoch=self.epoch)
         logging.info(f"Preemption checkpoint saved to {path} "
                      f"(resume continues at epoch {self.epoch + 1}).")
@@ -937,7 +988,8 @@ class BaseTrainer:
 
     # ----------------------------------------------------------- checkpoint
 
-    def save(self, path: str | Path, epoch: int | None = None) -> None:
+    def save(self, path: str | Path, epoch: int | None = None,
+             extra_aux: dict | None = None) -> None:
         from vsr_tpu.parallel.distributed import gather_sharded, is_primary
 
         aux = {
@@ -945,6 +997,7 @@ class BaseTrainer:
             "monitor": self.monitor.state_dict(),
             "lr_scheduler": self.lr_scheduler.state_dict() if self.lr_scheduler else None,
             "random_seed": str(self.rng_tree.root_seed),
+            **(extra_aux or {}),
         }
         if self._sharded_ckpt:
             # Every process writes ONLY the shards it owns (plus the main
@@ -1007,6 +1060,11 @@ class BaseTrainer:
         # jit with non-trivial in_shardings on multi-host meshes).
         self._place_state()
         self.epoch = aux["epoch"] + 1
+        if aux.get("mid_epoch"):
+            # Step-granular preemption checkpoint: aux epoch is the last
+            # COMPLETED epoch, so self.epoch is the interrupted one —
+            # _run_epoch replays its remaining batches.
+            self._mid_epoch_resume = dict(aux["mid_epoch"])
         self.monitor.load_state_dict(aux["monitor"])
         if self.lr_scheduler is not None and aux.get("lr_scheduler"):
             self.lr_scheduler.load_state_dict(aux["lr_scheduler"])
