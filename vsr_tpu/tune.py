@@ -215,6 +215,160 @@ def run(args) -> dict:
     return out
 
 
+def run_train(args) -> dict:
+    """``--train`` mode: sweep TRAINING knobs on the device-epoch trainer.
+
+    Knobs (BENCH.md-measured candidates): ``scan_unroll`` (the +25-29%
+    activation-stash win on the recurrent nets), compute ``dtype``
+    (f32 / bf16 / bf16+carry_f32 — the hybrid keeps the recurrent carries
+    f32, closing bf16's 0.47 dB flagship gap), ``grad_accumulation``
+    (micro-step rate at k accumulations), and MoE ``dispatch_impl``.
+    Timing: whole epochs as one device program each (the trusted
+    device-epoch pattern; one readback per epoch).
+
+    Unlike the serving sweep, dtype/carry_f32 CHANGE NUMERICS — every row
+    carries ``"exact"`` and the result reports both ``best`` (overall)
+    and ``best_exact`` (f32 math only); quality evidence for the bf16
+    variants lives in BENCH.md / scripts/validate_vsr_learning.py.
+    """
+    import jax
+
+    from vsr_tpu.export import _enable_compile_cache
+
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    import optax
+
+    from vsr_tpu.losses import L1Loss
+    from vsr_tpu.registry import build as registry_build
+    from vsr_tpu.runner.device_trainer import DeviceEpochTrainer
+
+    shape = tuple(int(s) for s in args.train_shape.split(","))
+    if len(shape) not in (3, 4):
+        raise SystemExit(
+            f"--train-shape must be M,H,W (frame nets) or M,T,H,W "
+            f"(sequence nets), got {args.train_shape!r}")
+    net_kwargs = json.loads(args.net_kwargs) if args.net_kwargs else {}
+    rng = np.random.default_rng(0)
+    hrbuf = np.round(rng.random(shape + (1,)) * 255).astype(np.float32)
+    lrbuf = (hrbuf[..., ::args.factor, ::args.factor, :]
+             if len(shape) == 4 else
+             hrbuf[:, ::args.factor, ::args.factor, :])
+    t_len = shape[1] if len(shape) == 4 else None
+
+    probe_net = registry_build(
+        "net", {"name": args.net, "kwargs": dict(net_kwargs)})
+    unroll_grid = ([1] if not hasattr(probe_net, "unroll")
+                   or "unroll" in net_kwargs
+                   else sorted({1, int(getattr(probe_net, "num_steps", 0)
+                                       or t_len or 1)}))
+    dtype_grid: list[tuple[str, Any, bool]] = [("float32", None, False),
+                                               ("bfloat16", jnp.bfloat16, False)]
+    if hasattr(probe_net, "carry_f32"):
+        dtype_grid.append(("bfloat16+carry_f32", jnp.bfloat16, True))
+    ga_grid = sorted({int(s) for s in args.ga_grid.split(",") if s.strip()})
+    # dispatch_impl must be a CONSTRUCTOR field (MoEEDSRNet); DRF exposes
+    # it as a read-only property for EP validation.
+    dispatch_grid = (["sparse", "dense"]
+                     if "dispatch_impl" in getattr(
+                         type(probe_net), "__dataclass_fields__", {})
+                     and "dispatch_impl" not in net_kwargs
+                     and net_kwargs.get("router_impl") != "sort"
+                     else [None])
+
+    rows: list[dict[str, Any]] = []
+    best = best_exact = None
+    for unroll in unroll_grid:
+      for dname, dtype, carry in dtype_grid:
+        for ga in ga_grid:
+          for dispatch in dispatch_grid:
+            kw = dict(net_kwargs)
+            if dtype is not None:
+                kw["dtype"] = dtype
+            if carry:
+                kw["carry_f32"] = True
+            if dispatch is not None:
+                kw["dispatch_impl"] = dispatch
+            label = {"scan_unroll": unroll, "dtype": dname,
+                     "grad_accumulation": ga,
+                     **({"dispatch_impl": dispatch} if dispatch else {})}
+            exact = dtype is None
+            try:
+                tx = optax.adam(1e-4)
+                if ga > 1:
+                    tx = optax.MultiSteps(tx, every_k_schedule=ga)
+                trainer = DeviceEpochTrainer(
+                    net=registry_build("net", {"name": args.net,
+                                               "kwargs": kw}),
+                    loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[],
+                    optimizer=tx, lr_data=lrbuf, hr_data=hrbuf,
+                    batch_size=args.batch, patch=args.patch,
+                    ratio=args.factor, steps_per_epoch=args.steps,
+                    scan_unroll=unroll)
+                t0 = time.perf_counter()
+                trainer.train_epoch()  # compile + warm
+                compile_s = time.perf_counter() - t0
+                rate = 0.0
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    trainer.train_epoch()
+                    rate = max(rate,
+                               args.steps / (time.perf_counter() - t0))
+                row = {**label, "steps_per_sec": round(rate, 2),
+                       "exact": exact, "compile_s": round(compile_s, 1)}
+                logging.info(f"{label} -> {rate:.1f} steps/s")
+            except Exception as exc:
+                row = {**label, "exact": exact,
+                       "error": f"{type(exc).__name__}: {str(exc)[:160]}"}
+                logging.warning(f"{label} FAILED: {row['error']}")
+                rows.append(row)
+                continue
+            rows.append(row)
+            if best is None or rate > best[0]:
+                best = (rate, label)
+            if exact and (best_exact is None or rate > best_exact[0]):
+                best_exact = (rate, label)
+
+    if best is None:
+        raise SystemExit("every training knob combination failed — see log")
+
+    def entry(knobs: dict) -> dict:
+        e: dict[str, Any] = {"scan_unroll": knobs["scan_unroll"]}
+        if knobs["grad_accumulation"] > 1:
+            e["grad_accumulation"] = knobs["grad_accumulation"]
+        nk: dict[str, Any] = {}
+        if knobs["dtype"] != "float32":
+            nk["dtype"] = "bfloat16"
+        if "carry_f32" in knobs["dtype"]:
+            nk["carry_f32"] = True
+        if knobs.get("dispatch_impl"):
+            nk["dispatch_impl"] = knobs["dispatch_impl"]
+        if nk:
+            e["net_kwargs"] = nk
+        return e
+
+    out = {
+        "train_presets": {args.net: entry(best[1])},
+        "train_presets_exact": {args.net: entry(best_exact[1])}
+        if best_exact else {},
+        "measured": rows,
+        "best_steps_per_sec": round(best[0], 2),
+        "geometry": list(shape),
+        "batch": args.batch, "patch": args.patch, "factor": args.factor,
+        "backend": jax.default_backend(),
+        "created": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    logging.info(
+        f"best {best[1]} at {best[0]:.1f} steps/s"
+        + (f" (best exact-math: {best_exact[1]} at {best_exact[0]:.1f})"
+           if best_exact else "")
+        + f" -> {args.out} (merge train_presets[*] into "
+        "trainer.kwargs / net.kwargs of your *_device.yaml)")
+    return out
+
+
 def main() -> None:
     logging.basicConfig(format="%(asctime)s | %(levelname)s | %(message)s",
                         level=logging.INFO, datefmt="%Y-%m-%d %H:%M:%S")
@@ -224,8 +378,9 @@ def main() -> None:
     p.add_argument("--net", required=True)
     p.add_argument("--net-kwargs", default="")
     p.add_argument("--checkpoint", default="")
-    p.add_argument("--shape", required=True,
-                   help="HR frames geometry N,H,W to tune for")
+    p.add_argument("--shape", default="",
+                   help="HR frames geometry N,H,W to tune for "
+                        "(serving mode; required unless --train)")
     p.add_argument("--factor", type=int, default=2)
     p.add_argument("--dataset", choices=["acdc", "dsb15"], default="acdc")
     p.add_argument("--video-t", dest="video_t", type=int, default=0)
@@ -237,7 +392,30 @@ def main() -> None:
     p.add_argument("--chunk-grid", dest="chunk_grid", default="0,30,60,100")
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--out", default="tuned.json")
-    run(p.parse_args())
+    p.add_argument("--train", action="store_true",
+                   help="sweep TRAINING knobs (scan_unroll / dtype+"
+                        "carry_f32 / grad_accumulation / MoE dispatch) on "
+                        "the device-epoch trainer instead of serving knobs")
+    p.add_argument("--train-shape", dest="train_shape", default="",
+                   help="HR training buffer geometry: M,H,W (frame nets) "
+                        "or M,T,H,W (sequence nets)")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--patch", type=int, default=32,
+                   help="LR patch size sampled from the buffers")
+    p.add_argument("--steps", type=int, default=50,
+                   help="steps per timed device epoch")
+    p.add_argument("--ga-grid", dest="ga_grid", default="1",
+                   help="grad_accumulation grid, e.g. 1,2,4")
+    args = p.parse_args()
+    if args.train:
+        if not args.train_shape:
+            raise SystemExit("--train needs --train-shape M[,T],H,W")
+        run_train(args)
+    else:
+        if not args.shape:
+            raise SystemExit("serving mode needs --shape N,H,W "
+                             "(or pass --train)")
+        run(args)
 
 
 if __name__ == "__main__":
