@@ -58,6 +58,38 @@ class ResidualBlockNoBN(nn.Module):
         return x + y
 
 
+class _PermutedOutConv(nn.Conv):
+    """nn.Conv whose KERNEL output channels are permuted at apply time.
+
+    The DCN packs' offset conv stores its channels in the reference's
+    s-major order (all y, all x, all mask — the transplant/checkpoint
+    contract), but the sampler wants (dg, k2, 2)-interleaved offsets.
+    Permuting the ACTIVATION is a real (N*Ho*Wo*3*dg*k2) transpose per
+    frame — the EDVR trace's 'data formatting' slice; permuting the
+    KERNEL's cout axis instead costs an O(|weight|) gather and makes the
+    downstream unpack pure trailing-dim reshapes. Bitwise-identical
+    outputs (same dot products, different write positions). Subclassing
+    keeps the param path/layout of the nn.Conv it replaces."""
+
+    out_perm: tuple = ()
+
+    def param(self, name, *args, **kwargs):
+        p = super().param(name, *args, **kwargs)
+        if len(self.out_perm) and name in ("kernel", "bias"):
+            p = p[..., jnp.asarray(self.out_perm, jnp.int32)]
+        return p
+
+
+def _pack_perm(dg: int, k2: int, n_offset_axes: int) -> tuple:
+    """cout permutation: s-major reference layout -> (dg, k2, s)-
+    interleaved offsets [+ trailing mask block unchanged]."""
+    perm = [s * dg * k2 + g * k2 + j
+            for g in range(dg) for j in range(k2)
+            for s in range(n_offset_axes)]
+    mask_base = n_offset_axes * dg * k2
+    return tuple(perm) + tuple(mask_base + c for c in range(dg * k2))
+
+
 class ModulatedDeformConvPack(nn.Module):
     """DCNv2 with offsets+mask predicted by a zero-initialized conv.
 
@@ -79,16 +111,19 @@ class ModulatedDeformConvPack(nn.Module):
         k = self.kernel_size
         k2 = k * k
         dg = self.deformable_groups
-        raw = nn.Conv(
+        raw = _PermutedOutConv(
             3 * dg * k2, (k, k), strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
+            dtype=self.dtype, out_perm=_pack_perm(dg, k2, 2),
+            name="Conv_0",  # checkpoint-path parity with the plain nn.Conv
         )(src)
         n, ho, wo, _ = raw.shape
-        raw = raw.reshape(n, ho, wo, 3, dg, k2)
-        offsets = jnp.stack([raw[..., 0, :, :], raw[..., 1, :, :]], axis=-1)
-        mask = jax.nn.sigmoid(raw[..., 2, :, :])
+        # The kernel permutation laid the channels out so both unpacks are
+        # free trailing-dim reshapes (no activation transpose).
+        offsets = raw[..., : 2 * dg * k2].reshape(n, ho, wo, dg, k2, 2)
+        mask = jax.nn.sigmoid(
+            raw[..., 2 * dg * k2:].reshape(n, ho, wo, dg, k2))
 
         weight = self.param(
             "weight",
@@ -128,15 +163,15 @@ class DeformConvPack(nn.Module):
         k = self.kernel_size
         k2 = k * k
         dg = self.deformable_groups
-        raw = nn.Conv(
+        raw = _PermutedOutConv(
             2 * dg * k2, (k, k), strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
+            dtype=self.dtype, out_perm=_pack_perm(dg, k2, 2)[: 2 * dg * k2],
+            name="Conv_0",
         )(src)
         n, ho, wo, _ = raw.shape
-        raw = raw.reshape(n, ho, wo, 2, dg, k2)
-        offsets = jnp.stack([raw[..., 0, :, :], raw[..., 1, :, :]], axis=-1)
+        offsets = raw.reshape(n, ho, wo, dg, k2, 2)
 
         weight = self.param(
             "weight",
