@@ -537,3 +537,39 @@ def test_quantized_serving_composes_with_moe(rng):
 
     w8a8 = _psnr_of(jax.jit(make_w8a8_apply(net, params)), x, y)
     assert abs(base - w8a8) < 0.5, (base, w8a8)
+
+
+def test_w8a8_through_volume_pipelines(rng):
+    """W8A8 volume serving (VERDICT r3 item #4): vol3d via the standard
+    jit-outputs calibration, vol4d's scan-body convs via callback scales —
+    both through the real volume pipeline, within a few grey levels of
+    the full-precision pipeline."""
+    from vsr_tpu.infer import make_pipeline, make_prep
+    from vsr_tpu.models import Volume3DSRNet
+    from vsr_tpu.models.vol4d import Volume4DSRNet
+
+    d, t = 2, 4
+    frames = np.concatenate(
+        [_smooth_images(rng, t, 16)[..., 0] for _ in range(d)])
+
+    net3 = Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=1,
+                         num_features=16, upscale_factor=2)
+    p3 = net3.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 8, 8, 1)))
+    _, sr_f = make_pipeline(net3, p3, 2, "acdc", volume=("3d", t))(frames)
+    _, sr_q = make_pipeline(net3, p3, 2, "acdc", volume=("3d", t),
+                            w8a8=True)(frames)
+    diff = np.abs(np.asarray(sr_f) - np.asarray(sr_q))
+    assert diff.max() <= 3.0
+
+    net4 = Volume4DSRNet(in_channels=1, out_channels=1, num_features=16,
+                         num_resblocks=1, upscale_factor=2)
+    p4 = net4.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 2, 8, 8, 1)))
+    z = jax.jit(lambda f: make_prep(2, "acdc", volume=("4d", t))(f)[1])(
+        jnp.asarray(frames))
+    scales = calibrate_w8a8(net4, p4, [z], method="callback")
+    assert scales, "callback calibration found no vol4d scan-body convs"
+    _, sr_f4 = make_pipeline(net4, p4, 2, "acdc", volume=("4d", t))(frames)
+    _, sr_q4 = make_pipeline(net4, p4, 2, "acdc", volume=("4d", t),
+                             w8a8=scales)(frames)
+    diff4 = np.abs(np.asarray(sr_f4) - np.asarray(sr_q4))
+    assert diff4.max() <= 4.0
