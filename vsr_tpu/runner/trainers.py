@@ -611,6 +611,15 @@ class BaseTrainer:
                 # uninterrupted run's.
                 mid = self._mid_epoch_resume
                 self._mid_epoch_resume = None
+                total = mid.get("batches_total")
+                if total is not None and total != len(loader):
+                    raise ValueError(
+                        f"mid-epoch preemption checkpoint was written with "
+                        f"{total} train batches/epoch but this run has "
+                        f"{len(loader)} — batch size, dataset, or process "
+                        "topology changed, so replaying 'the remaining "
+                        "batches' is undefined; resume from an epoch-"
+                        "boundary checkpoint instead")
                 skip = int(mid["steps_done"])
                 resume_count = float(mid["count"])
                 if mid["acc"]:
@@ -903,6 +912,9 @@ class BaseTrainer:
                 "count": float(progress["count"]),
                 "acc": ({k: float(v) for k, v in progress["acc"].items()}
                         if progress["acc"] else {}),
+                # Replay is defined only under the SAME batch partitioning
+                # (resume validates this before skipping).
+                "batches_total": int(progress["total"]),
             }
             self.save(path, epoch=self.epoch - 1, extra_aux={"mid_epoch": mid})
             logging.info(
