@@ -763,3 +763,47 @@ def test_live_expert_mesh_moe_serving():
                                    rtol=0, atol=1e-5)
     finally:
         srv.shutdown()
+
+
+def test_live_seq_mesh_volume_serving():
+    """A live VOLUME pipeline sharded over a {seq, spatial} mesh (depth
+    over 'seq' — round-4 serving axis) serves through the daemon and
+    matches the direct seq-sharded pipeline."""
+    from vsr_tpu.infer import make_pipeline
+    from vsr_tpu.models import Volume3DSRNet
+    from vsr_tpu.parallel.mesh import make_mesh
+    from vsr_tpu.serve import LivePipeline
+
+    d, t = 4, 3
+    mesh = make_mesh({"seq": 2, "spatial": 2})
+    live = LivePipeline(net_name="Volume3DSRNet",
+                        net_kwargs={"in_channels": 1, "out_channels": 1,
+                                    "num_resblocks": 1, "num_features": 4,
+                                    "upscale_factor": FACTOR},
+                        checkpoint="", frames_shape=(d * t, H, W),
+                        factor=FACTOR, mesh=mesh, volume=("3d", t))
+    srv = make_server([], port=0, warmup=True, live=[live])
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(_url(srv, "/v1/meta")) as resp:
+            metas = json.loads(resp.read())
+        assert any(m.get("volume") == ["3d", t]
+                   and m.get("mesh") == {"seq": 2, "spatial": 2}
+                   for m in metas)
+        rng = np.random.default_rng(5)
+        frames = np.round(rng.random((d * t, H, W)) * 255).astype(np.float32)
+        status, body, _ = _post_npy(srv, frames)
+        assert status == 200
+        sr = np.load(io.BytesIO(body))
+
+        net = Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=1,
+                            num_features=4, upscale_factor=FACTOR)
+        params = net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 2, H // FACTOR, W // FACTOR, 1)))
+        _, want = make_pipeline(net, params, FACTOR, "acdc",
+                                volume=("3d", t), mesh=mesh)(frames)
+        np.testing.assert_allclose(sr, np.asarray(want, np.float32),
+                                   rtol=0, atol=1e-5)
+    finally:
+        srv.shutdown()
