@@ -375,6 +375,12 @@ class EDVRNet(nn.Module):
 
         ref_l = [l1[:, center], l2[:, center], l3[:, center]]
         pcd = PCDAlign(nf=nf, groups=self.groups, dtype=self.dtype)
+        # Per-frame loop ON PURPOSE (negative result, round 4): batching
+        # all T alignments into one t-x-bigger PCD call (fold T into N,
+        # broadcast the ref features) is bitwise-equal math but measured
+        # 0.85x on chip at the serving protocol — the broadcast ref
+        # concats add HBM traffic and XLA already fuses the unrolled
+        # per-frame chains; the t small GEMM chains beat one big one.
         aligned = jnp.stack(
             [pcd([l1[:, i], l2[:, i], l3[:, i]], ref_l) for i in range(t)],
             axis=1,
