@@ -82,18 +82,20 @@ def main() -> None:
         return vps, np.asarray(outs[0])
 
     # ---------------------------------------------------------------- vol3d
+    calibrate_only = "--calibrate-only" in sys.argv
     net3 = Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=8,
                          num_features=32, upscale_factor=2,
                          dtype=jnp.bfloat16)
     params3 = net3.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 2, h, w, 1)))
-    cal = np.asarray(jax.jit(
-        lambda f: build_z(f, 1, False))(make_volume(3)))
-    scales3 = calibrate_w8a8(net3, params3, [cal])
-    print(f"vol3d: {len(scales3)} convs calibrated")
-    print("Volume3DSRNet:")
     rows = {}
-    for vpc in (2, 4, 8):
+    if not calibrate_only:
+      cal = np.asarray(jax.jit(
+          lambda f: build_z(f, 1, False))(make_volume(3)))
+      scales3 = calibrate_w8a8(net3, params3, [cal])
+      print(f"vol3d: {len(scales3)} convs calibrated")
+      print("Volume3DSRNet:")
+      for vpc in (2, 4, 8):
         try:
             b, out_b = measure("bf16", lambda z: net3.apply(params3, z),
                                vpc, False)
@@ -117,13 +119,26 @@ def main() -> None:
                          dtype=jnp.bfloat16)
     params4 = net4.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 2, 2, h, w, 1)))
-    # Scan-body convs: callback calibration (short-T sample keeps the
-    # per-iteration host callbacks cheap; abs-max scales then gate on the
-    # full-protocol PSNR delta below).
-    cal4 = np.asarray(jax.jit(
-        lambda f: build_z(f, 1, True))(make_volume(3)))[:, :6]
-    scales4 = calibrate_w8a8(net4, params4, [cal4], method="callback")
-    print(f"vol4d: {len(scales4)} scan-body convs calibrated (callback)")
+    # Scan-body convs: callback calibration. The axon relay does NOT
+    # support host callbacks, so on a relay backend the scales come from
+    # a CPU run of this script with --calibrate-only (writes the file).
+    scales_path = "/tmp/vol4d_w8a8_scales.json"
+    if "--calibrate-only" in sys.argv or jax.default_backend() == "cpu":
+        cal4 = np.asarray(jax.jit(
+            lambda f: build_z(f, 1, True))(make_volume(3)))[:, :6]
+        scales4 = calibrate_w8a8(net4, params4, [cal4], method="callback")
+        with open(scales_path, "w") as f:
+            json.dump(scales4, f)
+        print(f"vol4d: {len(scales4)} scan-body convs calibrated "
+              f"(callback) -> {scales_path}")
+        if "--calibrate-only" in sys.argv:
+            return
+    else:
+        with open(scales_path) as f:
+            scales4 = json.load(f)
+        print(f"vol4d: {len(scales4)} scales loaded from {scales_path} "
+              "(CPU callback calibration — run --calibrate-only on CPU "
+              "first)")
     print("Volume4DSRNet:")
     for vpc in (1, 2):
         try:

@@ -206,13 +206,19 @@ def test_apply_unknown_net_is_clean_cli_error():
 
 
 def test_volume_net_presets_exist():
-    """The volumetric families carry measured presets (zoo round-3 s5)."""
+    """The volumetric families carry measured presets (zoo round-3 s5;
+    W8A8 added round 4: vol3d 1.22-1.32x bf16 at -0.001 dB via lazy
+    calibration, vol4d needs precomputed callback scales)."""
     from vsr_tpu.presets import serving_config
 
     for name, vpc in (("Volume3DSRNet", 4), ("Volume4DSRNet", 1)):
         cfg = serving_config(name, "tuned")
         assert cfg.get("volumes_per_call") == vpc
-        assert "w8a8" not in serving_config(name, "fast")  # no 2D convs
+    assert serving_config("Volume3DSRNet", "fast")["w8a8"] is True
+    # Scan-body net: full precision without scales, engaged with them.
+    assert "w8a8" not in serving_config("Volume4DSRNet", "fast")
+    assert serving_config("Volume4DSRNet", "fast",
+                          have_scales=True)["w8a8"] == "scales"
 
 
 def test_infer_preset_end_to_end(tmp_path, rng):

@@ -99,8 +99,14 @@ SERVING_PRESETS: dict[str, dict] = {
     # volumes/call swept on chip (scripts/probe_vol_serving.py: 3D scales
     # 5.9 -> 25.2 vol/s from vpc 1 -> 4, vpc 8 only +3.7% more; 4D peaks
     # at vpc=1). No W8A8 — their 3D convs have no quantizable path.
-    "Volume3DSRNet": {"volumes_per_call": 4},
-    "Volume4DSRNet": {"volumes_per_call": 1},
+    # vol3d W8A8 (round 4, probe_w8a8_vol_serving): 1.22-1.32x bf16 at
+    # -0.001 dB; the int8 MXU keeps scaling past bf16's vpc-4 optimum
+    # (W8A8 serving point = vpc 8 at 32.3 vol/s vs bf16's 25.4).
+    "Volume3DSRNet": {"volumes_per_call": 4, "w8a8": "lazy"},
+    # vol4d's convs live in the T-scan body: W8A8 needs precomputed
+    # callback scales (--w8a8-scales; calibrate on CPU — the axon relay
+    # has no host callbacks).
+    "Volume4DSRNet": {"volumes_per_call": 1, "w8a8": "scales"},
 }
 
 
