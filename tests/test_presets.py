@@ -215,10 +215,10 @@ def test_volume_net_presets_exist():
         cfg = serving_config(name, "tuned")
         assert cfg.get("volumes_per_call") == vpc
     assert serving_config("Volume3DSRNet", "fast")["w8a8"] is True
-    # Scan-body net: full precision without scales, engaged with them.
-    assert "w8a8" not in serving_config("Volume4DSRNet", "fast")
-    assert serving_config("Volume4DSRNet", "fast",
-                          have_scales=True)["w8a8"] == "scales"
+    # vol4d: never-quantize (0.60x measured — in-scan quantize/dequant
+    # breaks the hidden-volume scan fusion), even with scales in hand.
+    assert "w8a8" not in serving_config("Volume4DSRNet", "fast",
+                                        have_scales=True)
 
 
 def test_infer_preset_end_to_end(tmp_path, rng):

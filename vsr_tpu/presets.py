@@ -103,10 +103,11 @@ SERVING_PRESETS: dict[str, dict] = {
     # -0.001 dB; the int8 MXU keeps scaling past bf16's vpc-4 optimum
     # (W8A8 serving point = vpc 8 at 32.3 vol/s vs bf16's 25.4).
     "Volume3DSRNet": {"volumes_per_call": 4, "w8a8": "lazy"},
-    # vol4d's convs live in the T-scan body: W8A8 needs precomputed
-    # callback scales (--w8a8-scales; calibrate on CPU — the axon relay
-    # has no host callbacks).
-    "Volume4DSRNet": {"volumes_per_call": 1, "w8a8": "scales"},
+    # vol4d: NO w8a8 — measured 0.60x with callback scales (the in-scan
+    # quantize/dequant pairs break the hidden-volume scan-body fusion;
+    # the same regression class as DRFNet's all-conv W8A8). Explicit
+    # --w8a8-scales still works for A/B, the preset never engages it.
+    "Volume4DSRNet": {"volumes_per_call": 1},
 }
 
 
