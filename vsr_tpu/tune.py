@@ -249,6 +249,11 @@ def run_train(args) -> dict:
             f"--train-shape must be M,H,W (frame nets) or M,T,H,W "
             f"(sequence nets), got {args.train_shape!r}")
     net_kwargs = json.loads(args.net_kwargs) if args.net_kwargs else {}
+    if "dtype" in net_kwargs:
+        raise SystemExit(
+            "--train sweeps the compute dtype itself — drop 'dtype' from "
+            "--net-kwargs (the sweep covers float32 / bfloat16 / "
+            "bfloat16+carry_f32)")
     rng = np.random.default_rng(0)
     hrbuf = np.round(rng.random(shape + (1,)) * 255).astype(np.float32)
     lrbuf = (hrbuf[..., ::args.factor, ::args.factor, :]
