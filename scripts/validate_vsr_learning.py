@@ -61,8 +61,13 @@ def main() -> None:
 
     mean, std = DATASET_STATS["acdc"]
     size, factor, win = 96, 2, 5
-    hr_train = synth_sequences(48, size, 12, seed=0)
-    hr_val = synth_sequences(8, size, 12, seed=1)
+    # --seed N offsets the data seeds (same shapes -> compile-cache hits)
+    # for multi-seed robustness checks of the dtype A/Bs.
+    seed0 = 0
+    if "--seed" in sys.argv:
+        seed0 = int(sys.argv[sys.argv.index("--seed") + 1]) * 100
+    hr_train = synth_sequences(48, size, 12, seed=seed0)
+    hr_val = synth_sequences(8, size, 12, seed=seed0 + 1)
 
     degrade = jax.jit(lambda x: kspace_downscale_jax(x, factor))
     lr_train = np.asarray(degrade(hr_train.reshape(-1, size, size))).reshape(

