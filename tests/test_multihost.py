@@ -395,6 +395,89 @@ def test_multihost_pipe_still_refused():
                 mesh_axes={"data": 4, "pipe": 2}, pipe_microbatches=2)
 
 
+def test_multihost_mid_epoch_preemption_bitwise(mh_run):
+    """SIGTERM lands on BOTH processes mid-epoch; the cluster votes a
+    common stop batch, writes a step-granular preempt checkpoint, and the
+    auto-resumed pair replays the interrupted epoch's tail — final params
+    BITWISE equal to a never-interrupted 2-process run (round-4
+    step-granular preemption x multi-host)."""
+    import signal
+    import time
+
+    root, _saved, _logs = mh_run
+    from vsr_tpu.utils.checkpoint import load_checkpoint
+
+    def cfg_for(saved):
+        # local_batch 2 -> 3 train batches/epoch: the preempt vote at
+        # batch index 0 stops at steps_done=1 < 3 (a REAL mid-epoch cut).
+        c = _config(root / "data", saved, local_batch=2, host_shard=True,
+                    valid_batch=2)
+        c["trainer"]["kwargs"]["num_epochs"] = 8
+        c["main"]["auto_resume"] = True
+        return c
+
+    saved_u = root / "preempt_uninterrupted"
+    _launch_pair(root, cfg_for(saved_u), "pre_u")
+
+    # Interrupted pair: poll the logs for epoch 3, then SIGTERM both.
+    saved_i = root / "preempt_interrupted"
+    cfg = cfg_for(saved_i)
+    cfg_path = root / "pre_i.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(2):
+        env = dict(
+            os.environ, JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COMPILATION_CACHE_DIR="/tmp/vsr_tpu_jax_cache_cpu_mh2",
+            PYTHONPATH=str(REPO),
+            VSR_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            VSR_NUM_PROCESSES="2", VSR_PROCESS_ID=str(pid),
+        )
+        out = open(root / f"pre_i_proc{pid}.log", "w")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "vsr_tpu.main", str(cfg_path)],
+            cwd=REPO, env=env, stdout=out, stderr=subprocess.STDOUT))
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        texts = [(root / f"pre_i_proc{i}.log").read_text() for i in range(2)]
+        if all("Epoch 3." in t for t in texts):
+            break
+        if any(p.poll() is not None for p in procs):
+            break  # finished before we could interrupt (counted below)
+        time.sleep(0.5)
+    for p in procs:
+        if p.poll() is None:
+            p.send_signal(signal.SIGTERM)
+    codes = [p.wait(timeout=180) for p in procs]
+    for f in outs:
+        f.close()
+    assert codes == [0, 0]
+    ckpt = saved_i / "checkpoints" / "model_preempt.ckpt"
+    assert ckpt.exists(), "run completed before the signal landed"
+    _, aux = load_checkpoint(ckpt)
+    # A signal mid-TRAIN-epoch stops at the next vote boundary (batch 0 ->
+    # a mid-epoch cut); one landing in validation/epoch turnover produces
+    # an epoch-boundary checkpoint — bitwise resume must hold either way.
+    mid = bool(aux.get("mid_epoch"))
+
+    # Auto-resume pair replays the tail and finishes epochs 1..8.
+    logs = _launch_pair(root, cfg, "pre_i_resume")
+    if mid:
+        assert all("Mid-epoch resume" in t for t in logs)
+
+    u_state, _ = load_checkpoint(saved_u / "checkpoints" / "model_8.ckpt")
+    i_state, _ = load_checkpoint(saved_i / "checkpoints" / "model_8.ckpt")
+    flat_u = jax_flatten(u_state["params"])
+    flat_i = jax_flatten(i_state["params"])
+    assert flat_u.keys() == flat_i.keys()
+    for key in flat_u:
+        np.testing.assert_array_equal(flat_i[key], flat_u[key], err_msg=key)
+
+
 def test_expert_two_process_matches_single_process(mh_run, tmp_path):
     """2-process EXPERT-PARALLEL MoE training (mesh {'data': 2 across
     hosts, 'expert': 2 within each host}): exercises cross-host placement
