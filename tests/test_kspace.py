@@ -63,8 +63,11 @@ def test_jax_matches_numpy_within_rounding(rng, factor):
     jax_out = np.asarray(jax.jit(lambda x: kspace_downscale_jax(x, factor))(imgs))
     for i in range(2):
         np_out = kspace_downscale(imgs[i][..., None], factor)[..., 0]
-        # complex64 vs complex128 can flip values at .5 rounding boundaries;
-        # demand exact match on >98% of pixels (the enforced bound; measured ~99.5%) and <=1 level elsewhere.
+        # The round-4 real-split chain measures 100% exact vs the float64
+        # numpy reference at every protocol probed (48^2 and 192^2, the
+        # old complex64 chain was ~98-99.5% / +-1 grey). Enforce a
+        # slightly looser bound so a legitimate .5-boundary flip on a new
+        # platform doesn't flake: >=99.9% exact, <=1 grey elsewhere.
         diff = np.abs(jax_out[i] - np_out)
-        assert (diff == 0).mean() > 0.98, f"match rate {(diff == 0).mean()}"
+        assert (diff == 0).mean() >= 0.999, f"match rate {(diff == 0).mean()}"
         assert diff.max() <= 1.0
