@@ -79,9 +79,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}")
+    backend = jax.default_backend()
+    cache = (f"/tmp/vsr_tpu_jax_cache_{backend}" if backend != "cpu"
+             else "/tmp/vsr_tpu_jax_cache_cpu_probe_carry")
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     for tag, build in [("DRFNet-64/6", _build_drf),
                        ("FRVSR-10", _build_frvsr)]:

@@ -38,8 +38,12 @@ def make_volume(seed, n=1):
 def main() -> None:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/vsr_tpu_jax_cache_{jax.default_backend()}")
+    backend = jax.default_backend()
+    # CLAUDE.md cache rule: new CPU tools stay OFF the shared CPU cache
+    # dir (mixed-machine-flag writers can poison it into hanging entries).
+    cache = (f"/tmp/vsr_tpu_jax_cache_{backend}" if backend != "cpu"
+             else "/tmp/vsr_tpu_jax_cache_cpu_probe_vol")
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
@@ -60,6 +64,15 @@ def main() -> None:
     def denorm(sr):
         return jnp.clip(jnp.round(sr.astype(jnp.float32) * STD + MEAN),
                         0, 255)
+
+    def frames_order(sr, vpc):
+        """Net-output stacks back to make_volume's slice-major (v, d, t)
+        frame order — build_z regrouped to (v, t, d), so a plain
+        reshape(-1, H, W) would compare every frame against the WRONG HR
+        frame (review catch: that delta is insensitive to real
+        quantization damage)."""
+        sr = np.asarray(sr).reshape(vpc, T, D, H, W)
+        return np.swapaxes(sr, 1, 2).reshape(-1, H, W)
 
     def measure(name, apply_fn, vpc, vol4d):
         @jax.jit
@@ -103,8 +116,8 @@ def main() -> None:
                 "w8a8", make_w8a8_apply(net3, params3, act_scales=scales3),
                 vpc, False)
             hr = make_volume(11, vpc).reshape(-1, H, W)[..., None]
-            d_b = float(psnr(out_b.reshape(-1, H, W)[..., None], hr))
-            d_q = float(psnr(out_q.reshape(-1, H, W)[..., None], hr))
+            d_b = float(psnr(frames_order(out_b, vpc)[..., None], hr))
+            d_q = float(psnr(frames_order(out_q, vpc)[..., None], hr))
             print(f"    -> w8a8 {q / b:.2f}x bf16, PSNR delta "
                   f"{d_q - d_b:+.3f} dB", flush=True)
             rows[vpc] = {"bf16": round(b, 3), "w8a8": round(q, 3),
@@ -148,8 +161,8 @@ def main() -> None:
                 "w8a8", make_w8a8_apply(net4, params4, act_scales=scales4),
                 vpc, True)
             hr = make_volume(11, vpc).reshape(-1, H, W)[..., None]
-            d_b = float(psnr(out_b.reshape(-1, H, W)[..., None], hr))
-            d_q = float(psnr(out_q.reshape(-1, H, W)[..., None], hr))
+            d_b = float(psnr(frames_order(out_b, vpc)[..., None], hr))
+            d_q = float(psnr(frames_order(out_q, vpc)[..., None], hr))
             print(f"    -> w8a8 {q / b:.2f}x bf16, PSNR delta "
                   f"{d_q - d_b:+.3f} dB", flush=True)
             rows[f"4d_vpc{vpc}"] = {"bf16": round(b, 3), "w8a8": round(q, 3),

@@ -214,7 +214,11 @@ def test_volume_net_presets_exist():
     for name, vpc in (("Volume3DSRNet", 4), ("Volume4DSRNet", 1)):
         cfg = serving_config(name, "tuned")
         assert cfg.get("volumes_per_call") == vpc
-    assert serving_config("Volume3DSRNet", "fast")["w8a8"] is True
+    fast3 = serving_config("Volume3DSRNet", "fast")
+    assert fast3["w8a8"] is True
+    # The int8 MXU's vpc optimum sits past bf16's: engaged-W8A8 serves
+    # its OWN measured grouping (vpc 8 = 32.3 vol/s vs bf16's 25.4 at 4).
+    assert fast3["volumes_per_call"] == 8
     # vol4d: never-quantize (0.60x measured — in-scan quantize/dequant
     # breaks the hidden-volume scan fusion), even with scales in hand.
     assert "w8a8" not in serving_config("Volume4DSRNet", "fast",

@@ -516,7 +516,8 @@ def make_pipeline(net, params, factor: int, dataset: str, int8: bool = False,
     if mesh is not None and volume:
         from vsr_tpu.parallel.serving import shard_volume_pipeline
 
-        return shard_volume_pipeline(pipeline, mesh, volume[0], volume[1])
+        return shard_volume_pipeline(pipeline, mesh, volume[0], volume[1],
+                                     factor=factor)
     if mesh is not None:
         from vsr_tpu.parallel.serving import shard_pipeline
 

@@ -38,11 +38,14 @@ class _Vol4DStep(nn.Module):
     @nn.compact
     def __call__(self, hidden, in_feat):
         f = self.num_features
-        cat = jnp.concatenate(
-            [in_feat.astype(self.dtype), hidden.astype(self.dtype)], axis=-1
-        ) if self.carry_f32 else jnp.concatenate([in_feat, hidden], axis=-1)
-        x = Conv3D(f, (1, 1, 1), padding=(0, 0, 0), dtype=self.dtype,
-                   out_dtype=jnp.float32 if self.carry_f32 else None)(cat)
+        # Under carry_f32 the hidden volume is CONSUMED at f32: in_feat
+        # and hidden are both f32, so the 1x1 squeeze computes in f32
+        # (dtype=None -> promoted dtype; a sliver of the step's FLOPs
+        # next to the 3x3x3 resblocks) and the recurrence never rounds
+        # the carry to bf16 — same design as FBlock (feedback.py).
+        cat = jnp.concatenate([in_feat, hidden], axis=-1)
+        x = Conv3D(f, (1, 1, 1), padding=(0, 0, 0),
+                   dtype=None if self.carry_f32 else self.dtype)(cat)
         for _ in range(self.num_resblocks):
             x = _ResBlock3D(f, self.res_scale, dtype=self.dtype,
                             acc_f32=self.carry_f32)(x)

@@ -61,7 +61,8 @@ def parse_mesh_axes(spec: str) -> dict[str, int]:
     return axes
 
 
-def shard_volume_pipeline(pipeline_fn, mesh: Mesh, vmode: str, seq_t: int):
+def shard_volume_pipeline(pipeline_fn, mesh: Mesh, vmode: str, seq_t: int,
+                          factor: int = 1):
     """Volumetric serving over a mesh: depth over ``'seq'``, time-batch
     over ``'data'`` (3d only), H over ``'spatial'``.
 
@@ -91,9 +92,15 @@ def shard_volume_pipeline(pipeline_fn, mesh: Mesh, vmode: str, seq_t: int):
             raise ValueError(
                 f"volume depth D={depth} is not divisible by the 'seq' "
                 f"mesh axis ({sq})")
-        if h % sp:
+        if (h // factor) % sp:
+            # The tensor pinned to the mesh is the REGROUPED LR batch
+            # (height h/factor), not the HR input — validate what GSPMD
+            # actually shards (review catch: checking h alone would let
+            # an uneven LR sharding through with padded half-empty
+            # shards).
             raise ValueError(
-                f"H={h} is not divisible by the 'spatial' mesh axis ({sp})")
+                f"LR height {h // factor} (HR {h} / factor {factor}) is "
+                f"not divisible by the 'spatial' mesh axis ({sp})")
         return jitted(frames)
 
     return wrapped

@@ -98,11 +98,12 @@ SERVING_PRESETS: dict[str, dict] = {
     # Volumetric families: volume mode is automatic (infer.VOLUME_NETS);
     # volumes/call swept on chip (scripts/probe_vol_serving.py: 3D scales
     # 5.9 -> 25.2 vol/s from vpc 1 -> 4, vpc 8 only +3.7% more; 4D peaks
-    # at vpc=1). No W8A8 — their 3D convs have no quantizable path.
-    # vol3d W8A8 (round 4, probe_w8a8_vol_serving): 1.22-1.32x bf16 at
-    # -0.001 dB; the int8 MXU keeps scaling past bf16's vpc-4 optimum
-    # (W8A8 serving point = vpc 8 at 32.3 vol/s vs bf16's 25.4).
-    "Volume3DSRNet": {"volumes_per_call": 4, "w8a8": "lazy"},
+    # at vpc=1).
+    # vol3d W8A8 (round 4, probe_w8a8_vol_serving): 1.22-1.32x bf16; the
+    # int8 MXU keeps scaling past bf16's vpc-4 optimum, so the W8A8 path
+    # carries its own vpc (8 -> 32.3 vol/s vs bf16's 25.4 at 4).
+    "Volume3DSRNet": {"volumes_per_call": 4, "w8a8": "lazy",
+                      "volumes_per_call_w8a8": 8},
     # vol4d: NO w8a8 — measured 0.60x with callback scales (the in-scan
     # quantize/dequant pairs break the hidden-volume scan-body fusion;
     # the same regression class as DRFNet's all-conv W8A8). Explicit
@@ -196,6 +197,11 @@ def serving_config(net_name: str, level: str = "tuned",
         # scan-body net without scales: stay full precision (exact)
         if "w8a8" in out and "w8a8_kernels" in preset:
             out["w8a8_kernels"] = set(preset["w8a8_kernels"])
+        if "w8a8" in out and "volumes_per_call_w8a8" in preset:
+            # The int8 MXU's vpc optimum can sit past bf16's (EDSR and
+            # vol3d both measured this) — the engaged-W8A8 preset serves
+            # its own measured grouping.
+            out["volumes_per_call"] = preset["volumes_per_call_w8a8"]
     return out
 
 

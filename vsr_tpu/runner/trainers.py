@@ -1063,8 +1063,7 @@ class BaseTrainer:
             # this process which saved shards to read back.
             state, aux = load_checkpoint_sharded(path, template, payload=payload)
         else:
-            state = serialization.from_state_dict(template, payload["state"])
-            aux = payload.get("aux", {})
+            state, aux = load_checkpoint(path, template, payload=payload)
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         # Restored leaves are host arrays — re-place them per the mesh's

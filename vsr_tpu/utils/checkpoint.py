@@ -441,12 +441,15 @@ class AsyncCheckpointWriter:
                     "async checkpoint write failed (earlier submit)") from err
 
 
-def load_checkpoint(path: str | Path, state_template: Any | None = None):
+def load_checkpoint(path: str | Path, state_template: Any | None = None,
+                    payload: dict | None = None):
     """Returns (state, aux). If ``state_template`` is given, the stored state
     dict is restored onto it (shape/structure validated); otherwise the raw
-    state dict is returned."""
-    with open(path, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
+    state dict is returned. ``payload`` lets a caller that already parsed
+    the file (e.g. to branch on its format) skip the second read+parse."""
+    if payload is None:
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
     if payload.get("format") == "sharded-v1":
         raise ValueError(
             f"{path} is a sharded checkpoint (per-process shard files). "
