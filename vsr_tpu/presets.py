@@ -58,6 +58,9 @@ SERVING_PRESETS: dict[str, dict] = {
         "net_kwargs": {"fused_tail": True},   # +8.6% (ops/fused_tail.py)
         "volumes_per_call": 4,                # probe_edsr_vpc.py optimum
         "w8a8": "lazy",                       # 1.32x, <=2 grey levels
+        # int8 MXU keeps scaling past bf16's optimum: W8A8 at vpc 8 =
+        # 18.6 vol/s vs 16.6 at 4 (BENCH round-3 s5; bench.py times it).
+        "volumes_per_call_w8a8": 8,
     },
     "MoEEDSRNet": {
         # dense dispatch: gated-mask all-expert FFN, no one-hot tensors —
