@@ -69,7 +69,10 @@ def test_serving_config_values():
     assert serving_config("DUFNet", "tuned") == {"windows": 7, "chunk": 100}
     cfg = serving_config("EDSRNet", "fast")
     assert cfg["net_kwargs"] == {"fused_tail": True}
-    assert cfg["volumes_per_call"] == 4 and cfg["w8a8"] is True
+    # Engaged W8A8 serves its OWN measured grouping (vpc 8 = 18.6 vol/s
+    # vs bf16's 16.6 at 4 — BENCH round-3 s5); tuned stays at 4.
+    assert cfg["volumes_per_call"] == 8 and cfg["w8a8"] is True
+    assert serving_config("EDSRNet", "tuned")["volumes_per_call"] == 4
     # scan-body net: quantization only with precomputed scales
     assert "w8a8" not in serving_config("SRFBNet", "fast")
     srfb = serving_config("SRFBNet", "fast", have_scales=True)
