@@ -70,9 +70,6 @@ def _normalize(family):
     ]
 
 
-NORMALIZE = _normalize("Acdc")
-
-
 @pytest.fixture(scope="module")
 def tree(tmp_path_factory):
     root = tmp_path_factory.mktemp("protocol")
@@ -177,7 +174,10 @@ def _assert_log_match(ref_log, our_log):
             our_log[key], ref_log[key], rtol=1e-4, atol=5e-3, err_msg=key)
 
 
-def test_sisr_protocol_parity(tree, tmp_path):
+@pytest.mark.parametrize("family", ["Acdc", "Dsb15"])
+def test_sisr_protocol_parity(tree, tmp_path, family):
+    """Parametrized over the Acdc/Dsb15 twins (byte-identical upstream
+    except denormalize stats — ``dsb15_sisr_predictor.py``)."""
     from vsr_tpu.models import EDSRNet
 
     Ref = load_ref_net("src.model.nets.edsr_net", "EDSRNet")
@@ -189,17 +189,18 @@ def test_sisr_protocol_parity(tree, tmp_path):
         tmp_path, net, tnet, example,
         lambda m: m(torch.zeros(1, 1, 12, 12)))
 
-    dataset = {"name": "AcdcSISRDataset",
+    dataset = {"name": f"{family}SISRDataset",
                "kwargs": {"data_dir": str(tree / "imgs"),
-                          "downscale_factor": 2, "transforms": NORMALIZE}}
+                          "downscale_factor": 2,
+                          "transforms": _normalize(family)}}
     net_cfg = {"name": "EDSRNet",
                "kwargs": {"in_channels": 1, "out_channels": 1,
                           "num_resblocks": 2, "num_features": 8,
                           "upscale_factor": 2}}
     ref_cfg = _base_config(tree, tmp_path, "ref", dataset, net_cfg,
-                           "AcdcSISRPredictor", ref_ckpt)
+                           f"{family}SISRPredictor", ref_ckpt)
     our_cfg = _base_config(tree, tmp_path, "ours", dataset, net_cfg,
-                           "AcdcSISRPredictor", our_ckpt)
+                           f"{family}SISRPredictor", our_ckpt)
     (ref_log, ref_csv), (our_log, our_csv) = _run_both(tmp_path, ref_cfg, our_cfg)
 
     assert len(ref_csv[1]) == 2 * 2 * 6  # patients x slices x frames
@@ -207,7 +208,10 @@ def test_sisr_protocol_parity(tree, tmp_path):
     _assert_log_match(ref_log, our_log)
 
 
-def test_misr_protocol_parity(tree, tmp_path):
+@pytest.mark.parametrize("family", ["Acdc", "Dsb15"])
+def test_misr_protocol_parity(tree, tmp_path, family):
+    """Parametrized over the Acdc/Dsb15 twins (byte-identical upstream
+    except denormalize stats — ``dsb15_misr_predictor.py``)."""
     from vsr_tpu.models import TOFlowNet
 
     Ref = load_ref_net("src.model.nets.toflow_net", "TOFlowNet")
@@ -220,17 +224,18 @@ def test_misr_protocol_parity(tree, tmp_path):
         tmp_path, net, tnet, example, lambda m: m(frames),
         apply_kwargs={"train": False})
 
-    dataset = {"name": "AcdcMISRDataset",
+    dataset = {"name": f"{family}MISRDataset",
                "kwargs": {"data_dir": str(tree / "videos"),
-                          "downscale_factor": 2, "transforms": NORMALIZE,
+                          "downscale_factor": 2,
+                          "transforms": _normalize(family),
                           "num_frames": 3, "temporal_order": "middle"}}
     net_cfg = {"name": "TOFlowNet",
                "kwargs": {"in_channels": 1, "out_channels": 1,
                           "num_frames": 3, "upscale_factor": 2}}
     ref_cfg = _base_config(tree, tmp_path, "ref", dataset, net_cfg,
-                           "AcdcMISRPredictor", ref_ckpt)
+                           f"{family}MISRPredictor", ref_ckpt)
     our_cfg = _base_config(tree, tmp_path, "ours", dataset, net_cfg,
-                           "AcdcMISRPredictor", our_ckpt)
+                           f"{family}MISRPredictor", our_ckpt)
     (ref_log, ref_csv), (our_log, our_csv) = _run_both(tmp_path, ref_cfg, our_cfg)
 
     assert len(ref_csv[1]) == 2 * 2 * 6  # every (sequence, t) window

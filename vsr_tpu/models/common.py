@@ -48,7 +48,13 @@ def make_accum_conv(out_dtype):
     here is the STANDARD compute-dtype conv backward (two transposed
     convs via ``jax.linear_transpose``, cotangent cast down first) —
     bit-identical gradients to the plain bf16 conv path, so the flag is
-    purely a forward-precision upgrade."""
+    purely a forward-precision upgrade.
+
+    REVERSE-MODE ONLY: ``jax.custom_vjp`` makes forward-mode AD
+    (``jax.jvp`` / ``jax.linearize``) through any ``carry_f32`` net fail
+    with a custom_vjp error. Training and serving never use jvp; if
+    jvp-based tooling ever needs these nets, run them with
+    ``carry_f32=False`` (same params, plain-dtype carries)."""
 
     def conv_fn(lhs, rhs, *args, **kw):
         def low(l, r):

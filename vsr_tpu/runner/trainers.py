@@ -811,9 +811,10 @@ class BaseTrainer:
                     if b_cnt > 1 and ax != "data":
                         if a.shape[d] % b_cnt:
                             raise ValueError(
-                                f"batch dim {d} (size {a.shape[d]}) does "
-                                f"not divide the {b_cnt} process blocks "
-                                f"of mesh axis {ax!r}")
+                                f"array dim {d} (size {a.shape[d]}, "
+                                f"sharded over mesh axis {ax!r}) does "
+                                f"not divide that axis's {b_cnt} process "
+                                f"blocks")
                         size = a.shape[d] // b_cnt
                         sl = slice(b_idx * size, (b_idx + 1) * size)
                 index.append(sl)

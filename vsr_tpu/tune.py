@@ -400,7 +400,11 @@ def main() -> None:
     p.add_argument("--train", action="store_true",
                    help="sweep TRAINING knobs (scan_unroll / dtype+"
                         "carry_f32 / grad_accumulation / MoE dispatch) on "
-                        "the device-epoch trainer instead of serving knobs")
+                        "the device-epoch trainer instead of serving knobs. "
+                        "The sweep's LR buffer is pixel-strided synthetic "
+                        "noise (NOT the k-space degrade real training "
+                        "uses): steps/s rankings are the product; ignore "
+                        "any loss values printed during the sweep")
     p.add_argument("--train-shape", dest="train_shape", default="",
                    help="HR training buffer geometry: M,H,W (frame nets) "
                         "or M,T,H,W (sequence nets)")

@@ -78,7 +78,7 @@ def _decode_index(e: dict) -> list:
     return [[int(a), int(b)] for a, b in idx]
 
 
-def _derive_save_id(aux: dict) -> str:
+def _derive_save_id(aux: dict, manifest: dict) -> str:
     """Deterministic save nonce, identical across processes of one save but
     distinct between any two saves that could reuse the same file path.
 
@@ -86,6 +86,13 @@ def _derive_save_id(aux: dict) -> str:
     seed), and the trainer writes a given path at most once per epoch;
     across a crash + resume the epoch advances before the next save — so
     hashing aux separates every pair of saves that could mix on one path.
+    The sharded-leaf manifest (leaf names + global shapes/dtypes — global
+    properties, so also process-identical) is mixed in as well, so direct
+    callers that pass aux=None still get distinct nonces whenever the
+    state's structure differs; callers whose aux AND structure are both
+    identical across two saves to one path get identical nonces and the
+    mixed-shard detection cannot separate them — pass a distinguishing
+    aux (e.g. a step counter) in that case, as the trainer always does.
     Computed WITHOUT collectives so the async writer thread can call it
     safely (a cross-host barrier here could interleave with main-thread
     collectives and deadlock — which is also why the main file is only
@@ -94,7 +101,8 @@ def _derive_save_id(aux: dict) -> str:
     checkpoint files bitwise."""
     import hashlib
 
-    blob = serialization.msgpack_serialize({"aux": aux})
+    blob = serialization.msgpack_serialize(
+        {"aux": aux, "manifest": manifest})
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
@@ -120,7 +128,6 @@ def save_checkpoint_sharded(path: str | Path, state: Any, aux: dict | None = Non
 
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    save_id = _derive_save_id(aux or {})
     flat = _flatten_state(state)
     replicated: dict = {}
     manifest: dict = {}
@@ -138,6 +145,7 @@ def save_checkpoint_sharded(path: str | Path, state: Any, aux: dict | None = Non
         else:
             replicated[key] = np.asarray(leaf) if isinstance(
                 leaf, jax.Array) else leaf
+    save_id = _derive_save_id(aux or {}, manifest)
     proc = jax.process_index()
     shard_payload = serialization.msgpack_serialize(
         {"process": proc, "save_id": save_id, "leaves": my_shards})
