@@ -35,15 +35,20 @@ from vsr_tpu.utils.normalize import DATASET_STATS
 from vsr_tpu.utils.rng import RngTree
 
 
-def stack_dataset(dataset, limit: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+def stack_dataset(dataset, limit: int | None = None,
+                  indices=None) -> tuple[np.ndarray, np.ndarray]:
     """Materialize a dataset's (lr, hr) pairs as two dense arrays.
 
     Works for any dataset whose samples share shapes (train windows do).
     Returns (M, ...) numpy arrays ready for ``jax.device_put``.
+    ``indices`` restricts stacking to those samples (multi-host buffer
+    blocks: each process loads ONLY its slice from disk).
     """
-    n = len(dataset) if limit is None else min(limit, len(dataset))
+    if indices is None:
+        n = len(dataset) if limit is None else min(limit, len(dataset))
+        indices = range(n)
     lrs, hrs = [], []
-    for i in range(n):
+    for i in indices:
         s = dataset.__getitem__(i, rng=None)
         lrs.append(next(s[k] for k in ("lr_img", "lr_imgs", "lr_vol", "lr_vols")
                         if k in s))
@@ -291,7 +296,7 @@ class DeviceEpochTrainer:
         return log
 
 
-def stack_dataset_raw(dataset, limit: int | None = None):
+def stack_dataset_raw(dataset, limit: int | None = None, indices=None):
     """Stack a dataset with its augments and normalization BYPASSED.
 
     Device trainers re-apply augmentation (paired crop + flips) and
@@ -305,7 +310,7 @@ def stack_dataset_raw(dataset, limit: int | None = None):
     dataset.transforms = compose(None)  # ToTensor only
     dataset.augments = lambda *imgs, rng=None: imgs
     try:
-        return stack_dataset(dataset, limit)
+        return stack_dataset(dataset, limit, indices)
     finally:
         dataset.transforms, dataset.augments = old_t, old_a
 
@@ -366,11 +371,20 @@ class DeviceTrainerMixin:
                 "shard_map (its params in_specs are replicated) — use the "
                 "host-loop trainer for expert parallelism")
         if self._multiprocess:
-            raise NotImplementedError(
-                "device-epoch trainers are single-host (their HBM sample "
-                "buffers shard over the LOCAL mesh; a process-spanning "
-                "mesh would need global-array buffer assembly) — use the "
-                "host-loop trainer names for multi-host training")
+            # Multi-host 'data' meshes ARE supported: each process stacks
+            # only ITS contiguous block of the train split, the blocks are
+            # assembled into ONE global P('data')-sharded buffer pair
+            # (host_local_to_global), and the epoch stays a single jitted
+            # shard_map whose per-step pmean rides DCN between hosts
+            # exactly as it rides ICI within one (SURVEY §2.9 /
+            # BASELINE config #5). Non-data axes were rejected above;
+            # 'spatial' is rejected here too (its buffer-time check in
+            # _ensure_buffers would otherwise fire after a long stack).
+            if self.mesh is not None and self.mesh.shape.get("spatial", 1) != 1:
+                raise NotImplementedError(
+                    "device trainers support data-parallel meshes only "
+                    "(mesh_axes={'data': n}); spatial sharding is a "
+                    "host-loop trainer feature")
         self.patch = int(patch)
         self.ratio = int(ratio)
         self._steps_cfg = steps_per_epoch
@@ -398,9 +412,6 @@ class DeviceTrainerMixin:
     def _ensure_buffers(self) -> None:
         if self.lr_buf is not None:
             return
-        lr, hr = stack_dataset_raw(self.train_dataloader.dataset,
-                                   limit=self.buffer_limit)
-        lr, hr = self._buffer_layout(lr, hr)
         self.batch_size = self.train_dataloader.batch_size
         n_data = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
         if self.mesh is not None and self.mesh.shape.get("spatial", 1) != 1:
@@ -408,6 +419,13 @@ class DeviceTrainerMixin:
                 "device trainers support data-parallel meshes only "
                 "(mesh_axes={'data': n}); spatial sharding is a host-loop "
                 "trainer feature")
+        if self._multiprocess:
+            self._ensure_buffers_multihost(n_data)
+            self._apply_scan_unroll()
+            return
+        lr, hr = stack_dataset_raw(self.train_dataloader.dataset,
+                                   limit=self.buffer_limit)
+        lr, hr = self._buffer_layout(lr, hr)
         if n_data > 1:
             # Multi-chip: the sample buffers are SHARDED over the data axis
             # (each chip holds M/n samples — HBM capacity scales with the
@@ -462,6 +480,86 @@ class DeviceTrainerMixin:
             self._device_epoch = jax.jit(
                 self._device_epoch_fn, donate_argnames=("params", "opt_state"))
         self._apply_scan_unroll()
+
+    def _ensure_buffers_multihost(self, n_data: int) -> None:
+        """Multi-host 'data'-mesh buffers: ONE global P('data')-sharded
+        sample buffer pair over the process-spanning mesh.
+
+        Each process stacks from disk only its contiguous block of the
+        (truncated) train split and contributes it via
+        ``host_local_array_to_global_array``; every device then holds
+        exactly the per-device shard a single-process run over the same
+        global mesh would, so the epoch program — including the random
+        draws, whose key folds in the GLOBAL ``axis_index('data')`` — is
+        unchanged, and the per-step grad pmean rides DCN between hosts
+        the same way it rides ICI within one (BASELINE config #5's
+        HBM-resident DP design, now host-spanning). The epoch jit pins
+        params/opt_state/key replicated and the buffers P('data'): the
+        same convention as ``make_gspmd_step``'s multi-host DP jit, so
+        host-local params on the first call commit cleanly.
+
+        ``train_batch_size`` stays the GLOBAL batch (the device-trainer
+        convention — each device steps batch/n_data samples), unlike the
+        host-loop trainers where it is the per-process loader batch.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vsr_tpu.parallel.distributed import (host_local_to_global,
+                                                  process_count)
+
+        d_idx, d_cnt = self._mesh_blocks["data"]
+        if d_cnt != process_count():  # unreachable: only 'data' spans hosts
+            raise AssertionError(
+                f"device-epoch mesh's 'data' axis splits into {d_cnt} "
+                f"process blocks but there are {process_count()} processes")
+        dataset = self.train_dataloader.dataset
+        n = len(dataset)
+        if self.buffer_limit is not None:
+            n = min(self.buffer_limit, n)
+        if self.batch_size % n_data:
+            raise ValueError(
+                f"batch_size {self.batch_size} not divisible by data "
+                f"axis {n_data}")
+        m = (n // n_data) * n_data
+        if m == 0:
+            raise ValueError(
+                f"train split has {n} samples — fewer than the data axis "
+                f"size {n_data}; every chip needs at least one buffered "
+                "sample")
+        if m != n:
+            logging.info(
+                f"DP buffers: truncating {n} -> {m} samples (multiple of "
+                f"data axis {n_data}).")
+        block = m // d_cnt
+        lr, hr = stack_dataset_raw(
+            dataset, indices=range(d_idx * block, (d_idx + 1) * block))
+        lr, hr = self._buffer_layout(lr, hr)
+        spec = P("data")
+        self.lr_buf = host_local_to_global(
+            jnp.asarray(lr, jnp.float32), self.mesh, spec)
+        self.hr_buf = host_local_to_global(
+            jnp.asarray(hr, jnp.float32), self.mesh, spec)
+        self.m = m // n_data              # per-device samples
+        self._step_batch = self.batch_size // n_data
+        self.steps_per_epoch = self._steps_cfg or max(1, m // self.batch_size)
+
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        sharded = shard_map(
+            self._device_epoch_dp_fn,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), spec, spec),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        rep = NamedSharding(self.mesh, P())
+        buf = NamedSharding(self.mesh, spec)
+        self._device_epoch = jax.jit(
+            sharded, in_shardings=(rep, rep, rep, buf, buf),
+            out_shardings=(rep, rep, rep), donate_argnums=(0, 1))
 
     def _example_inputs(self):
         self._ensure_buffers()
