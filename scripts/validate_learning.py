@@ -59,10 +59,20 @@ def main() -> None:
     from vsr_tpu.runner.device_trainer import DeviceEpochTrainer
     from vsr_tpu.utils.normalize import DATASET_STATS
 
+    # --seed N offsets the data seeds (same shapes -> compile-cache hits);
+    # --bf16 trains the SHIPPED device-config dtype policy — together they
+    # give the multi-seed dtype table BENCH.md's round-4 lesson demands
+    # (single-seed dtype A/Bs mislead; report mean + worst).
+    seed = 0
+    if "--seed" in sys.argv:
+        seed = int(sys.argv[sys.argv.index("--seed") + 1])
+    use_bf16 = "--bf16" in sys.argv
+    dtype = jnp.bfloat16 if use_bf16 else None
+
     mean, std = DATASET_STATS["acdc"]
     size, factor = 96, 2
-    hr_train = synth_images(256, size, seed=0)
-    hr_val = synth_images(32, size, seed=1)
+    hr_train = synth_images(256, size, seed=seed * 100)
+    hr_val = synth_images(32, size, seed=seed * 100 + 1)
 
     degrade = jax.jit(lambda x: kspace_downscale_jax(x, factor))
     lr_train = np.asarray(degrade(hr_train))
@@ -80,7 +90,7 @@ def main() -> None:
 
     # Train EDSR with the on-device trainer.
     net = EDSRNet(in_channels=1, out_channels=1, num_resblocks=8,
-                  num_features=32, upscale_factor=factor)
+                  num_features=32, upscale_factor=factor, dtype=dtype)
     trainer = DeviceEpochTrainer(
         net=net, loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[],
         optimizer=Adam(lr=2e-4),
@@ -97,7 +107,7 @@ def main() -> None:
     @jax.jit
     def infer(params, lr_imgs):
         z = (lr_imgs - mean) / (std + 1e-10)
-        sr = net.apply(params, z[..., None])
+        sr = net.apply(params, z[..., None]).astype(jnp.float32)
         return jnp.clip(jnp.round(sr * std + mean), 0, 255)
 
     sr = np.asarray(infer(trainer.params, jnp.asarray(lr_val)))
@@ -106,6 +116,8 @@ def main() -> None:
     print(f"trained EDSR:     PSNR {model_psnr:.3f} dB, SSIM {model_ssim:.4f}")
     gain = model_psnr - base_psnr
     print(f"gain over bicubic: {gain:+.3f} dB")
+    print(f"RESULT seed={seed} dtype={'bf16' if use_bf16 else 'f32'} "
+          f"psnr={model_psnr:.3f} gain={gain:+.3f}")
     assert gain > 0.3, "trained model should beat bicubic by a clear margin"
     print("LEARNING VALIDATION: OK")
 

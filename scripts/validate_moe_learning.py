@@ -46,10 +46,16 @@ def main() -> None:
     from vsr_tpu.runner.device_trainer import DeviceEpochTrainer
     from vsr_tpu.utils.normalize import DATASET_STATS
 
+    # --seed N offsets the data seeds (multi-seed robustness per BENCH.md's
+    # round-4 lesson — the MoE-vs-dense delta is a training-policy gate).
+    seed = 0
+    if "--seed" in sys.argv:
+        seed = int(sys.argv[sys.argv.index("--seed") + 1])
+
     mean, std = DATASET_STATS["acdc"]
     size, factor = 96, 2
-    hr_train = synth_images(256, size, seed=0)
-    hr_val = synth_images(32, size, seed=1)
+    hr_train = synth_images(256, size, seed=seed * 100)
+    hr_val = synth_images(32, size, seed=seed * 100 + 1)
 
     degrade = jax.jit(lambda x: kspace_downscale_jax(x, factor))
     lr_train = np.asarray(degrade(hr_train))
@@ -104,6 +110,9 @@ def main() -> None:
     assert moe_psnr > dense_psnr - 0.3, \
         "MoE net should be competitive with the dense twin"
     print(f"MoE vs dense: {moe_psnr - dense_psnr:+.3f} dB")
+    print(f"RESULT seed={seed} dense={dense_psnr:.3f} moe={moe_psnr:.3f} "
+          f"moe_vs_dense={moe_psnr - dense_psnr:+.3f} "
+          f"moe_vs_bicubic={moe_psnr - base_psnr:+.3f}")
     print("MOE LEARNING VALIDATION: OK")
 
 

@@ -78,10 +78,39 @@ def main() -> None:
     mean, std = DATASET_STATS["acdc"]
     psnr = PSNR()
 
+    # --seed N offsets the data seeds (multi-seed re-validation of the
+    # zoo learning deltas — BENCH.md round-4 lesson); --dtype bf16 /
+    # bf16_carry trains every selected net at that policy (carry_f32
+    # passed only to nets that have the knob).
+    args = sys.argv[1:]
+    seed = 0
+    if "--seed" in args:
+        i = args.index("--seed")
+        seed = int(args[i + 1])
+        del args[i:i + 2]
+    dtype_tag = "f32"
+    if "--dtype" in args:
+        i = args.index("--dtype")
+        dtype_tag = args[i + 1]
+        del args[i:i + 2]
+    net_kw: dict = {}
+    if dtype_tag in ("bf16", "bf16_carry"):
+        net_kw["dtype"] = jnp.bfloat16
+    elif dtype_tag != "f32":
+        raise SystemExit(f"--dtype must be f32|bf16|bf16_carry, got {dtype_tag}")
+
+    def with_dtype(net_cls, **kwargs):
+        kw = dict(kwargs, **net_kw)
+        if dtype_tag == "bf16_carry":
+            if "carry_f32" not in net_cls.__dataclass_fields__:
+                raise SystemExit(f"{net_cls.__name__} has no carry_f32 knob")
+            kw["carry_f32"] = True
+        return net_cls(**kw)
+
     def make_data(factor):
         size, t = 96, 12
-        hr_tr = synth_sequences(32, size, t, seed=0)
-        hr_va = synth_sequences(6, size, t, seed=1)
+        hr_tr = synth_sequences(32, size, t, seed=seed * 100)
+        hr_va = synth_sequences(6, size, t, seed=seed * 100 + 1)
         degrade = jax.jit(lambda x: kspace_downscale_jax(x, factor))
         lr_tr = np.asarray(degrade(hr_tr.reshape(-1, size, size))).reshape(
             32, t, size // factor, size // factor)
@@ -124,9 +153,11 @@ def main() -> None:
         report[name] = (model, base, delta)
         print(f"  {name}: {model:.3f} dB vs bicubic {base:.3f} dB "
               f"({delta:+.3f} dB)", flush=True)
+        print(f"RESULT seed={seed} dtype={dtype_tag} net={name} "
+              f"psnr={model:.3f} gain={delta:+.3f}", flush=True)
         assert delta > 0.1, f"{name} failed to beat bicubic"
 
-    wanted = set(sys.argv[1:]) or {"srfbn", "frvsr", "toflow", "rbpn", "edvr"}
+    wanted = set(args) or {"srfbn", "frvsr", "toflow", "rbpn", "edvr"}
 
     if "srfbn" in wanted:
         print("== SRFBN (SISR x2, 3 feedback steps) ==", flush=True)
@@ -134,8 +165,9 @@ def main() -> None:
         lrf = lr_tr.reshape(-1, 48, 48)[..., None]
         hrf = hr_tr.reshape(-1, 96, 96)[..., None]
         ds = _MemSISRDataset(lrf, hrf)
-        net = SRFBNet(in_channels=1, out_channels=1, num_steps=3,
-                      num_features=24, num_groups=3, upscale_factor=2)
+        net = with_dtype(SRFBNet, in_channels=1, out_channels=1,
+                         num_steps=3, num_features=24, num_groups=3,
+                         upscale_factor=2)
         tr = train(dt.AcdcSISRSRFBDeviceTrainer, ds, net,
                    [L1Loss()], [1.0], steps=600, batch=8, patch=24, ratio=2)
         lv = lr_va.reshape(-1, 48, 48)[..., None]
@@ -148,8 +180,8 @@ def main() -> None:
         hr_tr, hr_va, lr_tr, lr_va = make_data(4)
         lw, hw = _windows(lr_tr, hr_tr, 5, center=4, whole=True)
         ds = _MemVSRDataset(lw, hw)
-        net = FRVSRNet(in_channels=1, out_channels=1, upscale_factor=4,
-                       num_resblocks=5)
+        net = with_dtype(FRVSRNet, in_channels=1, out_channels=1,
+                         upscale_factor=4, num_resblocks=5)
         tr = train(dt.AcdcFRVSRDeviceTrainer, ds, net,
                    [FlowLoss(), L1Loss()], [1.0, 1.0], steps=800, batch=8,
                    patch=16, ratio=4)
@@ -167,7 +199,7 @@ def main() -> None:
         hr_tr, hr_va, lr_tr, lr_va = make_data(2)
         lw, hc = _windows(lr_tr, hr_tr, 3)
         ds = _MemMISRDataset(lw, hc)
-        net = TOFlowNet(in_channels=1, out_channels=1, num_frames=3,
+        net = with_dtype(TOFlowNet, in_channels=1, out_channels=1, num_frames=3,
                         upscale_factor=2)
         tr = train(dt.AcdcMISRDeviceTrainer, ds, net, [L1Loss()], [1.0],
                    steps=600, batch=8, patch=16, ratio=2)
@@ -181,9 +213,9 @@ def main() -> None:
         hr_tr, hr_va, lr_tr, lr_va = make_data(2)
         lw, hc = _windows(lr_tr, hr_tr, 3)
         ds = _MemMISRDataset(lw, hc)
-        net = RBPNet(in_channels=1, out_channels=1, base_filter=32, feat=32,
-                     num_stages=3, num_resblocks=2, num_frames=3,
-                     upscale_factor=2)
+        net = with_dtype(RBPNet, in_channels=1, out_channels=1,
+                         base_filter=32, feat=32, num_stages=3,
+                         num_resblocks=2, num_frames=3, upscale_factor=2)
         tr = train(dt.AcdcMISRDeviceTrainer, ds, net, [L1Loss()], [1.0],
                    steps=600, batch=8, patch=16, ratio=2)
         lv, hv = _windows(lr_va, hr_va, 3)
@@ -195,8 +227,8 @@ def main() -> None:
         hr_tr, hr_va, lr_tr, lr_va = make_data(4)
         lw, hc = _windows(lr_tr, hr_tr, 5)
         ds = _MemMISRDataset(lw, hc)
-        net = EDVRNet(in_channels=1, out_channels=1, nf=32, nframes=5,
-                      groups=4, front_RBs=3, back_RBs=5)
+        net = with_dtype(EDVRNet, in_channels=1, out_channels=1, nf=32,
+                         nframes=5, groups=4, front_RBs=3, back_RBs=5)
         tr = train(dt.AcdcMISRDeviceTrainer, ds, net, [L1Loss()], [1.0],
                    steps=600, batch=8, patch=16, ratio=4)
         lv, hv = _windows(lr_va, hr_va, 5)

@@ -356,9 +356,21 @@ class DeviceTrainerMixin:
                     f"(mesh_axes={{'data': n}}); {bad} axes are host-loop "
                     f"trainer features")
         if self._zero_axis is not None:
+            # Measured rationale (BENCH.md round 5): at device-epoch net
+            # sizes the Adam moments are 3-17 MB (EDSR-16/64 10.9 MB,
+            # flagship DRF-64/6 17.1 MB, vol3d 4.7 MB, vol4d 2.7 MB) —
+            # an 8-way ZeRO-1 would free at most ~15 MB/device of 16 GB
+            # HBM (<0.1%), while this trainer's actual HBM pressure, the
+            # sample buffers (~460 MB at ACDC scale), ALREADY shards over
+            # 'data'. Sharding the moments inside the epoch shard_map
+            # would also break optax-chain global reductions
+            # (clip_by_global_norm sees one shard). Net sizes where
+            # ZeRO-1 pays use the host-loop trainer's GSPMD path.
             raise NotImplementedError(
                 "zero_optim is not wired into the device-epoch shard_map "
-                "(its opt_state in_specs are replicated) — use the "
+                "(its opt_state in_specs are replicated; moments at these "
+                "net sizes are <20 MB vs the ~0.5 GB sample buffers that "
+                "already shard — see BENCH.md round 5) — use the "
                 "host-loop trainer for ZeRO-1")
         if self._fsdp_axis is not None:
             raise NotImplementedError(
