@@ -113,8 +113,12 @@ def build_cases(subpixel: bool = False, fsq: bool = False):
          {"vpc": 4}),  # probe_vol_serving.py sweep: 25.2 vol/s (vpc=1: 5.9)
         ("Volume4DSRNet", 2, "vol4d",
          Volume4DSRNet(in_channels=1, out_channels=1, num_features=32,
-                       num_resblocks=4, upscale_factor=2, dtype=bf16),
-         {"vpc": 1}),  # vpc sweep optimum (vpc=2 is 0.97x)
+                       num_resblocks=4, upscale_factor=2, dtype=bf16,
+                       hoist_tail=True),
+         # hoist_tail + vpc 4 = 13.2 vol/s, 1.50x the old in-scan-tail
+         # row whose thin out-conv made vpc>1 NEGATIVE
+         # (scripts/profile_vol4d_serving.py round 5).
+         {"vpc": 4}),
     ]
 
 

@@ -214,9 +214,14 @@ def test_volume_net_presets_exist():
     calibration, vol4d needs precomputed callback scales)."""
     from vsr_tpu.presets import serving_config
 
-    for name, vpc in (("Volume3DSRNet", 4), ("Volume4DSRNet", 1)):
+    # vol4d round 5: hoist_tail moves the upsample tail out of the T-scan
+    # (the in-scan thin out-conv made vpc>1 NEGATIVE); vpc 4 = 13.2 vol/s
+    # = 1.50x the old vpc-1 row (scripts/profile_vol4d_serving.py).
+    for name, vpc in (("Volume3DSRNet", 4), ("Volume4DSRNet", 4)):
         cfg = serving_config(name, "tuned")
         assert cfg.get("volumes_per_call") == vpc
+    assert serving_config("Volume4DSRNet", "tuned")["net_kwargs"][
+        "hoist_tail"] is True
     fast3 = serving_config("Volume3DSRNet", "fast")
     assert fast3["w8a8"] is True
     # The int8 MXU's vpc optimum sits past bf16's: engaged-W8A8 serves

@@ -117,3 +117,25 @@ def test_vol4d_predictor(data_root, tmp_path):
 
     vol = load_nifti(tmp_path / "v4" / "volumes" / "patient001" / "sequence_sr.nii.gz")
     assert vol.shape == (24, 24, 3, 6)
+
+
+def test_vol4d_hoist_tail_exact_and_same_tree():
+    """``hoist_tail`` (serving: upsample tail batched over T*N outside the
+    T-scan — scripts/profile_vol4d_serving.py) computes the identical
+    function with the IDENTICAL param tree, across upscale factors and
+    the carry_f32 hybrid, so checkpoints interchange freely."""
+    for factor, kw in [(2, {}), (4, {}),
+                       (3, {"dtype": jnp.bfloat16, "carry_f32": True,
+                            "unroll": 5})]:
+        net = Volume4DSRNet(in_channels=1, out_channels=1, num_features=4,
+                            num_resblocks=2, upscale_factor=factor, **kw)
+        hoist = net.clone(hoist_tail=True)
+        x = jnp.asarray(np.random.default_rng(factor).random(
+            (2, 5, 3, 8, 8, 1)), jnp.float32)
+        p = net.init(jax.random.PRNGKey(1), x)
+        assert (jax.tree_util.tree_structure(p)
+                == jax.tree_util.tree_structure(
+                    hoist.init(jax.random.PRNGKey(2), x)))
+        a = net.apply(p, x).astype(jnp.float32)
+        b = hoist.apply(p, x).astype(jnp.float32)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -36,7 +36,15 @@ class _Vol4DStep(nn.Module):
     carry_f32: bool = False
 
     @nn.compact
-    def __call__(self, hidden, in_feat):
+    def __call__(self, hidden, in_feat=None, *, mode: str = "full"):
+        """``mode``: "full" = recurrence + upsample tail (one scan step);
+        "recur" = recurrence only, returns ``(new_hidden, in_feat + x)``;
+        "tail" = upsample tail only over a pre-stacked batch (``hidden``
+        doubles as the y input). Module names are explicit so every mode
+        creates the SAME param tree (checkpoints interchange across
+        ``hoist_tail``)."""
+        if mode == "tail":
+            return self._tail(hidden)
         f = self.num_features
         # Under carry_f32 the hidden volume is CONSUMED at f32: in_feat
         # and hidden are both f32, so the 1x1 squeeze computes in f32
@@ -45,25 +53,37 @@ class _Vol4DStep(nn.Module):
         # the carry to bf16 — same design as FBlock (feedback.py).
         cat = jnp.concatenate([in_feat, hidden], axis=-1)
         x = Conv3D(f, (1, 1, 1), padding=(0, 0, 0),
-                   dtype=None if self.carry_f32 else self.dtype)(cat)
-        for _ in range(self.num_resblocks):
+                   dtype=None if self.carry_f32 else self.dtype,
+                   name="Conv3D_0")(cat)
+        for i in range(self.num_resblocks):
             x = _ResBlock3D(f, self.res_scale, dtype=self.dtype,
-                            acc_f32=self.carry_f32)(x)
+                            acc_f32=self.carry_f32,
+                            name=f"_ResBlock3D_{i}")(x)
         new_hidden = x
         y = in_feat + x  # global feature skip (DRF pattern; f32 x f32 under carry_f32)
-        r = self.upscale_factor
+        if mode == "recur":
+            return new_hidden, y
+        return new_hidden, self._tail(y)
+
+    def _tail(self, y):
+        """Upsample tail (conv names continue the historical Conv3D_<k>
+        numbering after the squeeze's Conv3D_0)."""
+        f, r, k = self.num_features, self.upscale_factor, 1
         if math.log2(r).is_integer():
             for _ in range(int(math.log2(r))):
-                y = Conv3D(4 * f, (3, 3, 3), padding=(1, 1, 1), dtype=self.dtype)(y)
+                y = Conv3D(4 * f, (3, 3, 3), padding=(1, 1, 1),
+                           dtype=self.dtype, name=f"Conv3D_{k}")(y)
                 y = _pixel_shuffle_2d_in_3d(y, 2)
+                k += 1
         elif r == 3:
-            y = Conv3D(9 * f, (3, 3, 3), padding=(1, 1, 1), dtype=self.dtype)(y)
+            y = Conv3D(9 * f, (3, 3, 3), padding=(1, 1, 1),
+                       dtype=self.dtype, name=f"Conv3D_{k}")(y)
             y = _pixel_shuffle_2d_in_3d(y, 3)
+            k += 1
         else:
             raise NotImplementedError(f"upscale_factor={r}")
-        out = Conv3D(self.out_channels, (3, 3, 3), padding=(1, 1, 1),
-                     dtype=self.dtype)(y)
-        return new_hidden, out
+        return Conv3D(self.out_channels, (3, 3, 3), padding=(1, 1, 1),
+                      dtype=self.dtype, name=f"Conv3D_{k}")(y)
 
 
 @register("net")
@@ -87,6 +107,14 @@ class Volume4DSRNet(nn.Module):
     #: (``Conv3D.out_dtype``), every conv still computes bf16. Same param
     #: tree; checkpoints interchange.
     carry_f32: bool = False
+    #: Serving: hoist the upsample tail OUT of the T-scan — the scan
+    #: carries only the recurrence (squeeze + resblocks) and emits the
+    #: skip-added features, then the tail (upsample convs) runs ONCE
+    #: batched over (N*T) instead of T times at batch N (the GPipe
+    #: tail-hoist trick, parallel/pipeline.py). Identical math per
+    #: sample and the SAME param tree; see scripts/
+    #: profile_vol4d_serving.py for on-chip numbers.
+    hoist_tail: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -101,17 +129,30 @@ class Volume4DSRNet(nn.Module):
         feats_t = jnp.moveaxis(in_feats, 1, 0)  # (T, N, D, h, w, F)
 
         step_cls = nn.remat(_Vol4DStep) if self.remat else _Vol4DStep
+        step = step_cls(
+            self.num_features, self.num_resblocks, self.out_channels,
+            self.upscale_factor, self.res_scale, dtype=self.dtype,
+            carry_f32=carry_f32, name="step",
+        )
+        mode = "recur" if self.hoist_tail else "full"
+
+        def body(mdl, hidden, in_feat):
+            return mdl(hidden, in_feat, mode=mode)
+
         scan = nn.scan(
-            step_cls,
+            body,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
             unroll=min(self.unroll, t),
         )
-        _, outputs = scan(
-            self.num_features, self.num_resblocks, self.out_channels,
-            self.upscale_factor, self.res_scale, dtype=self.dtype,
-            carry_f32=carry_f32, name="step",
-        )(feats_t[0], feats_t)
+        _, outputs = scan(step, feats_t[0], feats_t)
+        if self.hoist_tail:
+            # outputs: (T, N, D, h, w, F) skip-added features -> one
+            # batched tail apply (same module instance = shared params).
+            ys = jnp.moveaxis(outputs, 0, 1).reshape(
+                n * t, d, h, w, self.num_features)
+            out = step(ys, mode="tail")
+            return out.reshape(n, t, *out.shape[1:])
         return jnp.moveaxis(outputs, 0, 1)

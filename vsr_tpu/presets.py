@@ -111,7 +111,16 @@ SERVING_PRESETS: dict[str, dict] = {
     # quantize/dequant pairs break the hidden-volume scan-body fusion;
     # the same regression class as DRFNet's all-conv W8A8). Explicit
     # --w8a8-scales still works for A/B, the preset never engages it.
-    "Volume4DSRNet": {"volumes_per_call": 1},
+    # hoist_tail (round 5, scripts/profile_vol4d_serving.py): the
+    # upsample tail leaves the T-scan and batches over T*vpc — the
+    # in-scan thin out-conv (C_out=1 at HR) ran at 0.6 TF/s and was
+    # 30% of scan time, which is also why the shipped net DECREASED
+    # with vpc (8.8/8.5/7.8 at 1/2/4); hoisted it scales again:
+    # 9.4/12.3/13.2 vol/s -> vpc 4 = 1.50x the old row. Same params,
+    # bitwise at f32; ±1 grey on 0.9% pixels at bf16 (conv-tiling
+    # reassociation, the usual bf16 class).
+    "Volume4DSRNet": {"net_kwargs": {"hoist_tail": True},
+                      "volumes_per_call": 4},
 }
 
 
