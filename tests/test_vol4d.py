@@ -139,3 +139,35 @@ def test_vol4d_hoist_tail_exact_and_same_tree():
         a = net.apply(p, x).astype(jnp.float32)
         b = hoist.apply(p, x).astype(jnp.float32)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vol_fused_tail_exact_and_same_tree():
+    """``fused_tail`` on the volumetric nets computes the final conv
+    FOLDED through the last 2D-in-3D shuffle (ops/fused_tail.py 3D
+    variant): exact up to float reassociation, identical param tree."""
+    from vsr_tpu.models import Volume3DSRNet
+
+    for f in (2, 3, 4):
+        net = Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=2,
+                            num_features=8, upscale_factor=f)
+        fz = net.clone(fused_tail=True)
+        x = jnp.asarray(np.random.default_rng(f).random((2, 3, 8, 8, 1)),
+                        jnp.float32)
+        p = net.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(p)
+                == jax.tree_util.tree_structure(
+                    fz.init(jax.random.PRNGKey(1), x)))
+        np.testing.assert_allclose(np.asarray(net.apply(p, x)),
+                                   np.asarray(fz.apply(p, x)), atol=1e-6)
+    for f in (2, 4):
+        net = Volume4DSRNet(in_channels=1, out_channels=1, num_features=8,
+                            num_resblocks=2, upscale_factor=f)
+        fz = net.clone(fused_tail=True, hoist_tail=True)
+        x = jnp.asarray(np.random.default_rng(f).random((1, 5, 3, 8, 8, 1)),
+                        jnp.float32)
+        p = net.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(p)
+                == jax.tree_util.tree_structure(
+                    fz.init(jax.random.PRNGKey(1), x)))
+        np.testing.assert_allclose(np.asarray(net.apply(p, x)),
+                                   np.asarray(fz.apply(p, x)), atol=1e-6)

@@ -248,6 +248,24 @@ class ConvTranspose(nn.Module):
         )(x)
 
 
+class _ConvParams(nn.Module):
+    """Declares the same (kernel, bias) leaves ``nn.Conv`` would — for
+    paths that need the raw tensors (folded tails) while staying
+    checkpoint-compatible with the plain conv (name it "Conv_0")."""
+
+    kernel_shape: tuple
+    fan_in: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_kernel_init, self.kernel_shape)
+        bias = (self.param("bias", make_torch_bias_init(self.fan_in),
+                           (self.kernel_shape[-1],))
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class Conv3D(nn.Module):
     """3D conv, NDHWC, torch-default init, per-dim pixel padding."""
 
@@ -259,10 +277,38 @@ class Conv3D(nn.Module):
     dtype: Any = None
     #: See Conv.out_dtype (f32-accumulated output under bf16 compute).
     out_dtype: Any = None
+    #: >0 (= the shuffle factor r): consume the PRE-shuffle array
+    #: (``C*r^2`` channels) of a ``_pixel_shuffle_2d_in_3d(·, r)`` that
+    #: would otherwise precede this conv, and compute the conv FOLDED
+    #: through the shuffle (ops/fused_tail.py 3D variant) — the caller
+    #: applies the shuffle to the ``features*r^2``-channel result. Same
+    #: parameter leaves as the unfolded conv (checkpoints interchange).
+    fold_shuffle2d: int = 0
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
+        if self.fold_shuffle2d:
+            import jax.numpy as jnp
+
+            from vsr_tpu.ops.fused_tail import fuse_conv3d_through_shuffle2d
+
+            r = self.fold_shuffle2d
+            assert self.strides == (1, 1, 1) and k[1] % 2 and k[2] % 2
+            cin = x.shape[-1] // (r * r)
+            fan_in = int(np.prod(k)) * cin
+            kernel, bias = _ConvParams((*k, cin, self.features), fan_in,
+                                       self.use_bias, name="Conv_0")()
+            dtype = self.dtype or x.dtype
+            K, B = fuse_conv3d_through_shuffle2d(
+                kernel.astype(dtype),
+                None if bias is None else bias.astype(dtype), r)
+            pads = [(self.padding[0],) * 2,
+                    (K.shape[1] // 2,) * 2, (K.shape[2] // 2,) * 2]
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype), K, (1, 1, 1), pads,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            return y if B is None else y + B
         pad = [(p, p) for p in self.padding]
         fan_in = int(np.prod(k)) * x.shape[-1]
         conv_fn = (make_accum_conv(self.out_dtype)

@@ -58,6 +58,11 @@ class Volume3DSRNet(nn.Module):
     upscale_factor: int = 2
     res_scale: float = 0.1
     dtype: Any = None
+    #: Serving: compute the final (thin, C_out-channel at HR) conv FOLDED
+    #: through the last 2D-in-3D pixel shuffle (Conv3D.fold_shuffle2d) —
+    #: the HR intermediate never materializes. Same param tree;
+    #: checkpoints interchange. See scripts/profile_vol4d_serving.py.
+    fused_tail: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -71,15 +76,19 @@ class Volume3DSRNet(nn.Module):
         body = Conv3D(self.num_features, (3, 3, 3), padding=(1, 1, 1),
                       dtype=self.dtype)(body) + head
         if math.log2(f).is_integer():
-            for _ in range(int(math.log2(f))):
-                body = Conv3D(4 * self.num_features, (3, 3, 3), padding=(1, 1, 1),
-                              dtype=self.dtype)(body)
-                body = _pixel_shuffle_2d_in_3d(body, 2)
+            stages, r_last = int(math.log2(f)), 2
         elif f == 3:
-            body = Conv3D(9 * self.num_features, (3, 3, 3), padding=(1, 1, 1),
-                          dtype=self.dtype)(body)
-            body = _pixel_shuffle_2d_in_3d(body, 3)
+            stages, r_last = 1, 3
         else:
             raise NotImplementedError(f"upscale_factor={f}")
-        return Conv3D(self.out_channels, (3, 3, 3), padding=(1, 1, 1),
-                      dtype=self.dtype)(body)
+        for i in range(stages):
+            body = Conv3D(r_last * r_last * self.num_features, (3, 3, 3),
+                          padding=(1, 1, 1), dtype=self.dtype)(body)
+            if i < stages - 1 or not self.fused_tail:
+                body = _pixel_shuffle_2d_in_3d(body, r_last)
+        if not self.fused_tail:
+            return Conv3D(self.out_channels, (3, 3, 3), padding=(1, 1, 1),
+                          dtype=self.dtype)(body)
+        out = Conv3D(self.out_channels, (3, 3, 3), padding=(1, 1, 1),
+                     dtype=self.dtype, fold_shuffle2d=r_last)(body)
+        return _pixel_shuffle_2d_in_3d(out, r_last)

@@ -34,6 +34,9 @@ class _Vol4DStep(nn.Module):
     #: Hybrid precision (see Volume4DSRNet.carry_f32): f32 hidden carry,
     #: f32 resblock accumulator chain, f32 global skip — all convs bf16.
     carry_f32: bool = False
+    #: Fold the final conv through the last 2D-in-3D shuffle (see
+    #: Volume3DSRNet.fused_tail) — same param tree.
+    fused_tail: bool = False
 
     @nn.compact
     def __call__(self, hidden, in_feat=None, *, mode: str = "full"):
@@ -70,20 +73,24 @@ class _Vol4DStep(nn.Module):
         numbering after the squeeze's Conv3D_0)."""
         f, r, k = self.num_features, self.upscale_factor, 1
         if math.log2(r).is_integer():
-            for _ in range(int(math.log2(r))):
-                y = Conv3D(4 * f, (3, 3, 3), padding=(1, 1, 1),
-                           dtype=self.dtype, name=f"Conv3D_{k}")(y)
-                y = _pixel_shuffle_2d_in_3d(y, 2)
-                k += 1
+            stages, r_last = int(math.log2(r)), 2
         elif r == 3:
-            y = Conv3D(9 * f, (3, 3, 3), padding=(1, 1, 1),
-                       dtype=self.dtype, name=f"Conv3D_{k}")(y)
-            y = _pixel_shuffle_2d_in_3d(y, 3)
-            k += 1
+            stages, r_last = 1, 3
         else:
             raise NotImplementedError(f"upscale_factor={r}")
-        return Conv3D(self.out_channels, (3, 3, 3), padding=(1, 1, 1),
-                      dtype=self.dtype, name=f"Conv3D_{k}")(y)
+        for i in range(stages):
+            y = Conv3D(r_last * r_last * f, (3, 3, 3), padding=(1, 1, 1),
+                       dtype=self.dtype, name=f"Conv3D_{k}")(y)
+            k += 1
+            if i < stages - 1 or not self.fused_tail:
+                y = _pixel_shuffle_2d_in_3d(y, r_last)
+        if not self.fused_tail:
+            return Conv3D(self.out_channels, (3, 3, 3), padding=(1, 1, 1),
+                          dtype=self.dtype, name=f"Conv3D_{k}")(y)
+        out = Conv3D(self.out_channels, (3, 3, 3), padding=(1, 1, 1),
+                     dtype=self.dtype, name=f"Conv3D_{k}",
+                     fold_shuffle2d=r_last)(y)
+        return _pixel_shuffle_2d_in_3d(out, r_last)
 
 
 @register("net")
@@ -115,6 +122,10 @@ class Volume4DSRNet(nn.Module):
     #: sample and the SAME param tree; see scripts/
     #: profile_vol4d_serving.py for on-chip numbers.
     hoist_tail: bool = False
+    #: Serving: additionally compute the final (thin) conv FOLDED through
+    #: the last 2D-in-3D shuffle (Conv3D.fold_shuffle2d) so the HR
+    #: intermediate never materializes. Same param tree.
+    fused_tail: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -132,7 +143,7 @@ class Volume4DSRNet(nn.Module):
         step = step_cls(
             self.num_features, self.num_resblocks, self.out_channels,
             self.upscale_factor, self.res_scale, dtype=self.dtype,
-            carry_f32=carry_f32, name="step",
+            carry_f32=carry_f32, fused_tail=self.fused_tail, name="step",
         )
         mode = "recur" if self.hoist_tail else "full"
 
