@@ -345,8 +345,15 @@ class DeviceTrainerMixin:
         # The device epoch is ONE shard_map over the whole mesh; a nested
         # GSPMD/pipe/ZeRO step inside it would either crash (nested
         # shard_map over the same mesh) or silently replicate — reject the
-        # combinations up front. 'spatial' gets the same treatment at
-        # buffer time (_ensure_buffers) for historical reasons.
+        # combinations up front. 'spatial'/'seq' are also a REGIME
+        # mismatch, not just unwired: device-epoch training samples small
+        # patches (16-96 px crops, windows of 4-7 frames) whose whole
+        # point is fitting thousands of samples in HBM, while
+        # spatial/seq sharding exists for activations too LARGE for one
+        # device — a 32-px patch split 8 ways is halo exchange over
+        # 4-px strips. Large-volume sharded training is the host-loop
+        # trainer's job (it shards real full-size volumes). 'spatial'
+        # gets the same treatment at buffer time (_ensure_buffers).
         if self.mesh is not None:
             bad = [a for a in ("model", "pipe", "seq")
                    if a in self.mesh.shape]
@@ -354,7 +361,8 @@ class DeviceTrainerMixin:
                 raise NotImplementedError(
                     f"device trainers support data-parallel meshes only "
                     f"(mesh_axes={{'data': n}}); {bad} axes are host-loop "
-                    f"trainer features")
+                    f"trainer features (patch-sized samples have nothing "
+                    "to shard spatially)")
         if self._zero_axis is not None:
             # Measured rationale (BENCH.md round 5): at device-epoch net
             # sizes the Adam moments are 3-17 MB (EDSR-16/64 10.9 MB,
