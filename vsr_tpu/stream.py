@@ -300,7 +300,7 @@ def _vol4d_stream(net):
             h2, out = _Vol4DStep(
                 net.num_features, net.num_resblocks, net.out_channels,
                 net.upscale_factor, net.res_scale, dtype=net.dtype,
-                name="step",
+                fused_tail=net.fused_tail, name="step",
             )(hidden, in_feat)
             return h2, out
 
