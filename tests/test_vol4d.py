@@ -171,3 +171,20 @@ def test_vol_fused_tail_exact_and_same_tree():
                     fz.init(jax.random.PRNGKey(1), x)))
         np.testing.assert_allclose(np.asarray(net.apply(p, x)),
                                    np.asarray(fz.apply(p, x)), atol=1e-6)
+
+
+def test_vol4d_remat_composes_with_tail_modes():
+    """remat treats the step's mode string as a static argument
+    (nn.remat static_argnums) — gradients flow for every tail mode."""
+    x = jnp.asarray(np.random.default_rng(0).random((1, 3, 2, 8, 8, 1)),
+                    jnp.float32)
+    base = Volume4DSRNet(in_channels=1, out_channels=1, num_features=4,
+                         num_resblocks=1, upscale_factor=2)
+    p = base.init(jax.random.PRNGKey(0), x)
+    ref = base.apply(p, x)
+    for kw in ({"remat": True}, {"remat": True, "hoist_tail": True},
+               {"remat": True, "hoist_tail": True, "fused_tail": True}):
+        net = base.clone(**kw)
+        jax.grad(lambda pp: jnp.sum(net.apply(pp, x) ** 2))(p)  # no crash
+        np.testing.assert_allclose(np.asarray(net.apply(p, x)),
+                                   np.asarray(ref), atol=1e-6)

@@ -39,7 +39,7 @@ class _Vol4DStep(nn.Module):
     fused_tail: bool = False
 
     @nn.compact
-    def __call__(self, hidden, in_feat=None, *, mode: str = "full"):
+    def __call__(self, hidden, in_feat=None, mode: str = "full"):
         """``mode``: "full" = recurrence + upsample tail (one scan step);
         "recur" = recurrence only, returns ``(new_hidden, in_feat + x)``;
         "tail" = upsample tail only over a pre-stacked batch (``hidden``
@@ -139,7 +139,10 @@ class Volume4DSRNet(nn.Module):
         in_feats = in_feats.reshape(n, t, d, h, w, self.num_features)
         feats_t = jnp.moveaxis(in_feats, 1, 0)  # (T, N, D, h, w, F)
 
-        step_cls = nn.remat(_Vol4DStep) if self.remat else _Vol4DStep
+        # remat: ``mode`` is a static (string) argument — arg index 3
+        # counting self (flax nn.remat convention).
+        step_cls = (nn.remat(_Vol4DStep, static_argnums=(3,))
+                    if self.remat else _Vol4DStep)
         step = step_cls(
             self.num_features, self.num_resblocks, self.out_channels,
             self.upscale_factor, self.res_scale, dtype=self.dtype,
@@ -148,7 +151,7 @@ class Volume4DSRNet(nn.Module):
         mode = "recur" if self.hoist_tail else "full"
 
         def body(mdl, hidden, in_feat):
-            return mdl(hidden, in_feat, mode=mode)
+            return mdl(hidden, in_feat, mode)
 
         scan = nn.scan(
             body,
@@ -164,6 +167,6 @@ class Volume4DSRNet(nn.Module):
             # batched tail apply (same module instance = shared params).
             ys = jnp.moveaxis(outputs, 0, 1).reshape(
                 n * t, d, h, w, self.num_features)
-            out = step(ys, mode="tail")
+            out = step(ys, None, "tail")
             return out.reshape(n, t, *out.shape[1:])
         return jnp.moveaxis(outputs, 0, 1)
