@@ -214,12 +214,14 @@ class DeviceEpochTrainer:
 
     # ------------------------------------------------------------------
     def _sample_example(self):
-        spatial = (self.patch, self.patch)
+        """(M, [T,] [D,] h, w, C) buffers -> a (B, [T,] [D,] patch,
+        patch, C) example (4D nets included; ``window`` replaces T)."""
         shape = self.lr_buf.shape
-        if self.lr_buf.ndim == 5:  # (M, T, h, w, C)
-            t = self.window or shape[1]
-            return jnp.zeros((self.batch_size, t, *spatial, shape[-1]))
-        return jnp.zeros((self.batch_size, *spatial, shape[-1]))
+        lead = shape[1:-3]
+        if self.window is not None and self.lr_buf.ndim >= 5:
+            lead = (self.window,) + shape[2:-3]
+        return jnp.zeros((self.batch_size, *lead,
+                          self.patch, self.patch, shape[-1]))
 
     def _sample_batch(self, key):
         """Random samples (+ circular temporal windows) -> shared paired

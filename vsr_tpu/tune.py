@@ -244,10 +244,11 @@ def run_train(args) -> dict:
     from vsr_tpu.runner.device_trainer import DeviceEpochTrainer
 
     shape = tuple(int(s) for s in args.train_shape.split(","))
-    if len(shape) not in (3, 4):
+    if len(shape) not in (3, 4, 5):
         raise SystemExit(
-            f"--train-shape must be M,H,W (frame nets) or M,T,H,W "
-            f"(sequence nets), got {args.train_shape!r}")
+            f"--train-shape must be M,H,W (frame nets), M,T,H,W "
+            f"(sequence/3D-volume nets) or M,T,D,H,W (4D nets), got "
+            f"{args.train_shape!r}")
     net_kwargs = json.loads(args.net_kwargs) if args.net_kwargs else {}
     if "dtype" in net_kwargs:
         raise SystemExit(
@@ -256,10 +257,12 @@ def run_train(args) -> dict:
             "bfloat16+carry_f32)")
     rng = np.random.default_rng(0)
     hrbuf = np.round(rng.random(shape + (1,)) * 255).astype(np.float32)
-    lrbuf = (hrbuf[..., ::args.factor, ::args.factor, :]
-             if len(shape) == 4 else
-             hrbuf[:, ::args.factor, ::args.factor, :])
-    t_len = shape[1] if len(shape) == 4 else None
+    # Stride the LAST TWO spatial dims (works for (M,H,W), (M,T,H,W)
+    # AND (M,T,D,H,W) buffers — depth is never scaled, transforms.py).
+    lrbuf = (hrbuf[:, ::args.factor, ::args.factor, :]
+             if len(shape) == 3 else
+             hrbuf[..., ::args.factor, ::args.factor, :])
+    t_len = shape[1] if len(shape) >= 4 else None
 
     probe_net = registry_build(
         "net", {"name": args.net, "kwargs": dict(net_kwargs)})
