@@ -63,7 +63,11 @@ def test_tune_volume_net(tmp_path):
                    '"upscale_factor": 2}',
         shape="8,24,24", seq_t=4, chunk_grid="0,2"))
     ok = [r for r in out["measured"] if "error" not in r]
-    assert len(ok) == 2  # no fused_tail kwarg on the 3D net
+    # Round 5: the 3D net gained fused_tail, so the sweep A/Bs it too
+    # (fused x {0, 2} chunk = 4 rows).
+    assert len(ok) == 4
+    data = json.loads((tmp_path / "tuned.json").read_text())
+    assert "fused_tail" in data["presets"]["Volume3DSRNet"]["net_kwargs"]
 
 
 def test_tune_guards(tmp_path):
@@ -147,3 +151,25 @@ def test_tune_moe_radix_router_sweeps_dense_only(tmp_path):
     bad = [r for r in out["measured"] if "error" in r]
     assert bad and all(r["dispatch_impl"] == "sparse" and "chunk" in r
                        for r in bad)
+
+
+def test_tune_train_vol4d(tmp_path):
+    """--train handles 4D nets: rank-5 --train-shape (M,T,D,H,W) buffers
+    drive the standalone DeviceEpochTrainer (round-5; previously only the
+    config-driven mixin accepted rank-6 buffers)."""
+    from vsr_tpu.tune import run_train
+
+    args = argparse.Namespace(
+        net="Volume4DSRNet",
+        net_kwargs='{"in_channels": 1, "out_channels": 1, '
+                   '"num_features": 4, "num_resblocks": 1, '
+                   '"upscale_factor": 2}',
+        factor=2, train_shape="8,3,4,16,16", batch=2, patch=8, steps=2,
+        ga_grid="1", repeats=1, out=str(tmp_path / "train_tuned.json"))
+    out = run_train(args)
+    ok = [r for r in out["measured"] if "error" not in r]
+    # unroll {1, T=3} x dtype {f32, bf16, bf16+carry} = 6 rows.
+    assert len(ok) == 6
+    assert all(np.isfinite(r["steps_per_sec"]) for r in ok)
+    data = json.loads((tmp_path / "train_tuned.json").read_text())
+    assert "Volume4DSRNet" in data["train_presets"]
