@@ -109,12 +109,15 @@ def build_cases(subpixel: bool = False, fsq: bool = False):
         # vsr_tpu.infer serves them the same way (volume mode).
         ("Volume3DSRNet", 2, "vol3d",
          Volume3DSRNet(in_channels=1, out_channels=1, num_resblocks=8,
-                       num_features=32, upscale_factor=2, dtype=bf16),
-         {"vpc": 4}),  # probe_vol_serving.py sweep: 25.2 vol/s (vpc=1: 5.9)
+                       num_features=32, upscale_factor=2, dtype=bf16,
+                       fused_tail=True),
+         # vpc sweep: 25.2 at vpc 4 (vpc=1: 5.9); fused_tail round 5:
+         # 26.3 -> 27.5 vol/s (probe_vol_fused_tail.py).
+         {"vpc": 4}),
         ("Volume4DSRNet", 2, "vol4d",
          Volume4DSRNet(in_channels=1, out_channels=1, num_features=32,
                        num_resblocks=4, upscale_factor=2, dtype=bf16,
-                       hoist_tail=True),
+                       hoist_tail=True, fused_tail=True),
          # hoist_tail + vpc 4 = 13.2 vol/s, 1.50x the old in-scan-tail
          # row whose thin out-conv made vpc>1 NEGATIVE
          # (scripts/profile_vol4d_serving.py round 5).

@@ -105,7 +105,10 @@ SERVING_PRESETS: dict[str, dict] = {
     # vol3d W8A8 (round 4, probe_w8a8_vol_serving): 1.22-1.32x bf16; the
     # int8 MXU keeps scaling past bf16's vpc-4 optimum, so the W8A8 path
     # carries its own vpc (8 -> 32.3 vol/s vs bf16's 25.4 at 4).
-    "Volume3DSRNet": {"volumes_per_call": 4, "w8a8": "lazy",
+    # fused_tail (round 5, probe_vol_fused_tail): the final thin conv
+    # folds through the 2D-in-3D shuffle — 26.3 -> 27.5 vol/s (+4.6%).
+    "Volume3DSRNet": {"net_kwargs": {"fused_tail": True},
+                      "volumes_per_call": 4, "w8a8": "lazy",
                       "volumes_per_call_w8a8": 8},
     # vol4d: NO w8a8 — measured 0.60x with callback scales (the in-scan
     # quantize/dequant pairs break the hidden-volume scan-body fusion;
@@ -119,7 +122,8 @@ SERVING_PRESETS: dict[str, dict] = {
     # 9.4/12.3/13.2 vol/s -> vpc 4 = 1.50x the old row. Same params,
     # bitwise at f32; ±1 grey on 0.9% pixels at bf16 (conv-tiling
     # reassociation, the usual bf16 class).
-    "Volume4DSRNet": {"net_kwargs": {"hoist_tail": True},
+    "Volume4DSRNet": {"net_kwargs": {"hoist_tail": True,
+                                     "fused_tail": True},
                       "volumes_per_call": 4},
 }
 
