@@ -123,15 +123,25 @@ def test_device_trainer_rejects_zero_and_pipe():
         make_dev(mesh_axes={"data": 4, "model": 2})
 
 
-def test_device_trainer_rejects_multihost(monkeypatch):
+def test_device_trainer_multihost_guards(monkeypatch):
+    """Round 5: multi-host 'data' meshes are SUPPORTED (parity proven in
+    tests/test_multihost.py::test_device_epoch_two_process_matches_
+    single_process) — construction succeeds; non-data axes still refuse
+    under multi-process."""
     import vsr_tpu.parallel.distributed as dist
     from vsr_tpu.runner.device_trainer import AcdcSISRDeviceTrainer
 
     monkeypatch.setattr(dist, "is_multiprocess", lambda: True)
-    with pytest.raises(NotImplementedError, match="single-host"):
-        AcdcSISRDeviceTrainer(
+
+    def make_dev(**kw):
+        return AcdcSISRDeviceTrainer(
             train_dataloader=None, valid_dataloader=None, net=_net(),
             loss_fns=[L1Loss()], loss_weights=[1.0], metric_fns=[PSNR()],
             optimizer=Adam(lr=1e-3), lr_scheduler=None, logger=None,
-            monitor=None, num_epochs=1, patch=8, ratio=2,
-            mesh_axes={"data": 8})
+            monitor=None, num_epochs=1, patch=8, ratio=2, **kw)
+
+    make_dev(mesh_axes={"data": 8})  # data-only mesh: constructs
+    with pytest.raises(NotImplementedError, match="spatial"):
+        make_dev(mesh_axes={"spatial": 2, "data": 4})
+    with pytest.raises(NotImplementedError, match="seq"):
+        make_dev(mesh_axes={"seq": 2, "data": 4})
