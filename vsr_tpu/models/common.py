@@ -293,6 +293,12 @@ class Conv3D(nn.Module):
 
             from vsr_tpu.ops.fused_tail import fuse_conv3d_through_shuffle2d
 
+            if self.out_dtype is not None:
+                raise NotImplementedError(
+                    "fold_shuffle2d ignores out_dtype (the folded lax conv "
+                    "has no accum-dtype hook here) — tails never use "
+                    "carry_f32 accumulation, so reject the combination "
+                    "loudly instead of silently dropping it")
             r = self.fold_shuffle2d
             assert self.strides == (1, 1, 1) and k[1] % 2 and k[2] % 2
             cin = x.shape[-1] // (r * r)

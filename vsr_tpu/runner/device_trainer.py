@@ -218,7 +218,14 @@ class DeviceEpochTrainer:
         patch, C) example (4D nets included; ``window`` replaces T)."""
         shape = self.lr_buf.shape
         lead = shape[1:-3]
-        if self.window is not None and self.lr_buf.ndim >= 5:
+        if self.window is not None:
+            if self.lr_buf.ndim != 5:
+                # _sample_batch's circular-window gather indexes rank-5
+                # buffers only; silently skipping it for other ranks
+                # would train on whole sequences while claiming windows.
+                raise NotImplementedError(
+                    f"window={self.window} needs (M, T_full, h, w, C) "
+                    f"sequence buffers; got rank-{self.lr_buf.ndim}")
             lead = (self.window,) + shape[2:-3]
         return jnp.zeros((self.batch_size, *lead,
                           self.patch, self.patch, shape[-1]))
