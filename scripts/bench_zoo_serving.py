@@ -118,10 +118,10 @@ def build_cases(subpixel: bool = False, fsq: bool = False):
          Volume4DSRNet(in_channels=1, out_channels=1, num_features=32,
                        num_resblocks=4, upscale_factor=2, dtype=bf16,
                        hoist_tail=True, fused_tail=True),
-         # hoist_tail + vpc 4 = 13.2 vol/s, 1.50x the old in-scan-tail
-         # row whose thin out-conv made vpc>1 NEGATIVE
-         # (scripts/profile_vol4d_serving.py round 5).
-         {"vpc": 4}),
+         # hoist+fused tail: 14.3 vol/s at vpc 8 = 1.62x the old
+         # in-scan-tail row whose thin out-conv made vpc>1 NEGATIVE
+         # (scripts/profile_vol4d_serving.py + re-sweep, round 5).
+         {"vpc": 8}),
     ]
 
 
@@ -203,7 +203,12 @@ def main(only: list[str]) -> None:
             bufs = [jax.device_put(np.concatenate(
                 [make_volume(7 + vpc * i + j) for j in range(vpc)]))
                 for i in range(2)]
-            jax.block_until_ready(bufs)
+            for b in bufs:
+                # REAL transfer sync: block_until_ready does NOT await
+                # in-flight device_puts through the relay — a timed call
+                # whose input is still streaming measures the transfer
+                # (cost a 3x-wrong vol4d row; probe_vol4d_timing.py).
+                float(b.sum())
 
             apply_fn = (lambda c, net=net, params=params, extra=extra:
                         net.apply(params, c, **extra))

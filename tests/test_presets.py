@@ -215,11 +215,14 @@ def test_volume_net_presets_exist():
     from vsr_tpu.presets import serving_config
 
     # vol4d round 5: hoist_tail moves the upsample tail out of the T-scan
-    # (the in-scan thin out-conv made vpc>1 NEGATIVE); vpc 4 = 13.2 vol/s
-    # = 1.50x the old vpc-1 row (scripts/profile_vol4d_serving.py).
-    for name, vpc in (("Volume3DSRNet", 4), ("Volume4DSRNet", 4)):
+    # (the in-scan thin out-conv made vpc>1 NEGATIVE) and fused_tail folds
+    # the final conv through the shuffle; hoisted+fused keeps scaling —
+    # vpc 8 = 14.3 vol/s = 1.62x the old vpc-1 row
+    # (scripts/profile_vol4d_serving.py + round-5 re-sweep).
+    for name, vpc in (("Volume3DSRNet", 4), ("Volume4DSRNet", 8)):
         cfg = serving_config(name, "tuned")
         assert cfg.get("volumes_per_call") == vpc
+        assert cfg["net_kwargs"]["fused_tail"] is True
     assert serving_config("Volume4DSRNet", "tuned")["net_kwargs"][
         "hoist_tail"] is True
     fast3 = serving_config("Volume3DSRNet", "fast")

@@ -124,7 +124,9 @@ SERVING_PRESETS: dict[str, dict] = {
     # reassociation, the usual bf16 class).
     "Volume4DSRNet": {"net_kwargs": {"hoist_tail": True,
                                      "fused_tail": True},
-                      "volumes_per_call": 4},
+                      # hoisted+fused keeps scaling: 13.4/13.9/14.3
+                      # vol/s at vpc 4/6/8 (round-5 re-sweep).
+                      "volumes_per_call": 8},
 }
 
 
