@@ -551,7 +551,9 @@ def run(args) -> dict:
     if args.bf16:
         net_kwargs["dtype"] = jnp.bfloat16
     if getattr(args, "fused_tail", False):
-        net_kwargs["fused_tail"] = True  # EDSR/DRF: fold conv through shuffle
+        # EDSR/DRF family + volumetric nets: fold the final conv through
+        # the (2D-in-3D) pixel shuffle (ops/fused_tail.py).
+        net_kwargs["fused_tail"] = True
     net = None  # built with the params at the first volume (LR geometry)
 
     mesh = None
