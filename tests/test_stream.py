@@ -38,16 +38,30 @@ def _stream_video(net, params, hr_frames):
 @pytest.mark.parametrize("make_net", [
     lambda: DRFNet(in_channels=1, out_channels=1, num_features=8,
                    num_groups=2, upscale_factor=2),
+    # Round-5 fix: the stream adapter mirrors the batch net's carry_f32
+    # plumbing (InBlock out_f32 + f32 carry) — it recurred at bf16 before.
+    lambda: DRFNet(in_channels=1, out_channels=1, num_features=8,
+                   num_groups=2, upscale_factor=2, dtype=jnp.bfloat16,
+                   carry_f32=True),
     lambda: FRVSRNet(in_channels=1, out_channels=1, upscale_factor=2,
                      num_resblocks=2, is_prediction=True),
-], ids=["drf", "frvsr"])
+], ids=["drf", "drf-hybrid", "frvsr"])
 def test_recurrent_stream_matches_batch_pipeline(hr, make_net):
     net = make_net()
     params = net.init(jax.random.PRNGKey(0),
                       jnp.zeros((1, 2, H // 2, W // 2, 1)))
     _lr, sr_p = jax.jit(make_pipeline(net, params, 2, "acdc", video_t=T))(hr)
     sr_s = _stream_video(net, params, hr)
-    np.testing.assert_array_equal(sr_s, np.asarray(sr_p))
+    if net.dtype is not None:
+        # bf16: the one-scan batch program and the per-push programs
+        # compile with different fusions — rounding-boundary pixels may
+        # flip by 1 grey (0.3% here). The f32 carry itself is exact:
+        # without the round-5 carry_f32 mirroring this diverges by many
+        # greys as the bf16 recurrence compounds.
+        assert np.max(np.abs(sr_s.astype(np.int32)
+                             - np.asarray(sr_p, np.int32))) <= 1
+    else:
+        np.testing.assert_array_equal(sr_s, np.asarray(sr_p))
 
 
 class TinyMISR(nn.Module):
@@ -170,13 +184,23 @@ def test_volume3d_stream_matches_batch_pipeline(hr):
     np.testing.assert_array_equal(got, np.asarray(sr_batch))
 
 
-def test_volume4d_stream_matches_batch_pipeline(hr):
+@pytest.mark.parametrize("kw", [
+    {},
+    # Round-5 fix: the stream adapter must mirror the batch net's
+    # hybrid-precision plumbing (f32 hidden carry + head out_dtype) —
+    # it silently recurred at bf16 before.
+    {"dtype": jnp.bfloat16, "carry_f32": True},
+    {"hoist_tail": True, "fused_tail": True},
+], ids=["f32", "hybrid", "tails"])
+def test_volume4d_stream_matches_batch_pipeline(hr, kw):
     """The 4D net's time recurrence crosses push boundaries with the
-    hidden volume carry in HBM — bitwise equal to the whole-scan scan."""
+    hidden volume carry in HBM — bitwise equal to the whole-scan scan
+    (for the hoisted/fused batch tails the per-push step computes the
+    same math modulo float reassociation: compared to 1 grey)."""
     from vsr_tpu.models.vol4d import Volume4DSRNet
 
     net = Volume4DSRNet(in_channels=1, out_channels=1, num_features=4,
-                        num_resblocks=1, upscale_factor=2)
+                        num_resblocks=1, upscale_factor=2, **kw)
     params = net.init(jax.random.PRNGKey(0),
                       jnp.zeros((1, 2, D, H // 2, W // 2, 1)))
     _, sr_batch = make_pipeline(net, params, 2, "acdc",
@@ -185,7 +209,11 @@ def test_volume4d_stream_matches_batch_pipeline(hr):
     seq = hr.reshape(D, T, H, W)
     srs = [np.asarray(stream.push(seq[:, t])[1]) for t in range(T)]
     got = np.stack(srs, axis=1).reshape(D * T, H, W)
-    np.testing.assert_array_equal(got, np.asarray(sr_batch))
+    if kw.get("hoist_tail"):
+        assert np.max(np.abs(got.astype(np.int32)
+                             - np.asarray(sr_batch, np.int32))) <= 1
+    else:
+        np.testing.assert_array_equal(got, np.asarray(sr_batch))
 
 
 def test_volume_stream_rejects_windows(hr):

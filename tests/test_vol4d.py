@@ -183,6 +183,9 @@ def test_vol4d_remat_composes_with_tail_modes():
     p = base.init(jax.random.PRNGKey(0), x)
     ref = base.apply(p, x)
     for kw in ({"remat": True}, {"remat": True, "hoist_tail": True},
+               # the shipped 4D device-training config: folded tail
+               # INSIDE the remat'd scan step, no hoist
+               {"remat": True, "fused_tail": True},
                {"remat": True, "hoist_tail": True, "fused_tail": True}):
         net = base.clone(**kw)
         jax.grad(lambda pp: jnp.sum(net.apply(pp, x) ** 2))(p)  # no crash

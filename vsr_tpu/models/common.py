@@ -300,7 +300,17 @@ class Conv3D(nn.Module):
                     "carry_f32 accumulation, so reject the combination "
                     "loudly instead of silently dropping it")
             r = self.fold_shuffle2d
-            assert self.strides == (1, 1, 1) and k[1] % 2 and k[2] % 2
+            if self.strides != (1, 1, 1) or not (k[1] % 2 and k[2] % 2):
+                raise NotImplementedError(
+                    "fold_shuffle2d supports stride-1, odd-H/W-kernel "
+                    f"convs only (got strides={self.strides}, kernel={k})")
+            if tuple(self.padding[1:]) != (k[1] // 2, k[2] // 2):
+                # The fold derivation assumes SAME H/W padding; silently
+                # substituting it for a declared valid/other padding
+                # would change values AND shape.
+                raise NotImplementedError(
+                    f"fold_shuffle2d needs SAME H/W padding "
+                    f"({k[1] // 2}, {k[2] // 2}); got {self.padding[1:]}")
             cin = x.shape[-1] // (r * r)
             fan_in = int(np.prod(k)) * cin
             kernel, bias = _ConvParams((*k, cin, self.features), fan_in,

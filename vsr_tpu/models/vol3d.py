@@ -81,6 +81,12 @@ class Volume3DSRNet(nn.Module):
             stages, r_last = 1, 3
         else:
             raise NotImplementedError(f"upscale_factor={f}")
+        if self.fused_tail and stages == 0:
+            # f=1: there is no shuffle to fold through — the folded conv
+            # would silently reinterpret the feature channels as phase
+            # packs and EXPAND the output x2.
+            raise NotImplementedError(
+                "fused_tail needs an upsampling tail (upscale_factor>=2)")
         for i in range(stages):
             body = Conv3D(r_last * r_last * self.num_features, (3, 3, 3),
                           padding=(1, 1, 1), dtype=self.dtype)(body)

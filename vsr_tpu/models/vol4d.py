@@ -78,6 +78,10 @@ class _Vol4DStep(nn.Module):
             stages, r_last = 1, 3
         else:
             raise NotImplementedError(f"upscale_factor={r}")
+        if self.fused_tail and stages == 0:
+            # f=1: no shuffle to fold through (see Volume3DSRNet).
+            raise NotImplementedError(
+                "fused_tail needs an upsampling tail (upscale_factor>=2)")
         for i in range(stages):
             y = Conv3D(r_last * r_last * f, (3, 3, 3), padding=(1, 1, 1),
                        dtype=self.dtype, name=f"Conv3D_{k}")(y)

@@ -96,45 +96,13 @@ def fuse_conv3d_through_shuffle2d(kernel: jnp.ndarray,
     :func:`fuse_conv_through_shuffle` (same u/v channel packing — the 2D
     and 2D-in-3D shuffles share it). Returns (K, B); apply as
     ``_pixel_shuffle_2d_in_3d(conv3d(pre, K, SAME) + B, factor)``."""
-    kd, k = kernel.shape[0], kernel.shape[1]
-    cin, cout = kernel.shape[3], kernel.shape[4]
-    r = factor
-    half = k // 2
-    kq = fused_extent(k, r)
-    qhalf = kq // 2
-
-    qy_i, qx_i, u_i, v_i, wy_i, wx_i = [], [], [], [], [], []
-    for py in range(r):
-        for px in range(r):
-            for dy in range(-half, half + 1):
-                for dx in range(-half, half + 1):
-                    qy, ry = divmod(py + dy, r)
-                    qx, rx = divmod(px + dx, r)
-                    qy_i.append(qy + qhalf)
-                    qx_i.append(qx + qhalf)
-                    u_i.append(ry * r + rx)
-                    v_i.append(py * r + px)
-                    wy_i.append(dy + half)
-                    wx_i.append(dx + half)
-    qy_i, qx_i = np.asarray(qy_i), np.asarray(qx_i)
-    u_i, v_i = np.asarray(u_i), np.asarray(v_i)
-
-    # (kd, P, Cin, Cout) taps; D is a passthrough leading axis.
-    taps = kernel[:, np.asarray(wy_i), np.asarray(wx_i)]
-    K = jnp.zeros((kd, kq, kq, cin * r * r, cout * r * r), kernel.dtype)
-    c_idx = np.arange(cin) * r * r
-    o_idx = np.arange(cout) * r * r
-    full_u = (c_idx[None, :, None] + u_i[:, None, None])       # (P, Cin, 1)
-    full_v = (o_idx[None, None, :] + v_i[:, None, None])       # (P, 1, Cout)
-    d_idx = np.arange(kd)[:, None, None, None]
-    K = K.at[np.broadcast_to(d_idx, taps.shape),
-             np.broadcast_to(qy_i[None, :, None, None], taps.shape),
-             np.broadcast_to(qx_i[None, :, None, None], taps.shape),
-             np.broadcast_to(full_u[None], taps.shape),
-             np.broadcast_to(full_v[None], taps.shape)].add(taps)
-    B = None
-    if bias is not None:
-        B = jnp.repeat(bias, r * r)
+    # The H/W fold is EXACTLY the 2D fold applied per depth tap (depth is
+    # a passthrough conv dim) — reuse the 2D construction so the subtle
+    # divmod/phase-packing logic has a single implementation.
+    kd = kernel.shape[0]
+    K = jnp.stack([fuse_conv_through_shuffle(kernel[d], None, factor)[0]
+                   for d in range(kd)])
+    B = None if bias is None else jnp.repeat(bias, factor * factor)
     return K, B
 
 

@@ -204,8 +204,14 @@ def _drf_stream(net):
     import jax.numpy as jnp
     from flax import linen as nn
 
-    from vsr_tpu.models.drf import _DRFStep
+    from vsr_tpu.models.drf import _check_carry_f32, _DRFStep
     from vsr_tpu.models.feedback import InBlock
+
+    # Mirror the batch net's hybrid-precision plumbing: under carry_f32
+    # the hidden carry crosses pushes at f32 (dropping it here would
+    # recur at bf16 and diverge from the batch pipeline over long
+    # sequences — exactly the compounding the knob exists to prevent).
+    carry = _check_carry_f32(net)
 
     class _Step(nn.Module):
         """Parameter-compatible with DRFNet by construction: the same
@@ -213,18 +219,20 @@ def _drf_stream(net):
 
         @nn.compact
         def __call__(self, hidden, first, frame):
-            in_feat = InBlock(net.num_features, dtype=net.dtype)(frame)
+            in_feat = InBlock(net.num_features, dtype=net.dtype,
+                              out_f32=carry)(frame)
             hidden = jnp.where(first, in_feat, hidden.astype(in_feat.dtype))
             f, out = _DRFStep(
                 net.num_features, net.num_groups, net.out_channels,
                 net.upscale_factor, fused_tail=net.fused_tail,
                 dtype=net.dtype, subpixel_deconv=net.subpixel_deconv,
-                fused_squeeze=net.fused_squeeze, name="step",
+                fused_squeeze=net.fused_squeeze, carry_f32=carry,
+                name="step",
             )(hidden, in_feat)
             return f, out
 
     mod = _Step()
-    dtype = net.dtype or jnp.float32
+    dtype = jnp.float32 if carry else (net.dtype or jnp.float32)
 
     def apply_step(params, state, z):
         hidden, first = state
@@ -287,6 +295,10 @@ def _vol4d_stream(net):
     from vsr_tpu.models.common import Conv3D
     from vsr_tpu.models.vol4d import _Vol4DStep
 
+    # Mirror the batch net's hybrid precision (models/vol4d.py:95): f32
+    # hidden carry across pushes when carry_f32 is engaged.
+    carry = net.carry_f32 and net.dtype is not None
+
     class _Step(nn.Module):
         """Parameter-compatible with Volume4DSRNet by construction: the
         same auto-named head ``Conv3D_0`` and the scan body under
@@ -295,17 +307,18 @@ def _vol4d_stream(net):
         @nn.compact
         def __call__(self, hidden, first, frame):
             in_feat = Conv3D(net.num_features, (3, 3, 3), padding=(1, 1, 1),
-                             dtype=net.dtype)(frame)
+                             dtype=net.dtype,
+                             out_dtype=jnp.float32 if carry else None)(frame)
             hidden = jnp.where(first, in_feat, hidden.astype(in_feat.dtype))
             h2, out = _Vol4DStep(
                 net.num_features, net.num_resblocks, net.out_channels,
                 net.upscale_factor, net.res_scale, dtype=net.dtype,
-                fused_tail=net.fused_tail, name="step",
+                carry_f32=carry, fused_tail=net.fused_tail, name="step",
             )(hidden, in_feat)
             return h2, out
 
     mod = _Step()
-    dtype = net.dtype or jnp.float32
+    dtype = jnp.float32 if carry else (net.dtype or jnp.float32)
 
     def apply_step(params, state, z):
         hidden, first = state

@@ -80,6 +80,21 @@ def run(args) -> dict:
     net_kwargs = json.loads(args.net_kwargs) if args.net_kwargs else {}
     if args.bf16:
         net_kwargs["dtype"] = jnp.bfloat16
+    # Seed UN-swept shipped-preset net kwargs (hoist_tail, unroll, ...)
+    # so the sweep measures the program that will actually be served —
+    # without this, e.g. a Volume4DSRNet sweep would time the in-scan-tail
+    # configuration while serving runs the hoisted one, and the written
+    # knob winners would not transfer. Swept knobs and explicit
+    # --net-kwargs still win.
+    from vsr_tpu.presets import SERVING_PRESETS
+
+    _swept = {"fused_tail", "dispatch_impl"}
+    for _k, _v in SERVING_PRESETS.get(args.net, {}).get(
+            "net_kwargs", {}).items():
+        if _k not in net_kwargs and _k not in _swept:
+            net_kwargs[_k] = _v
+            logging.info(f"tune: seeding shipped preset net kwarg "
+                         f"{_k}={_v} (un-swept; override via --net-kwargs)")
     if args.windows and args.video_t:
         raise SystemExit("--windows and --video-t are mutually exclusive")
     if args.windows and not args.seq_t:
@@ -126,7 +141,11 @@ def run(args) -> dict:
     rng = np.random.default_rng(0)
     bufs = [jax.device_put(np.round(
         rng.random((n, h, w)) * 255).astype(np.float32)) for _ in range(2)]
-    jax.block_until_ready(bufs)
+    for b in bufs:
+        # Real transfer sync — block_until_ready does not await in-flight
+        # device_puts through the relay (probe_vol4d_timing.py); a timed
+        # row whose input is still streaming would measure the transfer.
+        float(b.sum())
 
     rows: list[dict[str, Any]] = []
     best = None
@@ -409,8 +428,9 @@ def main() -> None:
                         "uses): steps/s rankings are the product; ignore "
                         "any loss values printed during the sweep")
     p.add_argument("--train-shape", dest="train_shape", default="",
-                   help="HR training buffer geometry: M,H,W (frame nets) "
-                        "or M,T,H,W (sequence nets)")
+                   help="HR training buffer geometry: M,H,W (frame nets), "
+                        "M,T,H,W (sequence / 3D-volume nets) or "
+                        "M,T,D,H,W (4D nets)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--patch", type=int, default=32,
                    help="LR patch size sampled from the buffers")
