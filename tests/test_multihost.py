@@ -438,6 +438,42 @@ def test_device_epoch_two_process_matches_single_process(mh_run, tmp_path):
     assert len(t0) == 1 and np.isfinite(t0[0]["Loss"])
 
 
+def test_vol4d_device_epoch_two_process_matches_single_process(
+        vol_tree, tmp_path):
+    """Multi-host device-epoch for a VOLUME family: exercises the
+    _buffer_layout transpose (transform layout -> net layout) inside the
+    per-process block stacking, the rank-6 global P('data') buffers, and
+    the 4D epoch program across the process boundary."""
+    root = vol_tree
+    from vsr_tpu.config import Config
+    from vsr_tpu.main import run_train
+    from vsr_tpu.utils.checkpoint import load_checkpoint
+
+    def cfg_for(saved, host_shard):
+        cfg = _vol4d_config(root / "data", saved, batch=4,
+                            host_shard=host_shard, mesh_axes={"data": 4})
+        cfg["trainer"] = {"name": "Acdc4DSRDeviceTrainer",
+                          "kwargs": {"num_epochs": 2, "patch": 8,
+                                     "ratio": 2, "steps_per_epoch": 3,
+                                     "mesh_axes": {"data": 4}}}
+        return cfg
+
+    dev_saved = root / "vol4d_device_out"
+    _launch_pair(root, cfg_for(dev_saved, True), "vol4d_device")
+    single_saved = tmp_path / "vol4d_device_single"
+    run_train(Config(cfg_for(single_saved, False)))
+
+    d_state, _ = load_checkpoint(dev_saved / "checkpoints" / "model_2.ckpt")
+    s_state, _ = load_checkpoint(
+        single_saved / "checkpoints" / "model_2.ckpt")
+    flat_d = jax_flatten(d_state["params"])
+    flat_s = jax_flatten(s_state["params"])
+    assert flat_d.keys() == flat_s.keys()
+    for key in flat_d:
+        np.testing.assert_allclose(flat_d[key], flat_s[key], rtol=1e-5,
+                                   atol=1e-6, err_msg=key)
+
+
 def test_multihost_pipe_still_refused():
     """'pipe' stays single-host (hand-built shard_map schedule over the
     local ring) — the guard must name the alternatives."""
