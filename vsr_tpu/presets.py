@@ -100,8 +100,8 @@ SERVING_PRESETS: dict[str, dict] = {
     "EDVRNet": {"windows": 5, "chunk": 30, "w8a8": "lazy"},     # 1.04x
     # Volumetric families: volume mode is automatic (infer.VOLUME_NETS);
     # volumes/call swept on chip (scripts/probe_vol_serving.py: 3D scales
-    # 5.9 -> 25.2 vol/s from vpc 1 -> 4, vpc 8 only +3.7% more; 4D peaks
-    # at vpc=1).
+    # 5.9 -> 25.2 vol/s from vpc 1 -> 4, vpc 8 only +2% more; the old "4D
+    # peaks at vpc=1" was the in-scan thin tail — see Volume4DSRNet).
     # vol3d W8A8 (round 4, probe_w8a8_vol_serving): 1.22-1.32x bf16; the
     # int8 MXU keeps scaling past bf16's vpc-4 optimum, so the W8A8 path
     # carries its own vpc (8 -> 32.3 vol/s vs bf16's 25.4 at 4).
