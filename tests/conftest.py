@@ -67,12 +67,22 @@ if os.path.isdir(_CACHE_DIR):
     import glob as _glob
 
     _markers = _glob.glob(os.path.join(_CACHE_DIR, ".inflight.*"))
-    _dead = [m for m in _markers
-             if not _pid_is_pytest(int(m.rsplit(".", 1)[-1]))]
-    if _dead and len(_dead) == len(_markers):
+    _live = [m for m in _markers
+             if _pid_is_pytest(int(m.rsplit(".", 1)[-1]))]
+    _dead = [m for m in _markers if m not in _live]
+    if _dead and not _live:
         import shutil
 
         shutil.rmtree(_CACHE_DIR, ignore_errors=True)
+    elif _live:
+        # CONCURRENT pytest session detected: writing into the same dir
+        # from two interpreters is exactly how the cache gets poisoned
+        # into deadlocking/SIGABRT entries (CLAUDE.md round-3/5 gotcha) —
+        # this session takes a PRIVATE throwaway dir instead. Slower
+        # (cold cache) but never corrupts the shared one.
+        _CACHE_DIR = f"/tmp/vsr_tpu_jax_cache_cpu_suite8_pid{os.getpid()}"
+        print(f"[conftest] concurrent pytest session holds the shared "
+              f"compile cache; using private {_CACHE_DIR}", flush=True)
 os.makedirs(_CACHE_DIR, exist_ok=True)
 _MARKER = os.path.join(_CACHE_DIR, f".inflight.{os.getpid()}")
 with open(_MARKER, "w") as _f:
@@ -90,6 +100,12 @@ def pytest_sessionfinish(session, exitstatus):
         os.remove(_MARKER)
     except OSError:
         pass
+    if _CACHE_DIR.endswith(f"_pid{os.getpid()}"):
+        # Private throwaway dir (concurrent-session fallback above):
+        # nothing else reads it — don't leave GBs in /tmp.
+        import shutil
+
+        shutil.rmtree(_CACHE_DIR, ignore_errors=True)
 
 
 @pytest.fixture
