@@ -58,13 +58,20 @@ def main(which: list[str]) -> None:
 
     bf16 = "--bf16" in which
     which = [w for w in which if w != "--bf16"]
+    # --seed N offsets the data seeds (multi-seed re-validation of the
+    # shipped vol3d bf16 policy — BENCH.md round-4 lesson).
+    seed = 0
+    if "--seed" in which:
+        i = which.index("--seed")
+        seed = int(which[i + 1])
+        del which[i:i + 2]
     dtype = jnp.bfloat16 if bf16 else None
     if bf16:
         print("mixed precision: bf16 compute, f32 master params", flush=True)
 
     mean, std = DATASET_STATS["acdc"]
-    hr_train = make_volumes(16, seed=0)  # (16, T, D, H, W)
-    hr_val = make_volumes(4, seed=1)
+    hr_train = make_volumes(16, seed=seed * 1000)  # (16, T, D, H, W)
+    hr_val = make_volumes(4, seed=seed * 1000 + 1)
 
     degrade = jax.jit(lambda x: kspace_downscale_jax(x, FACTOR))
     lo = SIZE // FACTOR
@@ -136,6 +143,8 @@ def main(which: list[str]) -> None:
                            hr_val.reshape(-1, SIZE, SIZE)[..., None]))
         print(f"3D Volume3DSRNet PSNR: {model:.3f} dB "
               f"({model - base:+.3f} dB vs bicubic)", flush=True)
+        print(f"RESULT seed={seed} task=3d dtype={'bf16' if bf16 else 'f32'} "
+              f"psnr={model:.3f} gain={model - base:+.3f}", flush=True)
         assert model - base > 0.3
         print("3D VOLUME DEVICE-TRAINER LEARNING: OK", flush=True)
 
@@ -175,6 +184,8 @@ def main(which: list[str]) -> None:
                            hr_val.reshape(-1, SIZE, SIZE)[..., None]))
         print(f"4D Volume4DSRNet PSNR: {model:.3f} dB "
               f"({model - base:+.3f} dB vs bicubic)", flush=True)
+        print(f"RESULT seed={seed} task=4d dtype={'bf16' if bf16 else 'f32'} "
+              f"psnr={model:.3f} gain={model - base:+.3f}", flush=True)
         assert model - base > 0.3
         print("4D VOLUME DEVICE-TRAINER LEARNING: OK", flush=True)
 
